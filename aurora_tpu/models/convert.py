@@ -1,0 +1,280 @@
+"""Checkpoint conversion: HF/xtuner torch checkpoints ↔ aurora_tpu pytrees.
+
+The xtuner checkpoint-layout contract (inference.py:42-57 in the reference):
+a model dir holds the HF Llama at the root plus `visual_encoder/` and
+`projector/` subdirectories. `load_auroracap_dir` consumes exactly that
+layout so reference users can point us at their existing checkpoints.
+
+Torch is used host-side only (CPU tensor reads) — nothing torch touches the
+TPU compute path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from aurora_tpu.models.llama import LlamaConfig
+from aurora_tpu.models.projector import ProjectorConfig
+from aurora_tpu.models.vit import ViTConfig
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# State-dict IO
+# ---------------------------------------------------------------------------
+
+def load_torch_state_dict(model_dir: str) -> Dict[str, np.ndarray]:
+    """Read a HF model dir (sharded/single safetensors or .bin) → numpy."""
+    sd: Dict[str, np.ndarray] = {}
+    st_index = os.path.join(model_dir, "model.safetensors.index.json")
+    bin_index = os.path.join(model_dir, "pytorch_model.bin.index.json")
+    if os.path.exists(st_index):
+        with open(st_index) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+        for fn in files:
+            sd.update(_load_safetensors(os.path.join(model_dir, fn)))
+    elif os.path.exists(os.path.join(model_dir, "model.safetensors")):
+        sd.update(_load_safetensors(
+            os.path.join(model_dir, "model.safetensors")))
+    elif os.path.exists(bin_index):
+        with open(bin_index) as f:
+            files = sorted(set(json.load(f)["weight_map"].values()))
+        for fn in files:
+            sd.update(_load_torch_bin(os.path.join(model_dir, fn)))
+    elif os.path.exists(os.path.join(model_dir, "pytorch_model.bin")):
+        sd.update(_load_torch_bin(
+            os.path.join(model_dir, "pytorch_model.bin")))
+    else:
+        raise FileNotFoundError(f"no weights found under {model_dir}")
+    return sd
+
+
+def _load_safetensors(path: str) -> Dict[str, np.ndarray]:
+    from safetensors import safe_open
+    out = {}
+    with safe_open(path, framework="np") as f:
+        for k in f.keys():
+            out[k] = f.get_tensor(k)
+    return out
+
+
+def _load_torch_bin(path: str) -> Dict[str, np.ndarray]:
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _t2np(v) for k, v in sd.items()}
+
+
+def _t2np(t) -> np.ndarray:
+    import torch
+    if t.dtype == torch.bfloat16:
+        return t.float().numpy()
+    return t.numpy()
+
+
+def state_dict_from_torch_module(mod) -> Dict[str, np.ndarray]:
+    """Test helper: torch nn.Module → numpy state dict."""
+    return {k: _t2np(v) for k, v in mod.state_dict().items()}
+
+
+# ---------------------------------------------------------------------------
+# Config parsing
+# ---------------------------------------------------------------------------
+
+def _read_config(model_dir: str) -> Dict[str, Any]:
+    with open(os.path.join(model_dir, "config.json")) as f:
+        return json.load(f)
+
+
+def vit_config_from_hf(cfg: Dict[str, Any]) -> ViTConfig:
+    v = cfg.get("vision_config", cfg)
+    model_type = cfg.get("model_type", "clip")
+    return ViTConfig(
+        hidden_size=v["hidden_size"],
+        intermediate_size=v["intermediate_size"],
+        num_hidden_layers=v["num_hidden_layers"],
+        num_attention_heads=v["num_attention_heads"],
+        image_size=v.get("image_size", 378),
+        patch_size=v.get("patch_size", 14),
+        layer_norm_eps=v.get("layer_norm_eps", 1e-5),
+        hidden_act=v.get("hidden_act",
+                         "quick_gelu" if "clip" in model_type
+                         else "gelu_pytorch_tanh"),
+        model_type="siglip" if "siglip" in model_type else "clip",
+    )
+
+
+def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
+    scaling = cfg.get("rope_scaling") or {}
+    linear = (scaling.get("factor")
+              if scaling.get("type") == "linear" else None)
+    return LlamaConfig(
+        vocab_size=cfg["vocab_size"],
+        hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=cfg["num_hidden_layers"],
+        num_attention_heads=cfg["num_attention_heads"],
+        num_key_value_heads=cfg.get("num_key_value_heads",
+                                    cfg["num_attention_heads"]),
+        max_position_embeddings=cfg.get("max_position_embeddings", 4096),
+        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        rope_theta=cfg.get("rope_theta", 10000.0),
+        rope_linear_scaling=linear,
+        tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Param conversion
+# ---------------------------------------------------------------------------
+
+def _strip_prefix(sd: Dict[str, np.ndarray],
+                  prefixes=("model.", "vision_model.",
+                            "visual_encoder.")) -> Dict[str, np.ndarray]:
+    """Normalize away wrapper prefixes so one mapping serves HF standalone
+    models and xtuner composite state dicts."""
+    out = {}
+    for k, v in sd.items():
+        for p in prefixes:
+            while k.startswith(p):
+                k = k[len(p):]
+        out[k] = v
+    return out
+
+
+def _j(a: np.ndarray, dtype) -> jnp.ndarray:
+    return jnp.asarray(a, dtype=dtype)
+
+
+def vit_params_from_hf(sd: Dict[str, np.ndarray], cfg: ViTConfig,
+                       dtype=jnp.float32) -> Params:
+    """CLIPVisionModel / SiglipVisionModel state dict → vit params.
+
+    Handles HF naming incl. the `pre_layrnorm` typo in modeling_clip.
+    """
+    sd = _strip_prefix(sd)
+    pk = sd["embeddings.patch_embedding.weight"]  # [D, C, p, p]
+    p: Params = {
+        "embeddings": {
+            "patch_kernel": _j(pk.reshape(pk.shape[0], -1).T, dtype),
+            "position_embedding": _j(
+                sd["embeddings.position_embedding.weight"], dtype),
+        },
+        "layers": [],
+        "post_layernorm": {
+            "scale": _j(sd["post_layernorm.weight"], dtype),
+            "bias": _j(sd["post_layernorm.bias"], dtype),
+        },
+    }
+    if cfg.class_token:
+        p["embeddings"]["class_embedding"] = _j(
+            sd["embeddings.class_embedding"].reshape(-1), dtype)
+        pre = ("pre_layrnorm" if "pre_layrnorm.weight" in sd
+               else "pre_layernorm")
+        p["pre_layernorm"] = {"scale": _j(sd[f"{pre}.weight"], dtype),
+                              "bias": _j(sd[f"{pre}.bias"], dtype)}
+    if "embeddings.patch_embedding.bias" in sd:
+        p["embeddings"]["patch_bias"] = _j(
+            sd["embeddings.patch_embedding.bias"], dtype)
+
+    def lin(prefix):
+        return {"kernel": _j(sd[f"{prefix}.weight"].T, dtype),
+                "bias": _j(sd[f"{prefix}.bias"], dtype)}
+
+    for i in range(cfg.num_hidden_layers):
+        pre = f"encoder.layers.{i}"
+        p["layers"].append({
+            "ln1": {"scale": _j(sd[f"{pre}.layer_norm1.weight"], dtype),
+                    "bias": _j(sd[f"{pre}.layer_norm1.bias"], dtype)},
+            "attn": {"q": lin(f"{pre}.self_attn.q_proj"),
+                     "k": lin(f"{pre}.self_attn.k_proj"),
+                     "v": lin(f"{pre}.self_attn.v_proj"),
+                     "o": lin(f"{pre}.self_attn.out_proj")},
+            "ln2": {"scale": _j(sd[f"{pre}.layer_norm2.weight"], dtype),
+                    "bias": _j(sd[f"{pre}.layer_norm2.bias"], dtype)},
+            "mlp": {"fc1": lin(f"{pre}.mlp.fc1"),
+                    "fc2": lin(f"{pre}.mlp.fc2")},
+        })
+    return p
+
+
+def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
+                         dtype=jnp.bfloat16) -> Params:
+    """LlamaForCausalLM state dict → stacked-layer params."""
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items() if not k.endswith(".inv_freq")}
+    L = cfg.num_hidden_layers
+
+    def stack(fmt, transpose=False):
+        mats = [sd[fmt.format(i)] for i in range(L)]
+        arr = np.stack([m.T if transpose else m for m in mats])
+        return _j(arr, dtype)
+
+    p: Params = {
+        "embed_tokens": _j(sd["embed_tokens.weight"], dtype),
+        "layers": {
+            "input_norm": stack("layers.{}.input_layernorm.weight"),
+            "post_attn_norm": stack(
+                "layers.{}.post_attention_layernorm.weight"),
+            "q": stack("layers.{}.self_attn.q_proj.weight", True),
+            "k": stack("layers.{}.self_attn.k_proj.weight", True),
+            "v": stack("layers.{}.self_attn.v_proj.weight", True),
+            "o": stack("layers.{}.self_attn.o_proj.weight", True),
+            "gate": stack("layers.{}.mlp.gate_proj.weight", True),
+            "up": stack("layers.{}.mlp.up_proj.weight", True),
+            "down": stack("layers.{}.mlp.down_proj.weight", True),
+        },
+        "final_norm": _j(sd["norm.weight"], dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = _j(sd["lm_head.weight"].T, dtype)
+    return p
+
+
+def projector_params_from_hf(sd: Dict[str, np.ndarray],
+                             cfg: ProjectorConfig,
+                             dtype=jnp.float32) -> Params:
+    """ProjectorModel state dict (Sequential `model.{0,2,4...}`) → params."""
+    sd = _strip_prefix(sd, ("projector.", "model."))
+    layers = []
+    for i in range(cfg.depth):
+        idx = i * 2  # GELUs occupy odd Sequential slots
+        layers.append({"kernel": _j(sd[f"{idx}.weight"].T, dtype),
+                       "bias": _j(sd[f"{idx}.bias"], dtype)})
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# xtuner-format directory loader (the AuroraCap release layout)
+# ---------------------------------------------------------------------------
+
+def load_auroracap_dir(model_dir: str, llm_dtype=jnp.bfloat16,
+                       vit_dtype=jnp.float32,
+                       ) -> Tuple[Params, LlamaConfig, Params, ViTConfig,
+                                  Params, ProjectorConfig]:
+    """Load an xtuner-format AuroraCap dir: HF llama at root +
+    `visual_encoder/` + `projector/` (inference.py:42-57)."""
+    llm_cfg = llama_config_from_hf(_read_config(model_dir))
+    llm = llama_params_from_hf(load_torch_state_dict(model_dir), llm_cfg,
+                               llm_dtype)
+
+    ve_dir = os.path.join(model_dir, "visual_encoder")
+    vit_cfg = vit_config_from_hf(_read_config(ve_dir))
+    vit = vit_params_from_hf(load_torch_state_dict(ve_dir), vit_cfg,
+                             vit_dtype)
+
+    pj_dir = os.path.join(model_dir, "projector")
+    pj_raw = _read_config(pj_dir)
+    pj_cfg = ProjectorConfig(
+        visual_hidden_size=pj_raw.get("visual_hidden_size",
+                                      vit_cfg.hidden_size),
+        llm_hidden_size=pj_raw.get("llm_hidden_size", llm_cfg.hidden_size),
+        depth=pj_raw.get("depth", 2))
+    pj = projector_params_from_hf(load_torch_state_dict(pj_dir), pj_cfg,
+                                  vit_dtype)
+    return llm, llm_cfg, vit, vit_cfg, pj, pj_cfg

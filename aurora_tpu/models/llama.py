@@ -1,0 +1,227 @@
+"""Llama-family decoder (Vicuna-7B-v1.5-16k is the AuroraCap LLM).
+
+Replaces the reference's HF transformers LlamaForCausalLM + dispatched
+flash-attn path (src/xtuner/xtuner/model/modules/dispatch/llama.py:38-157)
+with a functional JAX implementation:
+
+  * stacked layer params + `lax.scan` → one compiled layer body, fast
+    compiles, natural pjit sharding on named axes;
+  * KV cache as preallocated static-shape buffers updated with
+    dynamic_update_slice (decode never changes shapes → one compiled step);
+  * GQA (num_key_value_heads) so the same code serves Llama-3.1-8B, the
+    VDC judge model (docs/auroracap/EVAL.md:81-92);
+  * rotary with optional linear scaling ({"type":"linear","factor":4} in
+    vicuna-7b-v1.5-16k's config);
+  * segment-id varlen masking replaces cu_seqlens varlen flash-attn
+    (dispatch/llama.py:330-396).
+
+Numerics parity with HF: RMSNorm fp32 stats (LlamaRMSNorm), fp32 softmax,
+SiLU MLP, no attention/MLP biases, untied lm_head (Vicuna).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aurora_tpu.ops.attention import mha
+from aurora_tpu.ops.norms import rms_norm
+from aurora_tpu.ops.rope import apply_rope, rope_cos_sin
+from aurora_tpu.utils.constants import IGNORE_INDEX
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 32
+    max_position_embeddings: int = 16384
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_linear_scaling: Optional[float] = None
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def vicuna_7b_v15_16k(cls) -> "LlamaConfig":
+        """lmsys/vicuna-7b-v1.5-16k — AuroraCap-7B decoder
+        (configs/auroracap/auroracap_7b_pretrain_stage.py:28)."""
+        return cls(rope_linear_scaling=4.0)
+
+    @classmethod
+    def tiny(cls, vocab_size: int = 256) -> "LlamaConfig":
+        return cls(vocab_size=vocab_size, hidden_size=64,
+                   intermediate_size=128, num_hidden_layers=3,
+                   num_attention_heads=4, num_key_value_heads=2,
+                   max_position_embeddings=512)
+
+
+def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
+                      dtype=jnp.float32) -> Params:
+    """Random-init params with stacked layers [L, ...]."""
+    d, i, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_hidden_layers
+    hd, hq, hkv = cfg.head_dim, cfg.num_attention_heads, cfg.num_key_value_heads
+    ks = jax.random.split(rng, 10)
+
+    def w(key, *shape):
+        return jax.random.normal(key, shape, dtype) * 0.02
+
+    p: Params = {
+        "embed_tokens": w(ks[0], cfg.vocab_size, d),
+        "layers": {
+            "input_norm": jnp.ones((L, d), dtype),
+            "post_attn_norm": jnp.ones((L, d), dtype),
+            "q": w(ks[1], L, d, hq * hd),
+            "k": w(ks[2], L, d, hkv * hd),
+            "v": w(ks[3], L, d, hkv * hd),
+            "o": w(ks[4], L, hq * hd, d),
+            "gate": w(ks[5], L, d, i),
+            "up": w(ks[6], L, d, i),
+            "down": w(ks[7], L, i, d),
+        },
+        "final_norm": jnp.ones((d,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        p["lm_head"] = w(ks[8], d, cfg.vocab_size)
+    return p
+
+
+def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> Params:
+    shape = (cfg.num_hidden_layers, batch, max_len,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
+           attention_mask, segment_ids, cache_len, use_flash):
+    """One decoder layer. cache_k/v: [B, S, Hkv, hd] or None."""
+    B, T, D = x.shape
+    hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                   cfg.head_dim)
+
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32
+                ).astype(h.dtype).reshape(B, T, hq, hd)
+    k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32
+                ).astype(h.dtype).reshape(B, T, hkv, hd)
+    v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32
+                ).astype(h.dtype).reshape(B, T, hkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+
+    if cache_k is not None:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, cache_len, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, cache_len, 0, 0))
+        k_all, v_all = cache_k.astype(k.dtype), cache_v.astype(v.dtype)
+        q_offset = cache_len
+    else:
+        k_all, v_all = k, v
+        q_offset = 0
+
+    mask = None
+    if attention_mask is not None:
+        mask = attention_mask[:, None, None, :]  # [B,1,1,S] key-side
+
+    attn = mha(q, k_all, v_all, causal=True, mask=mask,
+               q_segment_ids=segment_ids,
+               kv_segment_ids=segment_ids, q_offset=q_offset,
+               use_flash=use_flash)
+    attn = jnp.dot(attn.reshape(B, T, hq * hd), lp["o"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+    x = x + attn
+
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
+                   ).astype(h.dtype)
+    up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
+                 ).astype(h.dtype)
+    h = jnp.dot(jax.nn.silu(gate) * up, lp["down"],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    return x + h, cache_k, cache_v
+
+
+def llama_apply(params: Params, cfg: LlamaConfig, *,
+                input_ids: Optional[jnp.ndarray] = None,
+                inputs_embeds: Optional[jnp.ndarray] = None,
+                attention_mask: Optional[jnp.ndarray] = None,
+                position_ids: Optional[jnp.ndarray] = None,
+                segment_ids: Optional[jnp.ndarray] = None,
+                kv_cache: Optional[Params] = None,
+                cache_len=0,
+                remat: bool = False,
+                use_flash: Optional[bool] = None,
+                ) -> Tuple[jnp.ndarray, Optional[Params]]:
+    """Forward pass → (logits [B,T,V] fp32, updated kv_cache or None).
+
+    attention_mask: [B, S_kv] bool key-side padding mask (S_kv = cache size
+    when kv_cache is given, else T). segment_ids: [B, T] varlen packing.
+    cache_len: (traced ok) number of valid tokens already in the cache.
+    """
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
+    x = inputs_embeds
+    B, T, _ = x.shape
+
+    if position_ids is None:
+        position_ids = jnp.arange(T)[None, :] + cache_len
+        position_ids = jnp.broadcast_to(position_ids, (B, T))
+    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
+                            cfg.rope_linear_scaling, dtype=jnp.float32)
+
+    def scan_fn(carry, xs):
+        h = carry
+        if kv_cache is not None:
+            lp, ck, cv = xs
+        else:
+            lp, ck, cv = xs, None, None
+        h, ck, cv = _layer(cfg, h, lp, ck, cv, cos, sin, attention_mask,
+                           segment_ids, cache_len, use_flash)
+        return h, (ck, cv) if kv_cache is not None else None
+
+    body = jax.checkpoint(scan_fn) if remat else scan_fn
+    if kv_cache is not None:
+        xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+    else:
+        xs = params["layers"]
+    x, caches = jax.lax.scan(body, x, xs)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = (params["embed_tokens"].T if cfg.tie_word_embeddings
+            else params["lm_head"])
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+
+    new_cache = None
+    if kv_cache is not None:
+        new_cache = {"k": caches[0], "v": caches[1]}
+    return logits, new_cache
+
+
+def llama_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray,
+                  reduce: bool = True):
+    """Shifted next-token CE with IGNORE_INDEX(-100) masking — parity with
+    HF LlamaForCausalLM loss. Returns (loss, num_valid_tokens)."""
+    shift_logits = logits[:, :-1].astype(jnp.float32)
+    shift_labels = labels[:, 1:]
+    valid = shift_labels != IGNORE_INDEX
+    safe_labels = jnp.where(valid, shift_labels, 0)
+    logp = jax.nn.log_softmax(shift_logits, axis=-1)
+    token_ll = jnp.take_along_axis(logp, safe_labels[..., None],
+                                   axis=-1)[..., 0]
+    token_loss = jnp.where(valid, -token_ll, 0.0)
+    n = jnp.sum(valid)
+    if reduce:
+        return jnp.sum(token_loss) / jnp.maximum(n, 1), n
+    return token_loss, n

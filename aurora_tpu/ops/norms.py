@@ -1,0 +1,47 @@
+"""Normalization ops.
+
+XLA fuses these into surrounding elementwise chains on TPU, so plain jnp is
+the fast path (the reference needs Triton kernels for the same effect:
+src/xtuner/xtuner/model/modules/dispatch/triton_kernels/rms_norm.py).
+
+Numerics match HF transformers: statistics in fp32, output cast back to the
+input dtype (LlamaRMSNorm semantics), LayerNorm with biased variance.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float = 1e-6,
+             upcast_weight_mul: bool = False) -> jnp.ndarray:
+    """LlamaRMSNorm parity: fp32 variance, cast back, then * weight.
+
+    HF casts hidden back to input dtype BEFORE multiplying by weight
+    (modeling_llama.LlamaRMSNorm); set upcast_weight_mul=True for the
+    all-fp32 variant.
+    """
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    xf = xf * jax.lax.rsqrt(var + eps)
+    if upcast_weight_mul:
+        return (weight.astype(jnp.float32) * xf).astype(dtype)
+    return weight * xf.astype(dtype)
+
+
+def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
+               eps: float = 1e-5) -> jnp.ndarray:
+    """torch.nn.LayerNorm parity (biased variance, fp32 stats)."""
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * (var + eps) ** -0.5
+    return (y.astype(dtype) * weight + bias).astype(dtype)
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """CLIP activation: x * sigmoid(1.702 x)."""
+    return x * jnp.reciprocal(1.0 + jnp.exp(-1.702 * x))

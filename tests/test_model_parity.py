@@ -1,0 +1,205 @@
+"""Golden-parity tests vs HF transformers (torch CPU) on tiny configs.
+
+Pattern follows the reference's own parity harness
+(src/sglang/python/sglang/test/runners.py: HFRunner vs SRTRunner).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import jax
+
+from aurora_tpu.models.convert import (llama_config_from_hf,
+                                       llama_params_from_hf,
+                                       projector_params_from_hf,
+                                       state_dict_from_torch_module,
+                                       vit_config_from_hf,
+                                       vit_params_from_hf)
+from aurora_tpu.models.llama import (LlamaConfig, init_kv_cache, llama_apply,
+                                     llama_lm_loss)
+from aurora_tpu.models.projector import ProjectorConfig, apply_projector
+from aurora_tpu.models.vit import ViTConfig, vit_encode
+
+torch = pytest.importorskip("torch")
+
+
+# ---------------------------------------------------------------------------
+# ViT vs transformers CLIP / SigLIP (token_kept_ratio = 1.0 → pure CLIP)
+# ---------------------------------------------------------------------------
+
+def _tiny_clip_cfg():
+    from transformers import CLIPVisionConfig
+    return CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=56, patch_size=14)
+
+
+def test_vit_matches_hf_clip_ratio1(rng):
+    from transformers import CLIPVisionModel
+    torch.manual_seed(0)
+    hf_cfg = _tiny_clip_cfg()
+    hf = CLIPVisionModel(hf_cfg).eval()
+
+    cfg = vit_config_from_hf(hf_cfg.to_dict() | {"model_type": "clip"})
+    params = vit_params_from_hf(state_dict_from_torch_module(hf), cfg)
+
+    px = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    with torch.no_grad():
+        hf_out = hf(torch.from_numpy(px), output_hidden_states=True)
+    want = hf_out.hidden_states[-2][:, 1:].numpy()
+
+    got = np.asarray(vit_encode(params, jnp.asarray(px), cfg,
+                                kept_ratio=1.0, select_layer=-2))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_vit_pos_embed_interpolation_matches_torch_bicubic(rng):
+    """Non-native resolution path: our static-table bicubic must equal
+    torch F.interpolate(mode='bicubic', scale_factor=(r+0.1)/n)."""
+    import math
+    from aurora_tpu.models.vit import interpolate_pos_embedding
+
+    cfg = ViTConfig(hidden_size=16, intermediate_size=32,
+                    num_hidden_layers=2, num_attention_heads=2,
+                    image_size=56, patch_size=14)  # native grid 4x4
+    n = 4
+    pos = rng.standard_normal((n * n + 1, 16)).astype(np.float32)
+
+    h, w = 84, 112  # → 6 x 8 grid
+    got = np.asarray(interpolate_pos_embedding(jnp.asarray(pos), cfg, h, w))
+
+    pe = torch.from_numpy(pos)
+    cls, patch = pe[:1], pe[1:]
+    rows, cols = h // 14, w // 14  # reference's (w0, h0) = (rows, cols)
+    out = torch.nn.functional.interpolate(
+        patch.reshape(1, n, n, 16).permute(0, 3, 1, 2),
+        scale_factor=((rows + 0.1) / math.sqrt(n * n),
+                      (cols + 0.1) / math.sqrt(n * n)),
+        mode="bicubic")
+    out = out.permute(0, 2, 3, 1).reshape(-1, 16)
+    want = torch.cat([cls, out], dim=0).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_vit_tome_reduces_tokens_and_runs(rng):
+    cfg = ViTConfig(hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=3, num_attention_heads=4,
+                    image_size=56, patch_size=14)
+    from aurora_tpu.models.vit import init_vit_params, vit_tome_r
+    params = init_vit_params(jax.random.PRNGKey(0), cfg)
+    px = jnp.asarray(rng.standard_normal((1, 3, 56, 56)), jnp.float32)
+    out_full = vit_encode(params, px, cfg, kept_ratio=1.0)
+    out_merged = vit_encode(params, px, cfg, kept_ratio=0.1)
+    assert out_full.shape[1] == 16
+    r = vit_tome_r(cfg, 0.1, 56, 56)
+    # select_layer=-2 → merges applied over first L-1 layers
+    assert out_merged.shape[1] == 16 - (cfg.num_hidden_layers - 1) * r
+    assert np.isfinite(np.asarray(out_merged)).all()
+
+
+# ---------------------------------------------------------------------------
+# Llama vs transformers LlamaForCausalLM
+# ---------------------------------------------------------------------------
+
+def _tiny_llama(rope_scaling=None):
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    torch.manual_seed(1)
+    hf_cfg = HFLlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        rope_scaling=rope_scaling, attn_implementation="eager",
+        tie_word_embeddings=False)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    return hf, cfg, params
+
+
+@pytest.mark.parametrize("rope_scaling", [None,
+                                          {"type": "linear", "factor": 4.0}])
+def test_llama_logits_match_hf(rng, rope_scaling):
+    hf, cfg, params = _tiny_llama(rope_scaling)
+    ids = rng.integers(0, 128, size=(2, 17))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
+
+
+def test_llama_kv_cache_decode_matches_full_forward(rng):
+    hf, cfg, params = _tiny_llama()
+    ids = jnp.asarray(rng.integers(0, 128, size=(1, 24)))
+    full_logits, _ = llama_apply(params, cfg, input_ids=ids)
+
+    # prefill 16 then decode 8 one at a time through the cache
+    cache = init_kv_cache(cfg, 1, 64, dtype=jnp.float32)
+    logits_p, cache = llama_apply(params, cfg, input_ids=ids[:, :16],
+                                  kv_cache=cache, cache_len=0)
+    step_logits = [logits_p[:, -1]]
+    for t in range(16, 24):
+        lg, cache = llama_apply(params, cfg, input_ids=ids[:, t:t + 1],
+                                kv_cache=cache, cache_len=t)
+        step_logits.append(lg[:, -1])
+    got = jnp.stack(step_logits, axis=1)  # positions 15..23
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(full_logits[:, 15:24]),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_llama_greedy_matches_hf_generate(rng):
+    hf, cfg, params = _tiny_llama()
+    prompt = rng.integers(0, 128, size=(1, 9))
+    with torch.no_grad():
+        want = hf.generate(torch.from_numpy(prompt), max_new_tokens=12,
+                           do_sample=False).numpy()[0, 9:]
+
+    cache = init_kv_cache(cfg, 1, 64, dtype=jnp.float32)
+    logits, cache = llama_apply(params, cfg,
+                                input_ids=jnp.asarray(prompt),
+                                kv_cache=cache, cache_len=0)
+    toks = []
+    tok = jnp.argmax(logits[:, -1], axis=-1)
+    for t in range(12):
+        toks.append(int(tok[0]))
+        if t == 11:
+            break
+        lg, cache = llama_apply(params, cfg, input_ids=tok[:, None],
+                                kv_cache=cache, cache_len=9 + t)
+        tok = jnp.argmax(lg[:, -1], axis=-1)
+    np.testing.assert_array_equal(np.asarray(toks), want)
+
+
+def test_llama_loss_matches_hf(rng):
+    hf, cfg, params = _tiny_llama()
+    ids = rng.integers(0, 128, size=(2, 15))
+    labels = ids.copy()
+    labels[:, :5] = -100
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids),
+                  labels=torch.from_numpy(labels)).loss.item()
+    logits, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    got, n = llama_lm_loss(logits, jnp.asarray(labels))
+    assert n == (labels[:, 1:] != -100).sum()
+    np.testing.assert_allclose(float(got), want, rtol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Projector vs torch Sequential
+# ---------------------------------------------------------------------------
+
+def test_projector_matches_torch(rng):
+    torch.manual_seed(2)
+    seq = torch.nn.Sequential(
+        torch.nn.Linear(24, 40), torch.nn.GELU(), torch.nn.Linear(40, 40))
+    cfg = ProjectorConfig(visual_hidden_size=24, llm_hidden_size=40, depth=2)
+    sd = {f"model.{k}": v.detach().numpy()
+          for k, v in seq.state_dict().items()}
+    params = projector_params_from_hf(sd, cfg)
+    x = rng.standard_normal((2, 7, 24)).astype(np.float32)
+    with torch.no_grad():
+        want = seq(torch.from_numpy(x)).numpy()
+    got = np.asarray(apply_projector(params, jnp.asarray(x), cfg))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
