@@ -1,0 +1,107 @@
+"""Host-side image preprocessing (CLIPImageProcessor parity).
+
+Replicates the two reference pipelines:
+  * inference (inference.py:58-63): CLIPImageProcessor(size=378, crop=378) —
+    bicubic shortest-edge resize, center crop, rescale 1/255, normalize with
+    OpenAI CLIP mean/std;
+  * training (src/xtuner/xtuner/dataset/aurora.py:134-149): optional
+    expand2square pad, keep-aspect shortest-edge resize + pad H/W to
+    multiples of PATCH_SIZE=14, then normalize only (no crop/resize).
+
+PIL does the resampling (identical kernels to the HF processor); numpy does
+the arithmetic. Output layout: [C, H, W] float32 — device transfer and any
+dtype cast happen at the batch boundary.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image, ImageOps
+
+CLIP_MEAN = (0.48145466, 0.4578275, 0.40821073)
+CLIP_STD = (0.26862954, 0.26130258, 0.27577711)
+PATCH_SIZE = 14
+
+ImageLike = Union[Image.Image, np.ndarray]
+
+
+def _to_pil(img: ImageLike) -> Image.Image:
+    if isinstance(img, Image.Image):
+        return img.convert("RGB")
+    return Image.fromarray(np.asarray(img).astype(np.uint8)).convert("RGB")
+
+
+def _normalize(arr: np.ndarray) -> np.ndarray:
+    """HWC uint8 → CHW float32 normalized."""
+    x = arr.astype(np.float32) / 255.0
+    x = (x - np.asarray(CLIP_MEAN, np.float32)) / np.asarray(
+        CLIP_STD, np.float32)
+    return x.transpose(2, 0, 1)
+
+
+def _resize_shortest_edge(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    short, long = (w, h) if w <= h else (h, w)
+    if short == size:
+        return img
+    new_short = size
+    new_long = int(size * long / short)
+    nw, nh = (new_short, new_long) if w <= h else (new_long, new_short)
+    return img.resize((nw, nh), Image.Resampling.BICUBIC)
+
+
+def _center_crop(img: Image.Image, size: int) -> Image.Image:
+    w, h = img.size
+    left = (w - size) // 2
+    top = (h - size) // 2
+    return img.crop((left, top, left + size, top + size))
+
+
+def clip_preprocess(images: Union[ImageLike, Sequence[ImageLike]],
+                    size: int = 378, crop: int = 378) -> np.ndarray:
+    """CLIPImageProcessor path → [N, C, crop, crop] float32."""
+    if isinstance(images, (Image.Image, np.ndarray)) and (
+            isinstance(images, Image.Image) or images.ndim == 3):
+        images = [images]
+    out = []
+    for img in images:
+        pil = _to_pil(img)
+        pil = _resize_shortest_edge(pil, size)
+        pil = _center_crop(pil, crop)
+        out.append(_normalize(np.asarray(pil)))
+    return np.stack(out)
+
+
+def expand2square(img: Image.Image,
+                  fill: Tuple[int, int, int]) -> Image.Image:
+    """Pad to square with `fill` background, content centered
+    (parity: src/xtuner/xtuner/dataset/utils.py:245)."""
+    w, h = img.size
+    if w == h:
+        return img
+    side = max(w, h)
+    canvas = Image.new("RGB", (side, side), fill)
+    canvas.paste(img, ((side - w) // 2, (side - h) // 2))
+    return canvas
+
+
+def keep_aspect_preprocess(img: ImageLike, shortest_edge: int = 378,
+                           pad_to_square: bool = False) -> np.ndarray:
+    """Training-dataset path (dataset/aurora.py:134-149): shortest-edge
+    scale (note: the reference computes the scale from PIL's (w, h) but
+    names them (h, w) — behavior is identical since min() is symmetric),
+    zero-pad H and W up to multiples of PATCH_SIZE, normalize only.
+    Returns [C, H', W'] float32 (H', W' vary per image)."""
+    pil = _to_pil(img)
+    if pad_to_square:
+        pil = expand2square(pil, tuple(int(x * 255) for x in CLIP_MEAN))
+    w, h = pil.size
+    scale = shortest_edge / min(w, h)
+    new_w, new_h = int(w * scale), int(h * scale)
+    pil = pil.resize((new_w, new_h))
+    pad_h = (PATCH_SIZE - new_h % PATCH_SIZE) % PATCH_SIZE
+    pad_w = (PATCH_SIZE - new_w % PATCH_SIZE) % PATCH_SIZE
+    pil = ImageOps.expand(pil, (0, 0, pad_w, pad_h), fill=(0, 0, 0))
+    return _normalize(np.asarray(pil))
