@@ -1,0 +1,132 @@
+"""Training engine: optax + jit/GSPMD train step.
+
+Replaces the reference's mmengine Runner + DeepSpeed ZeRO stack
+(src/xtuner/xtuner/tools/train.py:257-339, engine/_strategy/deepspeed.py) and
+the xtuner_lite FSDP loop (src/xtuner_lite/llava_train_sp.py:429-1148):
+
+  * ZeRO/FSDP      → params laid out on the 'fsdp' mesh axis
+                     (aurora_tpu.parallel.mesh); XLA emits the all-gather /
+                     reduce-scatter pair that DeepSpeed does by hand.
+  * frozen modules → optax.multi_transform routes frozen subtrees to
+                     set_to_zero (reference freeze flags aurora.py:94-102).
+  * grad ckpt      → jax.checkpoint inside the model (remat=True).
+  * LR schedule    → linear warmup + cosine decay (stage configs
+                     auroracap_7b_pretrain_stage.py:96-118).
+  * grad clip      → optax.clip_by_global_norm (max_norm=1, cfg :43).
+  * grad accum     → optax.MultiSteps when accum > 1 (vision stage uses
+                     bs1×accum24, vision_stage.py:49).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aurora_tpu.models.aurora import AuroraConfig, aurora_forward
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    lr: float = 2e-4
+    weight_decay: float = 0.0
+    betas: Tuple[float, float] = (0.9, 0.999)
+    warmup_ratio: float = 0.03
+    max_steps: int = 1000
+    grad_clip: float = 1.0
+    grad_accum: int = 1
+    freeze_llm: bool = False
+    freeze_visual_encoder: bool = False
+    freeze_projector: bool = False
+    kept_ratio: float = 1.0
+    remat: bool = True
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Params
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def lr_schedule(cfg: TrainConfig):
+    warmup = max(1, int(cfg.max_steps * cfg.warmup_ratio))
+    return optax.join_schedules([
+        optax.linear_schedule(cfg.lr / max(warmup, 1), cfg.lr, warmup),
+        optax.cosine_decay_schedule(cfg.lr, cfg.max_steps - warmup),
+    ], [warmup])
+
+
+def _freeze_labels(params: Params, cfg: TrainConfig) -> Params:
+    frozen = {"llm": cfg.freeze_llm,
+              "visual_encoder": cfg.freeze_visual_encoder,
+              "projector": cfg.freeze_projector}
+    return {k: jax.tree.map(lambda _: "frozen" if frozen.get(k) else "train",
+                            v) for k, v in params.items()}
+
+
+def make_optimizer(params: Params, cfg: TrainConfig):
+    opt = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(lr_schedule(cfg), b1=cfg.betas[0], b2=cfg.betas[1],
+                    weight_decay=cfg.weight_decay),
+    )
+    if any([cfg.freeze_llm, cfg.freeze_visual_encoder,
+            cfg.freeze_projector]):
+        opt = optax.multi_transform(
+            {"train": opt, "frozen": optax.set_to_zero()},
+            _freeze_labels(params, cfg))
+    if cfg.grad_accum > 1:
+        opt = optax.MultiSteps(opt, cfg.grad_accum)
+    return opt
+
+
+def init_train_state(params: Params, cfg: TrainConfig) -> TrainState:
+    opt = make_optimizer(params, cfg)
+    return TrainState(params=params, opt_state=opt.init(params),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None):
+    """Returns (state, batch) → (state, metrics), jit-ready.
+
+    batch: input_ids [B,T], labels [B,T], attention_mask [B,T],
+    pixel_values [B,F,C,H,W] (optional — text-only batches skip the ViT).
+    Sharding comes from the input arrays (params via shard_pytree, batch
+    via batch_sharding); GSPMD propagates through the step.
+    """
+
+    def loss_fn(params, batch):
+        loss, ntok = aurora_forward(
+            params, acfg, batch["input_ids"],
+            batch.get("pixel_values"),
+            attention_mask=batch.get("attention_mask"),
+            labels=batch["labels"], kept_ratio=tcfg.kept_ratio,
+            mode="loss", remat=tcfg.remat)
+        return loss, ntok
+
+    def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        (loss, ntok), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch)
+        updates, opt_state = opt.update(grads, state.opt_state,
+                                        state.params)
+        params = optax.apply_updates(state.params, updates)
+        gnorm = optax.global_norm(grads)
+        metrics = {"loss": loss, "ntokens": ntok, "grad_norm": gnorm,
+                   "lr": lr_schedule(tcfg)(state.step)}
+        return TrainState(params=params, opt_state=opt_state,
+                          step=state.step + 1), metrics
+
+    return step_fn
+
+
+# pytree registration so TrainState flows through jit
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(params=c[0], opt_state=c[1], step=c[2]))

@@ -1,0 +1,120 @@
+"""Sequence-parallel attention tests on the virtual 8-device CPU mesh —
+distributed coverage the reference never had in CI (SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from aurora_tpu.ops.attention import mha_reference
+from aurora_tpu.parallel.mesh import MeshConfig, create_mesh
+from aurora_tpu.parallel.ring import (ring_mha, zigzag_split,
+                                      zigzag_unsplit)
+from aurora_tpu.parallel.ulysses import ulysses_mha
+
+
+def _qkv(rng, B=2, T=32, H=8, D=16):
+    mk = lambda: jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+def _sp_mesh(devices, sp):
+    return create_mesh(MeshConfig(dp=len(devices) // sp, sp=sp),
+                       devices=devices)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_matches_reference(devices, rng, causal):
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng)
+    want = mha_reference(q, k, v, causal=causal)
+    got = ulysses_mha(q, k, v, mesh, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_inner_sp_head_split(devices, rng):
+    """sp=4, heads=2 → insp=2 head-dim-split path
+    (reference attention.py:24-93)."""
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng, H=2, D=16)
+    want = mha_reference(q, k, v, causal=True)
+    got = ulysses_mha(q, k, v, mesh, causal=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_segment_ids(devices, rng):
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng)
+    seg = jnp.asarray(np.repeat([[0, 1, 2, 3]], 8, axis=1).reshape(1, 32))
+    seg = jnp.broadcast_to(seg, (2, 32))
+    want = mha_reference(q, k, v, causal=True, q_segment_ids=seg,
+                         kv_segment_ids=seg)
+    got = ulysses_mha(q, k, v, mesh, causal=True, q_segment_ids=seg,
+                      kv_segment_ids=seg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ulysses_grads_match(devices, rng):
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng, T=16)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    def loss_sp(q, k, v):
+        return jnp.sum(ulysses_mha(q, k, v, mesh, causal=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_sp = jax.grad(loss_sp, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_sp, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_matches_reference(devices, rng, causal):
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng)
+    want = mha_reference(q, k, v, causal=causal)
+    got = ring_mha(q, k, v, mesh, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_ring_zigzag_matches_reference(devices, rng):
+    sp = 4
+    mesh = _sp_mesh(devices, sp)
+    q, k, v = _qkv(rng)
+    want = mha_reference(q, k, v, causal=True)
+    qz, kz, vz = (zigzag_split(t, sp) for t in (q, k, v))
+    got_z = ring_mha(qz, kz, vz, mesh, causal=True, layout="zigzag")
+    got = zigzag_unsplit(got_z, sp)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_zigzag_split_roundtrip(rng):
+    x = jnp.asarray(rng.standard_normal((2, 16, 3)), jnp.float32)
+    y = zigzag_unsplit(zigzag_split(x, 4), 4)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+
+def test_ring_grads_match(devices, rng):
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng, T=16)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(mha_reference(q, k, v, causal=True) ** 2)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_mha(q, k, v, mesh, causal=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_rg = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_rg, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)
