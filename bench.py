@@ -23,34 +23,32 @@ import numpy as np
 
 
 def _timed_chain(encode_step, px, iters):
+    """Chain data-dependent dispatches OUTSIDE jit (one compiled program),
+    sync once with device_get; per-iter = (t_N − t_1)/(N − 1) cancels the
+    RPC constant."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(px, n):
-        def body(_, carry):
-            px, acc = carry
-            out = encode_step(px)
-            acc = acc + jnp.sum(out.astype(jnp.float32))
-            # real data dependency, negligible value change
-            px = px + (acc * 1e-30).astype(px.dtype)
-            return px, acc
-        _, acc = jax.lax.fori_loop(0, n, body, (px, jnp.float32(0)))
-        return acc
+    def step(px):
+        out = encode_step(px)
+        acc = jnp.sum(out.astype(jnp.float32))
+        # real data dependency, negligible value change
+        return px + (acc * 1e-30).astype(px.dtype), acc
 
-    # warm both trip counts (same compiled program — n is traced? fori with
-    # traced n prevents unrolling; pass as device scalar)
-    import jax.numpy as jnp
-    n1 = jnp.asarray(1)
-    nN = jnp.asarray(iters + 1)
-    float(jax.device_get(run(px, n1)))
-    float(jax.device_get(run(px, nN)))
+    def run(n):
+        x = px
+        for _ in range(n):
+            x, acc = step(x)
+        return float(jax.device_get(acc))
+
+    run(2)  # compile + warm
 
     t0 = time.perf_counter()
-    float(jax.device_get(run(px, n1)))
+    run(1)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(jax.device_get(run(px, nN)))
+    run(iters + 1)
     tN = time.perf_counter() - t0
     return max(tN - t1, 1e-9) / iters
 
