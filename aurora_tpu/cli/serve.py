@@ -1,0 +1,66 @@
+"""Serving launch CLI.
+
+Parity: src/sglang/python/sglang/launch_server_auroracap.py:10-20 and
+launch_server (srt/server.py) flags that AuroraCap's docs exercise
+(docs/auroracap/EVAL.md:81-92 — the VDC judge runs through this too).
+
+  python -m aurora_tpu.cli.serve --model_path <hf-or-xtuner dir> \
+      --port 30000 --max-batch 8 --mem-fraction 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model_path", required=True,
+                   help="HF llama dir or xtuner-format AuroraCap dir")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=30000)
+    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-seq-len", type=int, default=4096)
+    p.add_argument("--num-slots", type=int, default=0,
+                   help="KV slots; 0 → sized from --mem-fraction")
+    p.add_argument("--mem-fraction", type=float, default=0.8)
+    p.add_argument("--schedule-policy", default="lpm",
+                   choices=["lpm", "fcfs", "lof", "random"])
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"])
+    args = p.parse_args()
+
+    import os
+    from transformers import AutoTokenizer
+    from aurora_tpu.models.convert import (llama_config_from_hf,
+                                           llama_params_from_hf,
+                                           load_torch_state_dict,
+                                           _read_config)
+    from aurora_tpu.serve.api import launch_server
+    from aurora_tpu.serve.engine import EngineConfig
+    from aurora_tpu.serve.kv_pool import kv_pool_size_for_memory
+    from aurora_tpu.serve.scheduler import SchedulePolicy
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    cfg = llama_config_from_hf(_read_config(args.model_path))
+    params = llama_params_from_hf(
+        load_torch_state_dict(args.model_path), cfg, dtype)
+    tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+
+    num_slots = args.num_slots
+    if num_slots <= 0:
+        budget = int(4e9 * args.mem_fraction)  # conservative default
+        num_slots = kv_pool_size_for_memory(cfg, budget)
+    ecfg = EngineConfig(max_batch=args.max_batch,
+                        max_seq_len=args.max_seq_len,
+                        num_slots=num_slots,
+                        policy=SchedulePolicy(args.schedule_policy),
+                        kv_dtype=dtype)
+    launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
+                  engine_cfg=ecfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from aurora_tpu.serve.kv_pool import KVPool, SlotAllocator
+from aurora_tpu.serve.radix_cache import RadixCache
+from aurora_tpu.serve.scheduler import (Request, Scheduler, SchedulePolicy)
+from aurora_tpu.serve.engine import ServeEngine, EngineConfig
+
+__all__ = ["KVPool", "SlotAllocator", "RadixCache", "Request",
+           "Scheduler", "SchedulePolicy", "ServeEngine", "EngineConfig"]

@@ -1,0 +1,259 @@
+"""HTTP serving front end: /generate + OpenAI-compatible endpoints.
+
+Replaces the reference's FastAPI + ZMQ + multiprocess pipeline
+(src/sglang/python/sglang/srt/server.py:282-400, managers/tokenizer_manager
+.py, detokenizer_manager.py) with a single-process asyncio design: XLA
+dispatch is already async, so the tokenizer → scheduler → model → detokenizer
+pipeline is one event loop with a background engine task — no IPC, no ZMQ.
+
+Endpoints (openai_api/adapter.py parity surface):
+  POST /generate                 — native API (text or multimodal)
+  POST /v1/completions           — OpenAI completions (+streaming)
+  POST /v1/chat/completions      — OpenAI chat (+streaming)
+  GET  /health, /get_model_info  — ops endpoints
+  POST /abort_request            — abort by rid
+
+aiohttp replaces FastAPI (not in the image).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from aurora_tpu.generate.sampler import SamplingParams
+from aurora_tpu.serve.engine import ServeEngine
+from aurora_tpu.serve.scheduler import Request
+from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+
+
+class ServingLoop:
+    """Bridges the asyncio API front end and the synchronous engine."""
+
+    def __init__(self, engine: ServeEngine, tokenizer):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self._events: Dict[str, asyncio.Queue] = {}
+        self._task: Optional[asyncio.Task] = None
+
+    async def start(self) -> None:
+        self._task = asyncio.create_task(self._run())
+
+    async def _run(self) -> None:
+        while True:
+            if not self.engine.has_work():
+                await asyncio.sleep(0.001)
+                continue
+            try:
+                stepped = await asyncio.to_thread(self.engine.step)
+            except Exception as e:  # fail pending requests, keep serving
+                import logging
+                logging.getLogger(__name__).exception("engine step failed")
+                for rid, q in list(self._events.items()):
+                    q.put_nowait(("error", e))
+                    self._events.pop(rid, None)
+                self.engine.sched.waiting.clear()
+                continue
+            for req in stepped:
+                q = self._events.pop(req.rid, None)
+                if q is not None:
+                    q.put_nowait(("done", req))
+            # streaming: push partials for running requests
+            for req in self.engine.sched.running:
+                q = self._events.get(req.rid)
+                if q is not None and req.stream:
+                    q.put_nowait(("delta", req))
+
+    async def submit(self, req: Request) -> asyncio.Queue:
+        q: asyncio.Queue = asyncio.Queue()
+        self._events[req.rid] = q
+        self.engine.add_request(req)
+        return q
+
+    def detok(self, ids) -> str:
+        return self.tokenizer.decode([int(t) for t in ids],
+                                     skip_special_tokens=True)
+
+
+def _sampling_from(body: Dict[str, Any]) -> SamplingParams:
+    temp = float(body.get("temperature", 0.0))
+    if not body.get("do_sample", True):
+        temp = 0.0
+    return SamplingParams(temperature=temp,
+                          top_p=float(body.get("top_p", 1.0)),
+                          top_k=int(body.get("top_k", 0)))
+
+
+def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
+    from aiohttp import web
+
+    eos_default = tuple(
+        {loop_.tokenizer.eos_token_id} - {None}) or (2,)
+
+    def make_request(prompt_ids, body, stream=False) -> Request:
+        ecfg = loop_.engine.ecfg
+        max_new = int(body.get("max_new_tokens", body.get("max_tokens",
+                                                          128)))
+        if len(prompt_ids) > max(ecfg.prefill_buckets):
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "prompt too long: "
+                                 f"{len(prompt_ids)} > "
+                                 f"{max(ecfg.prefill_buckets)}"}))
+        if len(prompt_ids) + max_new > ecfg.max_seq_len:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "prompt+max_tokens exceeds "
+                                 f"max_seq_len {ecfg.max_seq_len}"}))
+        return Request(
+            rid=body.get("rid", uuid.uuid4().hex),
+            input_ids=[int(t) for t in prompt_ids],
+            sampling=_sampling_from(body),
+            max_new_tokens=int(body.get("max_new_tokens",
+                                        body.get("max_tokens", 128))),
+            eos_ids=eos_default, stream=stream)
+
+    async def run_request(req: Request):
+        q = await loop_.submit(req)
+        while True:
+            kind, r = await q.get()
+            if kind == "error":
+                raise web.HTTPInternalServerError(
+                    text=json.dumps({"error": str(r)}))
+            if kind == "done":
+                return r
+
+    async def h_generate(request):
+        body = await request.json()
+        if "input_ids" in body:
+            ids = body["input_ids"]
+        else:
+            ids = loop_.tokenizer.encode(body["text"])
+        req = make_request(ids, body, stream=bool(body.get("stream")))
+        if not req.stream:
+            done = await run_request(req)
+            return web.json_response({
+                "text": loop_.detok(done.output_ids),
+                "output_ids": done.output_ids,
+                "meta_info": {"finish_reason": done.finished.value,
+                              "prompt_tokens": len(done.input_ids),
+                              "completion_tokens": len(done.output_ids)}})
+        return await _stream_response(request, req, openai=None)
+
+    async def _stream_response(request, req, openai):
+        from aiohttp import web
+        resp = web.StreamResponse(
+            headers={"Content-Type": "text/event-stream"})
+        await resp.prepare(request)
+        q = await loop_.submit(req)
+        sent = 0
+        while True:
+            kind, r = await q.get()
+            if kind == "error":
+                await resp.write(
+                    f"data: {json.dumps({'error': str(r)})}\n\n".encode())
+                break
+            text = loop_.detok(r.output_ids)
+            delta = text[sent:]
+            sent = len(text)
+            if openai == "chat":
+                payload = {"id": req.rid, "object":
+                           "chat.completion.chunk",
+                           "choices": [{"index": 0,
+                                        "delta": {"content": delta}}]}
+            elif openai == "completions":
+                payload = {"id": req.rid, "object": "text_completion",
+                           "choices": [{"index": 0, "text": delta}]}
+            else:
+                payload = {"text": delta, "rid": req.rid}
+            await resp.write(f"data: {json.dumps(payload)}\n\n".encode())
+            if kind == "done":
+                break
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+    async def h_completions(request):
+        body = await request.json()
+        prompt = body.get("prompt", "")
+        ids = loop_.tokenizer.encode(prompt)
+        req = make_request(ids, body, stream=bool(body.get("stream")))
+        if req.stream:
+            return await _stream_response(request, req, "completions")
+        done = await run_request(req)
+        return web.json_response({
+            "id": req.rid, "object": "text_completion",
+            "created": int(time.time()), "model": model_name,
+            "choices": [{"index": 0, "text": loop_.detok(done.output_ids),
+                         "finish_reason": done.finished.value}],
+            "usage": {"prompt_tokens": len(done.input_ids),
+                      "completion_tokens": len(done.output_ids),
+                      "total_tokens": done.seq_len}})
+
+    async def h_chat(request):
+        body = await request.json()
+        msgs = body.get("messages", [])
+        system = " ".join(m["content"] for m in msgs
+                          if m["role"] == "system")
+        turns = [m["content"] for m in msgs if m["role"] == "user"]
+        tpl = PROMPT_TEMPLATE.vicuna
+        prompt = tpl["SYSTEM"].format(system=system) if system else ""
+        prompt += tpl["INSTRUCTION"].format(input=" ".join(turns), round=1)
+        ids = loop_.tokenizer.encode(prompt)
+        req = make_request(ids, body, stream=bool(body.get("stream")))
+        if req.stream:
+            return await _stream_response(request, req, "chat")
+        done = await run_request(req)
+        return web.json_response({
+            "id": req.rid, "object": "chat.completion",
+            "created": int(time.time()), "model": model_name,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant",
+                                     "content":
+                                     loop_.detok(done.output_ids)},
+                         "finish_reason": done.finished.value}],
+            "usage": {"prompt_tokens": len(done.input_ids),
+                      "completion_tokens": len(done.output_ids),
+                      "total_tokens": done.seq_len}})
+
+    async def h_health(request):
+        return web.json_response({"status": "ok"})
+
+    async def h_model_info(request):
+        return web.json_response({
+            "model": model_name,
+            "memory": loop_.engine.check_memory()})
+
+    async def h_abort(request):
+        body = await request.json()
+        ok = loop_.engine.abort(body.get("rid", ""))
+        return web.json_response({"aborted": ok})
+
+    app = web.Application()
+    app.router.add_post("/generate", h_generate)
+    app.router.add_post("/v1/completions", h_completions)
+    app.router.add_post("/v1/chat/completions", h_chat)
+    app.router.add_get("/health", h_health)
+    app.router.add_get("/get_model_info", h_model_info)
+    app.router.add_post("/abort_request", h_abort)
+    return app
+
+
+def launch_server(params, cfg, tokenizer, *, host="0.0.0.0",
+                  port=30000, engine_cfg=None, model_name="auroracap"):
+    """Blocking server entry (launch_server parity, srt/server.py:282)."""
+    from aiohttp import web
+    from aurora_tpu.serve.engine import EngineConfig
+
+    engine = ServeEngine(params, cfg, engine_cfg or EngineConfig())
+    loop_ = ServingLoop(engine, tokenizer)
+    app = build_app(loop_, model_name)
+
+    async def on_startup(app):
+        await loop_.start()
+
+    app.on_startup.append(on_startup)
+    web.run_app(app, host=host, port=port)

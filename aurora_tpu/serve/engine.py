@@ -1,0 +1,401 @@
+"""Continuous-batching serving engine (the sglang-SRT equivalent).
+
+Replaces the reference's ModelRunner + RadixAttention + CUDA-graph decode
+(src/sglang/python/sglang/srt/model_executor/model_runner.py:486-584,
+srt/layers/radix_attention.py:31-218, cuda_graph_runner.py) with two
+compiled XLA programs over a flat KV slot pool:
+
+  * EXTEND — one request per call, prompt bucketed to static lengths;
+    computes fresh KV, scatters it into the pool, attends over
+    radix-cached prefix slots + the new tokens, returns last-token logits.
+  * DECODE — whole running batch, one token per request per step; KV
+    written at slot_table[b, seq_len_b], attention gathers each row's
+    slots. Static [max_batch, max_seq_len] shapes → ONE compiled program
+    replayed every step (the role CUDA graphs play in the reference, free
+    under XLA).
+
+The KV pool arrays are threaded functionally through the steps with donated
+buffers, so updates are in-place on device. Sampling runs on-device with
+per-row temperature/top-p (request-level sampling params without recompiles).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aurora_tpu.models.llama import LlamaConfig
+from aurora_tpu.ops.norms import rms_norm
+from aurora_tpu.ops.rope import apply_rope, rope_cos_sin
+from aurora_tpu.serve.kv_pool import KVPool, SlotAllocator
+from aurora_tpu.serve.radix_cache import RadixCache
+from aurora_tpu.serve.scheduler import (FinishReason, Request, Scheduler,
+                                        SchedulePolicy)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    max_batch: int = 8
+    max_seq_len: int = 2048          # slot-table width per request
+    num_slots: int = 32768
+    prefill_buckets: Tuple[int, ...] = (32, 128, 512, 2048)
+    policy: SchedulePolicy = SchedulePolicy.LPM
+    kv_dtype: Any = jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# Pool-aware llama forward pieces
+# ---------------------------------------------------------------------------
+
+def _qkv(cfg: LlamaConfig, lp, h):
+    B, T, _ = h.shape
+    q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32).astype(
+        h.dtype).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32).astype(
+        h.dtype).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32).astype(
+        h.dtype).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    return q, k, v
+
+
+def _mlp(cfg: LlamaConfig, lp, x):
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
+                   ).astype(h.dtype)
+    up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
+                 ).astype(h.dtype)
+    return x + jnp.dot(jax.nn.silu(gate) * up, lp["down"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+def _pool_attention(cfg: LlamaConfig, q, pk_l, pv_l, slot_table, kv_mask,
+                    q_pos):
+    """q: [B, T, H, hd]; pool layer pk/pv: [num_slots, Hkv, hd];
+    slot_table: [B, Smax]; kv_mask: [B, Smax] bool valid slots;
+    q_pos: [B, T] global positions (causal vs slot index)."""
+    B, T, H, hd = q.shape
+    k = pk_l[slot_table]                      # [B, Smax, Hkv, hd]
+    v = pv_l[slot_table]
+    if cfg.num_key_value_heads != H:
+        rep = H // cfg.num_key_value_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scale = hd ** -0.5
+    logits = jnp.einsum("bthd,bshd->bhts", q.astype(k.dtype) * scale, k,
+                        preferred_element_type=jnp.float32)
+    kv_pos = jnp.arange(slot_table.shape[1])[None, None, None, :]
+    mask = kv_mask[:, None, None, :] & (kv_pos <= q_pos[:, None, :, None])
+    logits = jnp.where(mask, logits, -2.38e38)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def _forward_pool(params: Params, cfg: LlamaConfig, embeds, pk, pv,
+                  slot_table, write_slots, kv_mask, positions):
+    """Shared EXTEND/DECODE forward.
+
+    embeds [B, T, D]; write_slots [B, T] pool indices for the new tokens;
+    kv_mask [B, Smax] validity AFTER the new tokens are in the table;
+    positions [B, T] global positions of the new tokens.
+    Returns (logits [B, T, V] fp32, pk, pv).
+    """
+    x = embeds
+    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+                            cfg.rope_linear_scaling, dtype=jnp.float32)
+
+    def layer(x, xs):
+        lp, pk_l, pv_l = xs
+        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        q, k, v = _qkv(cfg, lp, h)
+        q, k = apply_rope(q, k, cos, sin)
+        flat = write_slots.reshape(-1)
+        pk_l = pk_l.at[flat].set(
+            k.reshape(-1, *k.shape[2:]).astype(pk_l.dtype))
+        pv_l = pv_l.at[flat].set(
+            v.reshape(-1, *v.shape[2:]).astype(pv_l.dtype))
+        attn = _pool_attention(cfg, q, pk_l, pv_l, slot_table, kv_mask,
+                               positions)
+        B, T, _, _ = attn.shape
+        attn = jnp.dot(attn.reshape(B, T, -1).astype(x.dtype), lp["o"],
+                       preferred_element_type=jnp.float32).astype(x.dtype)
+        x = x + attn
+        return _mlp(cfg, lp, x), (pk_l, pv_l)
+
+    x, (pk, pv) = jax.lax.scan(layer, x, (params["layers"], pk, pv))
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    head = (params["embed_tokens"].T if cfg.tie_word_embeddings
+            else params["lm_head"])
+    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    return logits, pk, pv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnums=(2, 3))
+def _extend_step(params, embeds, pk, pv, slot_table, write_slots,
+                 kv_mask, positions, last_idx, cfg):
+    logits, pk, pv = _forward_pool(params, cfg, embeds, pk, pv,
+                                   slot_table, write_slots, kv_mask,
+                                   positions)
+    last = jnp.take_along_axis(logits, last_idx[:, None, None],
+                               axis=1)[:, 0]
+    return last, pk, pv
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",),
+                   donate_argnums=(2, 3))
+def _decode_step(params, tokens, pk, pv, slot_table, write_slots,
+                 kv_mask, positions, cfg):
+    embeds = jnp.take(params["embed_tokens"], tokens[:, None], axis=0)
+    logits, pk, pv = _forward_pool(params, cfg, embeds, pk, pv,
+                                   slot_table, write_slots, kv_mask,
+                                   positions)
+    return logits[:, 0], pk, pv
+
+
+@jax.jit
+def _sample_dynamic(logits, temps, top_ps, key):
+    """Per-row temperature / top-p; temp == 0 → greedy. logits [B, V]."""
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lt = logits / jnp.maximum(temps[:, None], 1e-6)
+    sorted_l = jnp.sort(lt, axis=-1)[:, ::-1]
+    probs = jax.nn.softmax(sorted_l, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cut = (cum - probs) > top_ps[:, None]
+    thresh = jnp.min(jnp.where(cut, sorted_l, jnp.inf), axis=-1,
+                     keepdims=True)
+    lt = jnp.where(lt < thresh, -jnp.inf, lt)
+    sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
+    return jnp.where(temps <= 0.0, greedy, sampled)
+
+
+# ---------------------------------------------------------------------------
+# Engine
+# ---------------------------------------------------------------------------
+
+class ServeEngine:
+    """Single-host engine: schedule → extend/decode → sample → stream."""
+
+    def __init__(self, params: Params, cfg: LlamaConfig,
+                 ecfg: EngineConfig = EngineConfig(),
+                 embed_fn=None):
+        self.params = params
+        self.cfg = cfg
+        self.ecfg = ecfg
+        self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype)
+        # last slot is a write-trash target for padded lanes, never allocated
+        self.alloc = SlotAllocator(ecfg.num_slots - 1)
+        self.radix = RadixCache(free_slots=self.alloc.free)
+        self.sched = Scheduler(ecfg.max_batch, ecfg.num_slots,
+                               ecfg.policy, self.radix)
+        self.embed_fn = embed_fn  # multimodal hook: req → [T, D] embeds
+        B, S = ecfg.max_batch, ecfg.max_seq_len
+        self.slot_table = np.zeros((B, S), np.int32)
+        self.seq_lens = np.zeros((B,), np.int32)
+        self.rows: List[Optional[Request]] = [None] * B
+        self._rng = jax.random.PRNGKey(0)
+        self._steps = 0
+
+    # -- public API ----------------------------------------------------------
+
+    def add_request(self, req: Request) -> None:
+        self.sched.add(req)
+
+    def abort(self, rid: str) -> bool:
+        return self.sched.abort(rid)
+
+    def has_work(self) -> bool:
+        return bool(self.sched.waiting or self.sched.running)
+
+    def step(self) -> List[Request]:
+        """One engine iteration → requests finished this step."""
+        self._admit()
+        self._decode()
+        done = []
+        for req in self.sched.retire_finished():
+            self._release(req)
+            done.append(req)
+        return done
+
+    # -- internals -----------------------------------------------------------
+
+    def _free_row(self) -> int:
+        for i, r in enumerate(self.rows):
+            if r is None:
+                return i
+        return -1
+
+    def _bucket(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest bucket")
+
+    def _admit(self) -> None:
+        admitted = self.sched.get_prefill_batch(self.alloc.available())
+        for req in admitted:
+            row = self._free_row()
+            if row < 0:
+                self.sched.waiting.insert(0, req)
+                break
+            self._extend(req, row)
+            self.sched.running.append(req)
+
+    def _extend(self, req: Request, row: int) -> None:
+        ids = np.asarray(req.input_ids, np.int64)
+        if req.prefix_slots is None and self.radix is not None:
+            req.prefix_slots, req.prefix_node = self.radix.match_prefix(
+                req.input_ids)
+        n_cached = len(req.prefix_slots)
+        if n_cached == len(ids):  # full hit: re-extend the last token
+            n_cached -= 1
+        self.radix.lock(req.prefix_node, +1)
+
+        n_new = len(ids) - n_cached
+        need = n_new + req.max_new_tokens
+        if self.alloc.available() < need:
+            self.radix.evict(need - self.alloc.available())
+        new_slots = self.alloc.alloc(n_new)
+        assert new_slots is not None, "KV pool exhausted"
+
+        S = self.ecfg.max_seq_len
+        bucket = self._bucket(n_new)
+        table = np.zeros((S,), np.int32)
+        table[:n_cached] = req.prefix_slots[:n_cached]
+        table[n_cached:n_cached + n_new] = new_slots
+        # pre-reserve decode slots lazily (allocated per decode step)
+        self.slot_table[row] = table
+        self.seq_lens[row] = len(ids)
+        req.batch_row = row
+        req.slots = new_slots
+        self.rows[row] = req
+
+        # padded views for the bucketed compiled program
+        if self.embed_fn is not None and req.pixel_values is not None:
+            embeds = self.embed_fn(req)  # [n_total, D], multimodal fused
+            embeds = embeds[n_cached:]
+        else:
+            embeds = np.asarray(jax.device_get(jnp.take(
+                self.params["embed_tokens"],
+                jnp.asarray(ids[n_cached:]), axis=0)))
+        D = embeds.shape[-1]
+        pad_embeds = np.zeros((1, bucket, D), embeds.dtype)
+        pad_embeds[0, :n_new] = embeds
+        # padded lanes write into the reserved trash slot (duplicate-index
+        # scatter winners are unspecified, so pads must never alias real
+        # slots)
+        wslots = np.full((1, bucket), self.ecfg.num_slots - 1, np.int32)
+        wslots[0, :n_new] = new_slots
+        positions = np.zeros((1, bucket), np.int32)
+        positions[0, :n_new] = n_cached + np.arange(n_new)
+        positions[0, n_new:] = n_cached + max(n_new - 1, 0)
+        kv_mask = np.zeros((1, S), bool)
+        kv_mask[0, :len(ids)] = True
+
+        last_logits, self.pool.k, self.pool.v = _extend_step(
+            self.params, jnp.asarray(pad_embeds, self.ecfg.kv_dtype),
+            self.pool.k, self.pool.v,
+            jnp.asarray(self.slot_table[row:row + 1]),
+            jnp.asarray(wslots), jnp.asarray(kv_mask),
+            jnp.asarray(positions),
+            jnp.asarray([max(n_new - 1, 0)], np.int32), self.cfg)
+        self._emit(req, last_logits)
+
+    def _decode(self) -> None:
+        active = [r for r in self.rows if r is not None
+                  and r.finished is None and r.output_ids]
+        if not active:
+            return
+        B, S = self.ecfg.max_batch, self.ecfg.max_seq_len
+        tokens = np.zeros((B,), np.int32)
+        write_slots = np.full((B, 1), self.ecfg.num_slots - 1, np.int32)
+        positions = np.zeros((B, 1), np.int32)
+        kv_mask = np.zeros((B, S), bool)
+        temps = np.zeros((B,), np.float32)
+        top_ps = np.ones((B,), np.float32)
+        rows = []
+        for req in active:
+            b = req.batch_row
+            pos = req.seq_len - 1          # position of the new token
+            if pos >= S:
+                req.finished = FinishReason.LENGTH
+                continue
+            slot = self.alloc.alloc(1)
+            if slot is None:
+                self.radix.evict(64)
+                slot = self.alloc.alloc(1)
+                assert slot is not None, "KV pool exhausted in decode"
+            self.slot_table[b, pos] = slot[0]
+            req.slots = np.concatenate([req.slots, slot])
+            tokens[b] = req.output_ids[-1]
+            write_slots[b, 0] = slot[0]
+            positions[b, 0] = pos
+            kv_mask[b, :pos + 1] = True
+            temps[b] = req.sampling.temperature
+            top_ps[b] = req.sampling.top_p
+            self.seq_lens[b] = pos + 1
+            rows.append(req)
+        if not rows:
+            return
+
+        logits, self.pool.k, self.pool.v = _decode_step(
+            self.params, jnp.asarray(tokens), self.pool.k, self.pool.v,
+            jnp.asarray(self.slot_table), jnp.asarray(write_slots),
+            jnp.asarray(kv_mask), jnp.asarray(positions), self.cfg)
+        self._rng, key = jax.random.split(self._rng)
+        sampled = np.asarray(jax.device_get(_sample_dynamic(
+            logits, jnp.asarray(temps), jnp.asarray(top_ps), key)))
+        for req in rows:
+            req.output_ids.append(int(sampled[req.batch_row]))
+            req.check_finished()
+        self._steps += 1
+
+    def _emit(self, req: Request, last_logits) -> None:
+        """Sample the first token right after extend."""
+        self._rng, key = jax.random.split(self._rng)
+        tok = _sample_dynamic(
+            last_logits, jnp.asarray([req.sampling.temperature],
+                                     np.float32),
+            jnp.asarray([req.sampling.top_p], np.float32), key)
+        req.output_ids.append(int(jax.device_get(tok)[0]))
+        req.check_finished()
+
+    def _release(self, req: Request) -> None:
+        """Finished request → cache its prompt KV, free the rest."""
+        row = req.batch_row
+        self.rows[row] = None
+        self.radix.lock(req.prefix_node, -1)
+        n_cached = len(req.prefix_slots) if req.prefix_slots is not None \
+            else 0
+        if n_cached == len(req.input_ids):
+            n_cached -= 1
+        prompt_ids = req.input_ids
+        prompt_slots = np.concatenate([
+            np.asarray(req.prefix_slots[:n_cached], np.int32),
+            np.asarray(req.slots[:len(prompt_ids) - n_cached], np.int32)])
+        dup = self.radix.insert(prompt_ids, prompt_slots)
+        # slots for the already-cached prefix [n_cached:dup] are duplicates
+        if dup > n_cached:
+            self.alloc.free(req.slots[:dup - n_cached])
+        # decode-token slots are never cached — free them
+        extra = req.slots[len(prompt_ids) - n_cached:]
+        if len(extra):
+            self.alloc.free(extra)
+
+    # -- memory introspection (check_memory parity, tp_worker.py:301-321) ----
+
+    def check_memory(self) -> Dict[str, int]:
+        cached = self.radix.total_cached_tokens()
+        in_flight = sum(len(r.slots) for r in self.rows if r is not None
+                        and r.slots is not None)
+        free = self.alloc.available()
+        # num_slots - 1: the trash slot is reserved, never allocated
+        leaked = (self.ecfg.num_slots - 1) - free - cached - in_flight
+        return {"free": free, "cached": cached, "in_flight": in_flight,
+                "leaked": leaked}

@@ -1,0 +1,78 @@
+"""Token-granular KV pool for continuous-batching service.
+
+Replaces sglang's ReqToTokenPool + MHATokenToKVPool
+(src/sglang/python/sglang/srt/mem_cache/memory_pool.py:27-251): one flat
+device buffer of KV slots per layer plus a host-side free-list allocator.
+Requests map positions → slots through an int32 slot table; the radix cache
+shares prefix slots between requests (slot refcounts live in the radix tree,
+as in the reference's lock_ref).
+
+Device layout: k/v [L, num_slots, Hkv, D] — a slot is one token's KV for all
+layers. Slot gathers/scatters are XLA take/scatter on the slot axis; the
+decode path reads via the per-request slot table (see serve/engine.py).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aurora_tpu.models.llama import LlamaConfig
+
+
+class SlotAllocator:
+    """Host free-list over KV slots (memory_pool.py BaseTokenToKVPool
+    equivalent, without torch)."""
+
+    def __init__(self, num_slots: int):
+        self.num_slots = num_slots
+        self._free = list(range(num_slots - 1, -1, -1))
+
+    def available(self) -> int:
+        return len(self._free)
+
+    def alloc(self, n: int) -> Optional[np.ndarray]:
+        if n > len(self._free):
+            return None
+        out = np.asarray([self._free.pop() for _ in range(n)], np.int32)
+        return out
+
+    def free(self, slots) -> None:
+        self._free.extend(int(s) for s in np.asarray(slots).reshape(-1))
+        assert len(self._free) <= self.num_slots, "double free detected"
+
+
+class KVPool:
+    """Device KV buffers + slot write/gather helpers."""
+
+    def __init__(self, cfg: LlamaConfig, num_slots: int,
+                 dtype=jnp.bfloat16):
+        self.cfg = cfg
+        self.num_slots = num_slots
+        shape = (cfg.num_hidden_layers, num_slots,
+                 cfg.num_key_value_heads, cfg.head_dim)
+        self.k = jnp.zeros(shape, dtype)
+        self.v = jnp.zeros(shape, dtype)
+
+    def write(self, slots: jnp.ndarray, k_new: jnp.ndarray,
+              v_new: jnp.ndarray) -> None:
+        """slots [N] int32; k_new/v_new [L, N, Hkv, D]. In-place via donation
+        at the jit boundary (engine threads the pool arrays through its
+        compiled step functions)."""
+        self.k = self.k.at[:, slots].set(k_new.astype(self.k.dtype))
+        self.v = self.v.at[:, slots].set(v_new.astype(self.v.dtype))
+
+    def hbm_bytes(self) -> int:
+        return 2 * int(np.prod(self.k.shape)) * self.k.dtype.itemsize
+
+
+def kv_pool_size_for_memory(cfg: LlamaConfig, budget_bytes: int,
+                            dtype_bytes: int = 2) -> int:
+    """memory_pool-style sizing: slots that fit the HBM budget
+    (model_runner.py:317 profile-driven sizing analog)."""
+    per_slot = (2 * cfg.num_hidden_layers * cfg.num_key_value_heads
+                * cfg.head_dim * dtype_bytes)
+    return max(1, budget_bytes // per_slot)

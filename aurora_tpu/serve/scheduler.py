@@ -1,0 +1,148 @@
+"""Continuous-batching scheduler.
+
+Concept parity with sglang's ModelTpServer event loop + PolicyScheduler +
+PrefillAdder (src/sglang/python/sglang/srt/managers/tp_worker.py:411-508,
+policy_scheduler.py:35-330) and ScheduleBatch/Req state machine
+(schedule_batch.py): requests wait in a queue, a policy orders them
+(fcfs | lpm longest-prefix-match | lof longest-output-first | random), a
+token-budget admission loop moves them into the running batch, decode
+proceeds one token per step for the whole batch, finished requests release
+their KV into the radix cache.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import random
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from aurora_tpu.generate.sampler import SamplingParams
+
+
+class SchedulePolicy(str, enum.Enum):
+    FCFS = "fcfs"
+    LPM = "lpm"
+    LOF = "lof"
+    RANDOM = "random"
+
+
+class FinishReason(str, enum.Enum):
+    EOS = "stop"
+    LENGTH = "length"
+    ABORT = "abort"
+
+
+@dataclasses.dataclass
+class Request:
+    rid: str
+    input_ids: List[int]
+    sampling: SamplingParams = SamplingParams()
+    max_new_tokens: int = 128
+    eos_ids: tuple = (2,)
+    stream: bool = False
+    arrival: float = dataclasses.field(default_factory=time.monotonic)
+
+    # runtime state
+    output_ids: List[int] = dataclasses.field(default_factory=list)
+    prefix_slots: Optional[np.ndarray] = None   # radix-cache hit
+    prefix_node: Any = None
+    slots: Optional[np.ndarray] = None          # all owned slots (per token)
+    batch_row: int = -1
+    finished: Optional[FinishReason] = None
+    # filled by fusion for multimodal requests
+    pixel_values: Optional[np.ndarray] = None
+    kept_ratio: float = 0.8
+
+    @property
+    def seq_len(self) -> int:
+        return len(self.input_ids) + len(self.output_ids)
+
+    @property
+    def extend_len(self) -> int:
+        cached = 0 if self.prefix_slots is None else len(self.prefix_slots)
+        return len(self.input_ids) - cached
+
+    def check_finished(self) -> None:
+        if self.finished is not None:
+            return
+        if len(self.output_ids) >= self.max_new_tokens:
+            self.finished = FinishReason.LENGTH
+        elif self.output_ids and self.output_ids[-1] in self.eos_ids:
+            self.finished = FinishReason.EOS
+
+
+class Scheduler:
+    """Admission + batch composition over a slot budget."""
+
+    def __init__(self, max_batch: int, max_total_tokens: int,
+                 policy: SchedulePolicy = SchedulePolicy.LPM,
+                 radix_cache=None):
+        self.max_batch = max_batch
+        self.max_total_tokens = max_total_tokens
+        self.policy = policy
+        self.radix = radix_cache
+        self.waiting: List[Request] = []
+        self.running: List[Request] = []
+
+    def add(self, req: Request) -> None:
+        self.waiting.append(req)
+
+    def abort(self, rid: str) -> bool:
+        for req in self.waiting:
+            if req.rid == rid:
+                req.finished = FinishReason.ABORT
+                self.waiting.remove(req)
+                return True
+        for req in self.running:
+            if req.rid == rid:
+                req.finished = FinishReason.ABORT
+                return True
+        return False
+
+    def _sort_waiting(self) -> None:
+        if self.policy == SchedulePolicy.FCFS:
+            self.waiting.sort(key=lambda r: r.arrival)
+        elif self.policy == SchedulePolicy.LPM:
+            # longest cached prefix first (policy_scheduler.py lpm)
+            for r in self.waiting:
+                if self.radix is not None and r.prefix_slots is None:
+                    r.prefix_slots, r.prefix_node = self.radix.match_prefix(
+                        r.input_ids)
+            self.waiting.sort(
+                key=lambda r: -(0 if r.prefix_slots is None
+                                else len(r.prefix_slots)))
+        elif self.policy == SchedulePolicy.LOF:
+            self.waiting.sort(key=lambda r: -r.max_new_tokens)
+        elif self.policy == SchedulePolicy.RANDOM:
+            random.shuffle(self.waiting)
+
+    def tokens_in_flight(self) -> int:
+        return sum(r.seq_len + r.max_new_tokens - len(r.output_ids)
+                   for r in self.running)
+
+    def get_prefill_batch(self, free_slots: int) -> List[Request]:
+        """Admit waiting requests under the slot budget (PrefillAdder
+        token-budget semantics, policy_scheduler.py:107-330)."""
+        self._sort_waiting()
+        admitted: List[Request] = []
+        budget = min(free_slots,
+                     self.max_total_tokens - self.tokens_in_flight())
+        for req in list(self.waiting):
+            if len(self.running) + len(admitted) >= self.max_batch:
+                break
+            need = req.extend_len + req.max_new_tokens
+            if need > budget:
+                continue
+            budget -= need
+            admitted.append(req)
+            self.waiting.remove(req)
+        return admitted
+
+    def retire_finished(self) -> List[Request]:
+        done = [r for r in self.running if r.finished is not None]
+        self.running = [r for r in self.running if r.finished is None]
+        return done

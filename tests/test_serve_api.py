@@ -1,0 +1,140 @@
+"""HTTP API tests: /generate, OpenAI completions/chat, streaming, health."""
+
+import asyncio
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+from aurora_tpu.serve.api import ServingLoop, build_app
+from aurora_tpu.serve.engine import EngineConfig, ServeEngine
+
+aiohttp = pytest.importorskip("aiohttp")
+from aiohttp.test_utils import TestClient, TestServer  # noqa: E402
+
+from utils import make_tiny_tokenizer  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    cfg = LlamaConfig.tiny(vocab_size=512)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg,
+                               dtype=jnp.float32)
+    tok = make_tiny_tokenizer(str(tmp_path_factory.mktemp("tok")))
+    ecfg = EngineConfig(max_batch=4, max_seq_len=256, num_slots=1024,
+                        prefill_buckets=(32, 192), kv_dtype=jnp.float32)
+    return params, cfg, tok, ecfg
+
+
+def _with_app(served, coro):
+    params, cfg, tok, ecfg = served
+
+    async def run():
+        engine = ServeEngine(params, cfg, ecfg)
+        loop_ = ServingLoop(engine, tok)
+        await loop_.start()
+        app = build_app(loop_, "tiny")
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            return await coro(client)
+        finally:
+            await client.close()
+            loop_._task.cancel()
+
+    return asyncio.run(run())
+
+
+def test_generate_endpoint(served):
+    async def go(client):
+        r = await client.post("/generate", json={
+            "text": "hello world", "max_new_tokens": 5,
+            "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert len(body["output_ids"]) >= 1
+        assert body["meta_info"]["completion_tokens"] == \
+            len(body["output_ids"])
+        return body
+
+    b1 = _with_app(served, go)
+    b2 = _with_app(served, go)
+    assert b1["output_ids"] == b2["output_ids"]  # greedy determinism
+
+
+def test_openai_completions(served):
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "abc def", "max_tokens": 4, "temperature": 0.0})
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "text_completion"
+        assert body["usage"]["completion_tokens"] >= 1
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
+
+    _with_app(served, go)
+
+
+def test_openai_chat(served):
+    async def go(client):
+        r = await client.post("/v1/chat/completions", json={
+            "messages": [{"role": "system", "content": "be brief"},
+                         {"role": "user", "content": "hi"}],
+            "max_tokens": 4})
+        assert r.status == 200
+        body = await r.json()
+        assert body["choices"][0]["message"]["role"] == "assistant"
+
+    _with_app(served, go)
+
+
+def test_streaming_completions(served):
+    async def go(client):
+        r = await client.post("/v1/completions", json={
+            "prompt": "xyz", "max_tokens": 4, "temperature": 0.0,
+            "stream": True})
+        assert r.status == 200
+        raw = (await r.read()).decode()
+        events = [ln[6:] for ln in raw.splitlines()
+                  if ln.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        parsed = [json.loads(e) for e in events[:-1]]
+        assert all(p["object"] == "text_completion" for p in parsed)
+
+    _with_app(served, go)
+
+
+def test_health_and_model_info(served):
+    async def go(client):
+        r = await client.get("/health")
+        assert (await r.json())["status"] == "ok"
+        r = await client.get("/get_model_info")
+        info = await r.json()
+        assert info["memory"]["leaked"] == 0
+
+    _with_app(served, go)
+
+
+def test_prompt_too_long_rejected(served):
+    async def go(client):
+        r = await client.post("/generate", json={
+            "text": "x" * 500, "max_new_tokens": 4})
+        assert r.status == 400
+
+    _with_app(served, go)
+
+
+def test_concurrent_clients(served):
+    async def go(client):
+        async def one(i):
+            r = await client.post("/generate", json={
+                "text": f"request number {i}", "max_new_tokens": 4})
+            return await r.json()
+        out = await asyncio.gather(*[one(i) for i in range(6)])
+        assert len(out) == 6
+        assert all(len(o["output_ids"]) >= 1 for o in out)
+
+    _with_app(served, go)
