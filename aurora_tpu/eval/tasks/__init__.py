@@ -1,0 +1,3 @@
+"""Built-in task definitions. Importing this package registers them."""
+
+from aurora_tpu.eval.tasks import vdc  # noqa: F401
