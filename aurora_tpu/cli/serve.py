@@ -30,6 +30,14 @@ def main():
                    choices=["lpm", "fcfs", "lof", "random"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--aurora", action="store_true",
+                   help="model_path is an xtuner-format AuroraCap dir; "
+                        "enable multimodal /generate "
+                        "(launch_server_auroracap parity)")
+    p.add_argument("--token-kept-ratio", type=float, default=0.1,
+                   help="ToMe ratio for serving "
+                        "(launch_server_auroracap.py:18 tome_ratio)")
+    p.add_argument("--image-size", type=int, default=378)
     args = p.parse_args()
 
     import os
@@ -44,10 +52,20 @@ def main():
     from aurora_tpu.serve.scheduler import SchedulePolicy
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
-    cfg = llama_config_from_hf(_read_config(args.model_path))
-    params = llama_params_from_hf(
-        load_torch_state_dict(args.model_path), cfg, dtype)
-    tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+    mm = None
+    if args.aurora:
+        from aurora_tpu.cli.infer import load_model
+        from aurora_tpu.serve.multimodal import AuroraCapServing
+        aparams, acfg, tokenizer = load_model(args.model_path, dtype)
+        params, cfg = aparams["llm"], acfg.llm
+        mm = AuroraCapServing(aparams, acfg, tokenizer,
+                              kept_ratio=args.token_kept_ratio,
+                              image_size=args.image_size)
+    else:
+        cfg = llama_config_from_hf(_read_config(args.model_path))
+        params = llama_params_from_hf(
+            load_torch_state_dict(args.model_path), cfg, dtype)
+        tokenizer = AutoTokenizer.from_pretrained(args.model_path)
 
     num_slots = args.num_slots
     if num_slots <= 0:
@@ -59,7 +77,7 @@ def main():
                         policy=SchedulePolicy(args.schedule_policy),
                         kv_dtype=dtype)
     launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
-                  engine_cfg=ecfg)
+                  engine_cfg=ecfg, mm=mm)
 
 
 if __name__ == "__main__":

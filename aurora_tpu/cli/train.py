@@ -1,0 +1,163 @@
+"""Training CLI — the `xtuner train` equivalent.
+
+Parity: src/xtuner/xtuner/tools/train.py:127-356 (config-driven training
+with stage curriculum, checkpoint/resume, throughput logging) without the
+mmengine Runner: stages are dataclass configs
+(aurora_tpu.train.configs), the loop is explicit, distribution is the
+('dp','fsdp','sp','tp') mesh.
+
+  python -m aurora_tpu.cli.train --stage pretrain \
+      --model_path <xtuner dir or 'random:tiny'> \
+      --data data.json --image_folder imgs/ \
+      --work_dir runs/exp1 --max_steps 100 --mesh dp=1,fsdp=1
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_mesh(spec: str):
+    from aurora_tpu.parallel.mesh import MeshConfig
+    kw = {}
+    for kv in spec.split(","):
+        if kv:
+            k, v = kv.split("=")
+            kw[k] = int(v)
+    return MeshConfig(**kw)
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--stage", default="pretrain",
+                   choices=["pretrain", "vision", "language"])
+    p.add_argument("--model_path", required=True,
+                   help="xtuner-format dir, or 'random:tiny' for smoke")
+    p.add_argument("--data", required=True, help="llava-format json/jsonl")
+    p.add_argument("--image_folder", default="")
+    p.add_argument("--work_dir", default="work_dir")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--max_length", type=int, default=None)
+    p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--mesh", default="", help="e.g. dp=2,fsdp=2,sp=1,tp=2")
+    p.add_argument("--checkpoint_interval", type=int, default=500)
+    p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--float32", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args()
+
+    from aurora_tpu.data.collate import default_collate_fn
+    from aurora_tpu.data.dataset import AuroraDataset, aurora_map_fn
+    from aurora_tpu.data.sampler import LengthGroupedSampler, batched
+    from aurora_tpu.parallel.mesh import (aurora_param_specs, create_mesh,
+                                          shard_pytree)
+    from aurora_tpu.train import configs as stage_configs
+    from aurora_tpu.train.checkpoint import (latest_step,
+                                             restore_checkpoint,
+                                             save_checkpoint)
+    from aurora_tpu.train.metrics import Throughput
+    from aurora_tpu.train.trainer import (init_train_state, make_optimizer,
+                                          make_train_step)
+    from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+
+    stage = {"pretrain": stage_configs.pretrain_stage,
+             "vision": stage_configs.vision_stage,
+             "language": stage_configs.language_stage}[args.stage]()
+    if args.max_steps:
+        stage = dataclasses.replace(
+            stage, train=dataclasses.replace(stage.train,
+                                             max_steps=args.max_steps))
+    batch_size = args.batch_size or stage.batch_size
+    image_size = args.image_size or stage.image_size
+    max_length = args.max_length or stage.max_length
+
+    # ---- model (xtuner-format dir; tests build tiny dirs via
+    # tests/utils.py:make_tiny_xtuner_dir)
+    from aurora_tpu.cli.infer import load_model
+    dtype = jnp.float32 if args.float32 else jnp.bfloat16
+    params, acfg, tokenizer = load_model(args.model_path, dtype=dtype)
+    acfg = dataclasses.replace(acfg, slowfast=stage.slowfast)
+
+    # ---- mesh + sharding
+    if args.mesh:
+        mesh = create_mesh(parse_mesh(args.mesh))
+        params = shard_pytree(params, aurora_param_specs(params), mesh)
+
+    # ---- data
+    ds = AuroraDataset(args.data, tokenizer,
+                       image_folder=args.image_folder,
+                       map_fn=aurora_map_fn,
+                       template=PROMPT_TEMPLATE.vicuna,
+                       max_length=max_length, image_size=image_size)
+    sampler = LengthGroupedSampler(ds.modality_length(), batch_size,
+                                   seed=args.seed)
+
+    # ---- state
+    tcfg = stage.train
+    opt = make_optimizer(params, tcfg)
+    state = init_train_state(params, tcfg)
+    ckpt_dir = os.path.join(args.work_dir, "checkpoints")
+    start = 0
+    if args.resume and latest_step(ckpt_dir) is not None:
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+        state = restore_checkpoint(ckpt_dir, abstract)
+        start = int(jax.device_get(state.step))
+        print(f"resumed from step {start}")
+
+    step_fn = jax.jit(make_train_step(acfg, tcfg, opt))
+    thr = Throughput(acfg.llm.hidden_size, acfg.llm.num_hidden_layers,
+                     acfg.llm.vocab_size,
+                     num_devices=jax.device_count(),
+                     intermediate=acfg.llm.intermediate_size)
+
+    os.makedirs(args.work_dir, exist_ok=True)
+    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+    it = iter(batched(iter(sampler), batch_size))
+    for step_i in range(start, tcfg.max_steps):
+        try:
+            idxs = next(it)
+        except StopIteration:
+            it = iter(batched(iter(sampler), batch_size))
+            idxs = next(it)
+        thr.data_tick()
+        samples = [ds[i] for i in idxs]
+        # bucket the pad length so XLA compiles a handful of shapes, not
+        # one per batch
+        longest = max(len(s["input_ids"]) for s in samples)
+        bucket = min(max_length, ((longest + 63) // 64) * 64)
+        batch_np = default_collate_fn(samples, max_length=bucket)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        state, metrics = step_fn(state, batch)
+        if (step_i + 1) % args.log_interval == 0 or step_i == start:
+            loss = float(jax.device_get(metrics["loss"]))
+            ntok = int(jax.device_get(metrics["ntokens"]))
+            m = thr.step(ntok * args.log_interval,
+                         batch["input_ids"].shape[1], step_i + 1,
+                         tcfg.max_steps)
+            rec = {"step": step_i + 1, "loss": round(loss, 4),
+                   "grad_norm": round(float(jax.device_get(
+                       metrics["grad_norm"])), 4),
+                   "lr": float(jax.device_get(metrics["lr"])),
+                   "tgs": round(m["tgs"], 1),
+                   "tflops": round(m["tflops"], 2),
+                   "eta_s": int(m["eta_s"])}
+            print(json.dumps(rec))
+            with open(log_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+        if (step_i + 1) % args.checkpoint_interval == 0:
+            save_checkpoint(ckpt_dir, state, step_i + 1)
+    save_checkpoint(ckpt_dir, state, tcfg.max_steps)
+    print(f"done; checkpoints at {ckpt_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -35,9 +35,10 @@ from aurora_tpu.utils.templates import PROMPT_TEMPLATE
 class ServingLoop:
     """Bridges the asyncio API front end and the synchronous engine."""
 
-    def __init__(self, engine: ServeEngine, tokenizer):
+    def __init__(self, engine: ServeEngine, tokenizer, mm=None):
         self.engine = engine
         self.tokenizer = tokenizer
+        self.mm = mm  # AuroraCapServing for multimodal deployments
         self._events: Dict[str, asyncio.Queue] = {}
         self._task: Optional[asyncio.Task] = None
 
@@ -128,11 +129,15 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
 
     async def h_generate(request):
         body = await request.json()
-        if "input_ids" in body:
-            ids = body["input_ids"]
+        if loop_.mm is not None and ("video_path" in body
+                                     or "frames_b64" in body):
+            req = _multimodal_request(body)
+        elif "input_ids" in body:
+            req = make_request(body["input_ids"], body,
+                               stream=bool(body.get("stream")))
         else:
             ids = loop_.tokenizer.encode(body["text"])
-        req = make_request(ids, body, stream=bool(body.get("stream")))
+            req = make_request(ids, body, stream=bool(body.get("stream")))
         if not req.stream:
             done = await run_request(req)
             return web.json_response({
@@ -219,6 +224,37 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
                       "completion_tokens": len(done.output_ids),
                       "total_tokens": done.seq_len}})
 
+    def _multimodal_request(body):
+        """AuroraCap video captioning request (launch_server_auroracap
+        deployment parity): video loaded host-side, prompt built from the
+        reference template, placeholder ids keep the radix cache hot."""
+        import base64
+        import numpy as np
+        from aurora_tpu.data.preprocess import clip_preprocess
+        from aurora_tpu.data.text import build_video_prompt
+        from aurora_tpu.data.video import read_video
+        from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+
+        if "video_path" in body:
+            raw = read_video(body["video_path"],
+                             int(body.get("num_frames", 8)))
+        else:
+            frames = [np.frombuffer(base64.b64decode(b), np.uint8)
+                      for b in body["frames_b64"]]
+            shape = body["frame_shape"]
+            raw = np.stack([f.reshape(shape) for f in frames])
+        size = int(body.get("image_size", loop_.mm.image_size))
+        px = clip_preprocess(list(raw), size=size, crop=size)
+        prompt_text = build_video_prompt(
+            body.get("text", "Describe the video in detail."),
+            px.shape[0], PROMPT_TEMPLATE.vicuna)
+        req = loop_.mm.build_request(
+            body.get("rid", uuid.uuid4().hex), prompt_text, px,
+            sampling=_sampling_from(body),
+            max_new_tokens=int(body.get("max_new_tokens", 1024)),
+            eos_ids=eos_default, stream=bool(body.get("stream")))
+        return req
+
     async def h_health(request):
         return web.json_response({"status": "ok"})
 
@@ -243,13 +279,16 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
 
 
 def launch_server(params, cfg, tokenizer, *, host="0.0.0.0",
-                  port=30000, engine_cfg=None, model_name="auroracap"):
-    """Blocking server entry (launch_server parity, srt/server.py:282)."""
+                  port=30000, engine_cfg=None, model_name="auroracap",
+                  mm=None):
+    """Blocking server entry (launch_server parity, srt/server.py:282).
+    Pass mm=AuroraCapServing(...) for multimodal deployments."""
     from aiohttp import web
     from aurora_tpu.serve.engine import EngineConfig
 
-    engine = ServeEngine(params, cfg, engine_cfg or EngineConfig())
-    loop_ = ServingLoop(engine, tokenizer)
+    engine = ServeEngine(params, cfg, engine_cfg or EngineConfig(),
+                         embed_fn=mm.embed_fn if mm else None)
+    loop_ = ServingLoop(engine, tokenizer, mm=mm)
     app = build_app(loop_, model_name)
 
     async def on_startup(app):

@@ -23,33 +23,37 @@ import numpy as np
 
 
 def _timed_chain(encode_step, px, iters):
-    """Chain data-dependent dispatches OUTSIDE jit (one compiled program),
-    sync once with device_get; per-iter = (t_N − t_1)/(N − 1) cancels the
-    RPC constant."""
+    """The TPU tunnel in this environment has tens-of-seconds per-RPC
+    latency and a no-op block_until_ready, so the iteration loop lives
+    INSIDE one compiled program (lax.fori_loop with a traced trip count —
+    one compile serves every n) and timing uses a single device_get per
+    measurement: per-iter = (t_N − t_1)/(N − 1) cancels the RPC constant."""
+    import sys
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def step(px):
-        out = encode_step(px)
-        acc = jnp.sum(out.astype(jnp.float32))
-        # real data dependency, negligible value change
-        return px + (acc * 1e-30).astype(px.dtype), acc
+    step = jax.jit(lambda x: jnp.sum(encode_step(x).astype(jnp.float32)))
 
     def run(n):
-        x = px
+        """Queue n independent execs; the device stream is in-order, so
+        fetching the last output drains the whole queue."""
         for _ in range(n):
-            x, acc = step(x)
-        return float(jax.device_get(acc))
+            out = step(px)
+        return float(jax.device_get(out))
 
+    t0 = time.perf_counter()
     run(2)  # compile + warm
+    print(f"[bench] compile+warm {time.perf_counter()-t0:.1f}s",
+          file=sys.stderr)
 
     t0 = time.perf_counter()
     run(1)
     t1 = time.perf_counter() - t0
+    print(f"[bench] n=1 {t1:.1f}s", file=sys.stderr)
     t0 = time.perf_counter()
     run(iters + 1)
     tN = time.perf_counter() - t0
+    print(f"[bench] n={iters + 1} {tN:.1f}s", file=sys.stderr)
     return max(tN - t1, 1e-9) / iters
 
 
@@ -78,8 +82,7 @@ def main():
                            select_layer=-2)
         return apply_projector(pj, feats, pj_cfg)
 
-    n_tokens = None
-    dt = _timed_chain(encode_step, px, iters=20)
+    dt = _timed_chain(encode_step, px, iters=200)
 
     videos_per_s = 1.0 / dt
     print(json.dumps({

@@ -1,0 +1,114 @@
+"""Train/preprocess/convert CLI smoke tests on a tiny xtuner dir."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from utils import make_tiny_xtuner_dir  # noqa: E402
+
+ENV = {**os.environ, "PYTHONPATH": "/root/repo",
+       "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+       "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+
+
+def _run(args, timeout=420):
+    r = subprocess.run([sys.executable, "-m"] + args, env=ENV,
+                       capture_output=True, text=True, timeout=timeout)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    return r
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory, rng=None):
+    import numpy as np
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    base = tmp_path_factory.mktemp("train")
+    root, *_ = make_tiny_xtuner_dir(base / "model")
+    img_dir = base / "imgs"
+    os.makedirs(img_dir)
+    records = []
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (56, 56, 3), dtype=np.uint8)
+                        .astype(np.uint8)).save(img_dir / f"{i}.png")
+        records.append({"image": f"{i}.png", "conversations": [
+            {"from": "human", "value": "<image> describe"},
+            {"from": "gpt", "value": f"caption {i} text"}]})
+    data = base / "data.json"
+    with open(data, "w") as f:
+        json.dump(records, f)
+    return base, root, str(data), str(img_dir)
+
+
+def test_train_cli_runs_and_checkpoints(workdir):
+    base, root, data, imgs = workdir
+    wd = str(base / "run1")
+    r = _run(["aurora_tpu.cli.train", "--stage", "pretrain",
+              "--model_path", root, "--data", data,
+              "--image_folder", imgs, "--work_dir", wd,
+              "--max_steps", "4", "--batch_size", "2",
+              "--image_size", "56", "--max_length", "128",
+              "--checkpoint_interval", "2", "--log_interval", "2",
+              "--float32"])
+    assert os.path.exists(os.path.join(wd, "train_log.jsonl"))
+    with open(os.path.join(wd, "train_log.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    assert recs[-1]["step"] == 4
+    assert np.isfinite(recs[-1]["loss"])
+    assert os.path.isdir(os.path.join(wd, "checkpoints"))
+
+    # resume continues from step 4
+    r = _run(["aurora_tpu.cli.train", "--stage", "pretrain",
+              "--model_path", root, "--data", data,
+              "--image_folder", imgs, "--work_dir", wd,
+              "--max_steps", "6", "--batch_size", "2",
+              "--image_size", "56", "--max_length", "128",
+              "--checkpoint_interval", "10", "--log_interval", "2",
+              "--float32", "--resume"])
+    assert "resumed from step 4" in r.stdout
+
+
+def test_train_cli_multichip_mesh(workdir):
+    base, root, data, imgs = workdir
+    wd = str(base / "run_mesh")
+    _run(["aurora_tpu.cli.train", "--stage", "pretrain",
+          "--model_path", root, "--data", data,
+          "--image_folder", imgs, "--work_dir", wd,
+          "--max_steps", "2", "--batch_size", "2",
+          "--image_size", "56", "--max_length", "128",
+          "--mesh", "dp=2,fsdp=2,tp=2",
+          "--checkpoint_interval", "10", "--log_interval", "1",
+          "--float32"])
+    with open(os.path.join(wd, "train_log.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    assert np.isfinite(recs[-1]["loss"])
+
+
+def test_preprocess_cli(workdir):
+    base, root, data, imgs = workdir
+    out = str(base / "tok")
+    _run(["aurora_tpu.cli.preprocess", "--data", data, "--out", out,
+          "--tokenizer", root, "--max_length", "128"])
+    import datasets
+    ds = datasets.load_from_disk(out)
+    assert len(ds) == 6
+    assert "input_ids" in ds[0]
+
+
+def test_convert_cli_xtuner_roundtrip(workdir):
+    base, root, data, imgs = workdir
+    dst = str(base / "converted")
+    _run(["aurora_tpu.cli.convert", "--src", root, "--dst", dst,
+          "--format", "xtuner"])
+    assert os.path.exists(os.path.join(dst, "model.safetensors"))
+    assert os.path.exists(os.path.join(dst, "visual_encoder",
+                                       "model.safetensors"))
+
+
+def test_top_level_dispatcher():
+    r = _run(["aurora_tpu", "--help"], timeout=60)
+    assert "modes:" in r.stdout

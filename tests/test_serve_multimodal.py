@@ -1,0 +1,131 @@
+"""Multimodal serving: engine-vs-offline caption parity, placeholder-id
+radix reuse across identical clips, HTTP video endpoint."""
+
+import asyncio
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aurora_tpu.cli.infer import caption, load_model
+from aurora_tpu.data.preprocess import clip_preprocess
+from aurora_tpu.data.text import build_video_prompt
+from aurora_tpu.generate.sampler import SamplingParams
+from aurora_tpu.serve.engine import EngineConfig, ServeEngine
+from aurora_tpu.serve.multimodal import AuroraCapServing, frame_hash_ids
+from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+
+from utils import make_tiny_xtuner_dir, random_frames  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def mm_setup(tmp_path_factory):
+    root, *_ = make_tiny_xtuner_dir(tmp_path_factory.mktemp("mm"))
+    params, cfg, tokenizer = load_model(root, dtype=jnp.float32)
+    mm = AuroraCapServing(params, cfg, tokenizer, kept_ratio=0.5,
+                          image_size=56)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=128, num_slots=1024,
+                        prefill_buckets=(64, 96), kv_dtype=jnp.float32)
+    engine = ServeEngine(params["llm"], cfg.llm, ecfg,
+                         embed_fn=mm.embed_fn)
+    return root, params, cfg, tokenizer, mm, engine
+
+
+def _drain(engine, reqs):
+    for r in reqs:
+        engine.add_request(r)
+    done = []
+    for _ in range(300):
+        done += engine.step()
+        if not engine.has_work():
+            break
+    return {r.rid: r for r in done}
+
+
+def test_frame_hash_ids_deterministic(rng):
+    px = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    a = frame_hash_ids(px, 5)
+    b = frame_hash_ids(px, 5)
+    assert a == b
+    c = frame_hash_ids(px + 1, 5)
+    assert a != c
+
+
+def test_multimodal_engine_matches_offline_caption(mm_setup, rng):
+    root, params, cfg, tokenizer, mm, engine = mm_setup
+    frames = random_frames(rng, f=2, size=56)
+    px = clip_preprocess(list(frames), size=56, crop=56)
+    prompt = "What happens?"
+
+    want = caption(params, cfg, tokenizer, pixel_values=px, prompt=prompt,
+                   token_kept_ratio=0.5, max_new_tokens=6, image_size=56)
+
+    prompt_text = build_video_prompt(prompt, px.shape[0],
+                                     PROMPT_TEMPLATE.vicuna)
+    req = mm.build_request("v1", prompt_text, px,
+                           sampling=SamplingParams(temperature=0.0),
+                           max_new_tokens=6,
+                           eos_ids=(tokenizer.eos_token_id,))
+    done = _drain(engine, [req])
+    got = tokenizer.decode(
+        [t for t in done["v1"].output_ids
+         if t != tokenizer.eos_token_id], skip_special_tokens=True)
+    assert got == want
+
+
+def test_identical_clip_hits_radix_cache(mm_setup, rng):
+    root, params, cfg, tokenizer, mm, engine = mm_setup
+    frames = random_frames(rng, f=2, size=56)
+    px = clip_preprocess(list(frames), size=56, crop=56)
+    prompt_text = build_video_prompt("Describe.", px.shape[0],
+                                     PROMPT_TEMPLATE.vicuna)
+
+    r1 = mm.build_request("a", prompt_text, px, max_new_tokens=4,
+                          eos_ids=(tokenizer.eos_token_id,))
+    d1 = _drain(engine, [r1])
+    r2 = mm.build_request("b", prompt_text, px, max_new_tokens=4,
+                          eos_ids=(tokenizer.eos_token_id,))
+    d2 = _drain(engine, [r2])
+    # same clip + prompt → long placeholder prefix must hit the cache
+    assert d2["b"].prefix_slots is not None
+    assert len(d2["b"].prefix_slots) >= mm.n_visual_tokens()
+    assert d2["b"].output_ids == d1["a"].output_ids
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_http_video_endpoint(mm_setup, tmp_path, rng):
+    from aiohttp.test_utils import TestClient, TestServer
+    from aurora_tpu.serve.api import ServingLoop, build_app
+    root, params, cfg, tokenizer, mm, _ = mm_setup
+
+    vid = tmp_path / "clip.npy"
+    np.save(vid, rng.integers(0, 255, (5, 64, 64, 3)).astype(np.uint8))
+
+    async def run():
+        ecfg = EngineConfig(max_batch=2, max_seq_len=128, num_slots=1024,
+                            prefill_buckets=(64, 96),
+                            kv_dtype=jnp.float32)
+        engine = ServeEngine(params["llm"], cfg.llm, ecfg,
+                             embed_fn=mm.embed_fn)
+        loop_ = ServingLoop(engine, tokenizer, mm=mm)
+        await loop_.start()
+        app = build_app(loop_, "auroracap-tiny")
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/generate", json={
+                "video_path": str(vid), "text": "Describe the video.",
+                "num_frames": 2, "image_size": 56,
+                "max_new_tokens": 4})
+            assert r.status == 200, await r.text()
+            body = await r.json()
+            assert isinstance(body["text"], str)
+            assert body["meta_info"]["completion_tokens"] >= 1
+        finally:
+            await client.close()
+            loop_._task.cancel()
+
+    asyncio.run(run())
