@@ -40,6 +40,19 @@ from aurora_tpu.serve.scheduler import (FinishReason, Request, Scheduler,
 Params = Dict[str, Any]
 
 
+def _make_radix(free_slots):
+    """Prefer the C++ radix tree (aurora_tpu/native) unless disabled via
+    AURORA_NATIVE_RADIX=0; fall back to the pure-Python twin."""
+    import os
+    if os.environ.get("AURORA_NATIVE_RADIX", "1") != "0":
+        try:
+            from aurora_tpu.native import NativeRadixCache
+            return NativeRadixCache(free_slots=free_slots)
+        except Exception:
+            pass
+    return RadixCache(free_slots=free_slots)
+
+
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     max_batch: int = 8
@@ -191,7 +204,7 @@ class ServeEngine:
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype)
         # last slot is a write-trash target for padded lanes, never allocated
         self.alloc = SlotAllocator(ecfg.num_slots - 1)
-        self.radix = RadixCache(free_slots=self.alloc.free)
+        self.radix = _make_radix(self.alloc.free)
         self.sched = Scheduler(ecfg.max_batch, ecfg.num_slots,
                                ecfg.policy, self.radix)
         self.embed_fn = embed_fn  # multimodal hook: req → [T, D] embeds
