@@ -221,7 +221,8 @@ def aurora_forward(params: Params, cfg: AuroraConfig,
                    labels: Optional[jnp.ndarray] = None,
                    kept_ratio: float = 1.0,
                    mode: str = "loss",
-                   remat: bool = False):
+                   remat: bool = False,
+                   sp_attn=None):
     """mode: 'loss' → (scalar loss, ntokens); 'tensor' → logits;
     'inference' → fused-input dict for the generation engine."""
     if pixel_values is not None:
@@ -248,7 +249,7 @@ def aurora_forward(params: Params, cfg: AuroraConfig,
     logits, _ = llama_apply(
         params["llm"], cfg.llm, inputs_embeds=fused["inputs_embeds"],
         attention_mask=fused["attention_mask"],
-        position_ids=fused["position_ids"], remat=remat)
+        position_ids=fused["position_ids"], remat=remat, sp_attn=sp_attn)
     if mode in ("tensor", "predict"):
         return logits
     if mode == "loss":

@@ -105,7 +105,8 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 
 def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
-           attention_mask, segment_ids, cache_len, use_flash):
+           attention_mask, segment_ids, cache_len, use_flash,
+           sp_attn=None):
     """One decoder layer. cache_k/v: [B, S, Hkv, hd] or None."""
     B, T, D = x.shape
     hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
@@ -135,10 +136,17 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     if attention_mask is not None:
         mask = attention_mask[:, None, None, :]  # [B,1,1,S] key-side
 
-    attn = mha(q, k_all, v_all, causal=True, mask=mask,
-               q_segment_ids=segment_ids,
-               kv_segment_ids=segment_ids, q_offset=q_offset,
-               use_flash=use_flash)
+    if sp_attn is not None and cache_k is None:
+        # explicit sequence-parallel attention (ulysses/ring/hybrid),
+        # training path only. Right padding needs no key mask under
+        # causality (pad keys sit after every valid query); packed
+        # segments are forwarded for the ulysses backend.
+        attn = sp_attn(q, k_all, v_all, segment_ids)
+    else:
+        attn = mha(q, k_all, v_all, causal=True, mask=mask,
+                   q_segment_ids=segment_ids,
+                   kv_segment_ids=segment_ids, q_offset=q_offset,
+                   use_flash=use_flash)
     attn = jnp.dot(attn.reshape(B, T, hq * hd), lp["o"],
                    preferred_element_type=jnp.float32).astype(x.dtype)
     x = x + attn
@@ -163,6 +171,7 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
                 cache_len=0,
                 remat: bool = False,
                 use_flash: Optional[bool] = None,
+                sp_attn=None,
                 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Forward pass → (logits [B,T,V] fp32, updated kv_cache or None).
 
@@ -188,7 +197,7 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
         else:
             lp, ck, cv = xs, None, None
         h, ck, cv = _layer(cfg, h, lp, ck, cv, cos, sin, attention_mask,
-                           segment_ids, cache_len, use_flash)
+                           segment_ids, cache_len, use_flash, sp_attn)
         return h, (ck, cv) if kv_cache is not None else None
 
     body = jax.checkpoint(scan_fn) if remat else scan_fn

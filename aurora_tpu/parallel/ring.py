@@ -55,11 +55,20 @@ def _merge(acc, m_acc, l_acc, out, m, l):
     return acc_new, m_new, l_new
 
 
+def _match_kv_heads(q, k, v):
+    h, hkv = q.shape[2], k.shape[2]
+    if hkv != h:
+        k = jnp.repeat(k, h // hkv, axis=2)
+        v = jnp.repeat(v, h // hkv, axis=2)
+    return k, v
+
+
 def ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
                          layout: str = "contiguous",
                          scale: Optional[float] = None):
     """Per-device ring loop. q,k,v local [B, Tl, H, D]."""
     sp = jax.lax.axis_size(axis_name)
+    k, v = _match_kv_heads(q, k, v)
     rank = jax.lax.axis_index(axis_name)
     B, Tl, H, D = q.shape
     if scale is None:
@@ -103,15 +112,17 @@ def ring_attention_local(q, k, v, *, axis_name: str, causal: bool,
 
 
 def ring_mha(q, k, v, mesh: Mesh, *, axis_name: str = "sp",
-             causal: bool = True, layout: str = "contiguous", scale=None):
+             causal: bool = True, layout: str = "contiguous", scale=None,
+             batch_axes=None, head_axis=None):
     """Ring attention over GLOBAL [B, T, H, D] arrays, T sharded on
     `axis_name`. For causal work-balance pre-reorder the sequence with
-    `zigzag_split` and pass layout='zigzag'."""
+    `zigzag_split` and pass layout='zigzag'. batch_axes/head_axis make
+    those dims manual for composition with sharded programs."""
     def body(q, k, v):
         return ring_attention_local(q, k, v, axis_name=axis_name,
                                     causal=causal, layout=layout,
                                     scale=scale)
-    spec = P(None, axis_name, None, None)
+    spec = P(batch_axes, axis_name, head_axis, None)
     return jax.shard_map(body, mesh=mesh, in_specs=(spec, spec, spec),
                          out_specs=spec, check_vma=False)(q, k, v)
 

@@ -39,6 +39,19 @@ def _a2a(x, axis_name, split_axis, concat_axis):
                               concat_axis=concat_axis, tiled=True)
 
 
+
+
+def _match_kv_heads(q, k, v):
+    """GQA: repeat KV heads up to the query head count before the
+    collectives (the a2a/ring math assumes equal head counts)."""
+    h, hkv = q.shape[2], k.shape[2]
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    return k, v
+
+
 def _inner_groups(sp: int, insp: int):
     return [[g * insp + j for j in range(insp)] for g in range(sp // insp)]
 
@@ -65,6 +78,7 @@ def ulysses_attention_local(q, k, v, *, axis_name: str, causal: bool,
                             scale: Optional[float] = None):
     """Per-device body under shard_map. q,k,v: [B, T_local, H, D]."""
     sp = jax.lax.axis_size(axis_name)
+    k, v = _match_kv_heads(q, k, v)
     B, Tl, H, D = q.shape
     insp = sp // math.gcd(H, sp)
     if insp > 1:
@@ -110,13 +124,16 @@ def ulysses_attention_local(q, k, v, *, axis_name: str, causal: bool,
 
 def ulysses_mha(q, k, v, mesh: Mesh, *, axis_name: str = "sp",
                 causal: bool = True, q_segment_ids=None,
-                kv_segment_ids=None, scale=None):
+                kv_segment_ids=None, scale=None,
+                batch_axes=None, head_axis=None):
     """Sequence-parallel attention over GLOBAL [B, T, H, D] arrays with T
-    laid out on `axis_name`. Other mesh axes stay 'auto' so this composes
-    with the surrounding pjit-GSPMD program."""
+    laid out on `axis_name`. Pass batch_axes (e.g. ('dp','fsdp')) and
+    head_axis (e.g. 'tp') to compose with a sharded training program —
+    those axes become manual too and the body sees local shards."""
     seg_specs, seg_args = (), ()
+    bspec = P(batch_axes) if batch_axes else None
     if q_segment_ids is not None:
-        seg_specs = (P(None, axis_name), P(None, axis_name))
+        seg_specs = (P(bspec[0] if batch_axes else None, axis_name),) * 2
         seg_args = (q_segment_ids, kv_segment_ids)
 
     def body(q, k, v, *segs):
@@ -126,7 +143,7 @@ def ulysses_mha(q, k, v, mesh: Mesh, *, axis_name: str = "sp",
         return ulysses_attention_local(q, k, v, axis_name=axis_name,
                                        causal=causal, scale=scale, **kw)
 
-    spec = P(None, axis_name, None, None)
+    spec = P(batch_axes, axis_name, head_axis, None)
     return jax.shard_map(body, mesh=mesh,
                          in_specs=(spec, spec, spec) + seg_specs,
                          out_specs=spec,

@@ -172,6 +172,19 @@ def _decode_step(params, tokens, pk, pv, slot_table, write_slots,
     return logits[:, 0], pk, pv
 
 
+def _decode_buckets(max_seq_len: int):
+    """KV gather widths: power-of-two steps from 256 up to max_seq_len.
+    Short sequences read a fraction of the slot table — the TPU analog of
+    paged attention's read-only-what-exists property."""
+    out = []
+    b = 256
+    while b < max_seq_len:
+        out.append(b)
+        b *= 2
+    out.append(max_seq_len)
+    return out
+
+
 @jax.jit
 def _sample_dynamic(logits, temps, top_ps, key):
     """Per-row temperature / top-p; temp == 0 → greedy. logits [B, V]."""
@@ -357,10 +370,15 @@ class ServeEngine:
         if not rows:
             return
 
+        # bucket the gather width to the longest active sequence
+        need = int(max(self.seq_lens[r.batch_row] for r in rows))
+        S_b = next(b for b in _decode_buckets(S) if b >= min(need, S))
         logits, self.pool.k, self.pool.v = _decode_step(
             self.params, jnp.asarray(tokens), self.pool.k, self.pool.v,
-            jnp.asarray(self.slot_table), jnp.asarray(write_slots),
-            jnp.asarray(kv_mask), jnp.asarray(positions), self.cfg)
+            jnp.asarray(self.slot_table[:, :S_b]),
+            jnp.asarray(write_slots),
+            jnp.asarray(kv_mask[:, :S_b]), jnp.asarray(positions),
+            self.cfg)
         self._rng, key = jax.random.split(self._rng)
         sampled = np.asarray(jax.device_get(_sample_dynamic(
             logits, jnp.asarray(temps), jnp.asarray(top_ps), key)))

@@ -45,6 +45,10 @@ class TrainConfig:
     freeze_projector: bool = False
     kept_ratio: float = 1.0
     remat: bool = True
+    # explicit SP attention for the LLM: None | 'ulysses' | 'ring' |
+    # 'hybrid' (requires a mesh passed to make_train_step)
+    sp_mode: Optional[str] = None
+    hybrid_ulysses: int = 1
 
 
 @dataclasses.dataclass
@@ -92,7 +96,42 @@ def init_train_state(params: Params, cfg: TrainConfig) -> TrainState:
                       step=jnp.zeros((), jnp.int32))
 
 
-def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None):
+def _build_sp_attn(tcfg: TrainConfig, mesh):
+    """Ulysses/ring/hybrid attention bound to the mesh ('sp' axis manual,
+    batch on (dp,fsdp), heads on tp) — the reference's
+    @sequence_parallel_wrapper splice (dispatch/attention.py:14-97)."""
+    if tcfg.sp_mode is None or mesh is None:
+        return None
+    import functools
+    from aurora_tpu.parallel.hybrid import hybrid_mha
+    from aurora_tpu.parallel.ring import ring_mha
+    from aurora_tpu.parallel.ulysses import ulysses_mha
+    kw = dict(axis_name="sp", causal=True, batch_axes=("dp", "fsdp"),
+              head_axis="tp")
+
+    if tcfg.sp_mode == "ulysses":
+        def sp_attn(q, k, v, segment_ids=None):
+            return ulysses_mha(q, k, v, mesh, q_segment_ids=segment_ids,
+                               kv_segment_ids=segment_ids, **kw)
+        return sp_attn
+    if tcfg.sp_mode in ("ring", "hybrid"):
+        fn = (functools.partial(hybrid_mha,
+                                ulysses=tcfg.hybrid_ulysses)
+              if tcfg.sp_mode == "hybrid" else ring_mha)
+
+        def sp_attn(q, k, v, segment_ids=None):
+            if segment_ids is not None:
+                raise NotImplementedError(
+                    "varlen packing under ring/hybrid SP is not wired "
+                    "yet (zigzag varlen, SURVEY §7 hard part 4); use "
+                    "sp_mode='ulysses' for packed batches")
+            return fn(q, k, v, mesh, **kw)
+        return sp_attn
+    raise ValueError(f"unknown sp_mode {tcfg.sp_mode!r}")
+
+
+def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None,
+                    mesh=None):
     """Returns (state, batch) → (state, metrics), jit-ready.
 
     batch: input_ids [B,T], labels [B,T], attention_mask [B,T],
@@ -101,13 +140,15 @@ def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None):
     via batch_sharding); GSPMD propagates through the step.
     """
 
+    sp_attn = _build_sp_attn(tcfg, mesh)
+
     def loss_fn(params, batch):
         loss, ntok = aurora_forward(
             params, acfg, batch["input_ids"],
             batch.get("pixel_values"),
             attention_mask=batch.get("attention_mask"),
             labels=batch["labels"], kept_ratio=tcfg.kept_ratio,
-            mode="loss", remat=tcfg.remat)
+            mode="loss", remat=tcfg.remat, sp_attn=sp_attn)
         return loss, ntok
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:

@@ -118,3 +118,33 @@ def test_ring_grads_match(devices, rng):
     for a, b in zip(g_rg, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=5e-5)
+
+
+@pytest.mark.parametrize("ulysses", [2, 4])
+@pytest.mark.parametrize("causal", [False, True])
+def test_hybrid_ulysses_ring_matches_reference(devices, rng, ulysses,
+                                               causal):
+    """LongContextAttention parity (yunchang hybrid/attn_layer.py)."""
+    from aurora_tpu.parallel.hybrid import hybrid_mha
+    mesh = _sp_mesh(devices, 8)
+    q, k, v = _qkv(rng, T=32, H=8)
+    want = mha_reference(q, k, v, causal=causal)
+    got = hybrid_mha(q, k, v, mesh, ulysses=ulysses, causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_hybrid_grads_match(devices, rng):
+    from aurora_tpu.parallel.hybrid import hybrid_mha
+    mesh = _sp_mesh(devices, 8)
+    q, k, v = _qkv(rng, T=16, H=8)
+
+    g_ref = jax.grad(lambda q, k, v: jnp.sum(
+        mha_reference(q, k, v, causal=True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    g_h = jax.grad(lambda q, k, v: jnp.sum(
+        hybrid_mha(q, k, v, mesh, ulysses=2, causal=True) ** 2),
+        argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_h, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-5, atol=5e-5)

@@ -96,3 +96,40 @@ def test_dryrun_multichip_8(devices):
     sys.path.insert(0, ".")
     import __graft_entry__ as g
     g.dryrun_multichip(8)
+
+
+def test_sp_modes_match_baseline(devices, rng):
+    """Explicit ulysses/ring/hybrid SP attention inside the full train
+    step reproduces the plain-attention loss on a dp×sp×tp mesh."""
+    import dataclasses
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from aurora_tpu.parallel.mesh import (MeshConfig, aurora_param_specs,
+                                          create_mesh, shard_pytree)
+
+    tcfg0 = TrainConfig(lr=1e-3, max_steps=10, kept_ratio=1.0,
+                        remat=False, warmup_ratio=0.0)
+    cfg, state0, step0 = _setup(tcfg0)
+    # fused length = T - 2 + 2*16 visual tokens = 48, divisible by sp=4
+    # (production pads via data.collate.pad_for_sequence_parallel)
+    batch = _batch(rng, B=2, T=18)
+    _, m0 = step0(state0, batch)
+    want = float(m0["loss"])
+
+    mesh = create_mesh(MeshConfig(dp=1, fsdp=1, sp=4, tp=2))
+    for mode, extra in (("ulysses", {}), ("ring", {}),
+                        ("hybrid", {"hybrid_ulysses": 2})):
+        tcfg = dataclasses.replace(tcfg0, sp_mode=mode, **extra)
+        cfg2, state, _ = _setup(tcfg)
+        params = shard_pytree(state.params,
+                              aurora_param_specs(state.params), mesh)
+        from aurora_tpu.train.trainer import (init_train_state,
+                                              make_optimizer,
+                                              make_train_step)
+        opt = make_optimizer(params, tcfg)
+        state = init_train_state(params, tcfg)
+        step = jax.jit(make_train_step(cfg2, tcfg, opt, mesh=mesh))
+        sb = {k: jax.device_put(v, NamedSharding(mesh, P()))
+              for k, v in batch.items()}
+        _, m = step(state, sb)
+        np.testing.assert_allclose(float(m["loss"]), want, rtol=1e-4,
+                                   err_msg=mode)
