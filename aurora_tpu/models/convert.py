@@ -114,6 +114,8 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
     linear = (scaling.get("factor")
               if scaling.get("type") == "linear" else None)
     return LlamaConfig(
+        qkv_bias=(cfg.get("model_type") == "qwen2"
+                  or cfg.get("attention_bias", False)),
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],
@@ -231,6 +233,10 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         },
         "final_norm": _j(sd["norm.weight"], dtype),
     }
+    if cfg.qkv_bias:
+        for name in ("q", "k", "v"):
+            p["layers"][f"{name}_bias"] = stack(
+                "layers.{}.self_attn." + name + "_proj.bias")
     if not cfg.tie_word_embeddings:
         p["lm_head"] = _j(sd["lm_head.weight"].T, dtype)
     return p

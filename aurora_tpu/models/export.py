@@ -59,6 +59,12 @@ def llama_state_dict(params: Dict[str, Any],
         for i in range(L):
             m = stacked[i]
             sd[f"model.layers.{i}.{theirs}"] = m.T if transpose else m
+    for name in ("q", "k", "v"):
+        if f"{name}_bias" in lp:
+            stacked = _np(lp[f"{name}_bias"])
+            for i in range(L):
+                sd[f"model.layers.{i}.self_attn.{name}_proj.bias"] = \
+                    stacked[i]
     return sd
 
 

@@ -48,10 +48,21 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rope_linear_scaling: Optional[float] = None
     tie_word_embeddings: bool = False
+    qkv_bias: bool = False   # Qwen2-family attention biases
 
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def qwen2_7b(cls) -> "LlamaConfig":
+        """Qwen2-7B-Instruct — same decoder family with qkv biases and
+        GQA (sglang model-zoo parity, srt/models/qwen2.py)."""
+        return cls(vocab_size=152064, hidden_size=3584,
+                   intermediate_size=18944, num_hidden_layers=28,
+                   num_attention_heads=28, num_key_value_heads=4,
+                   max_position_embeddings=32768, rms_norm_eps=1e-6,
+                   rope_theta=1e6, qkv_bias=True)
 
     @classmethod
     def vicuna_7b_v15_16k(cls) -> "LlamaConfig":
@@ -92,6 +103,10 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
         },
         "final_norm": jnp.ones((d,), dtype),
     }
+    if cfg.qkv_bias:
+        p["layers"]["q_bias"] = jnp.zeros((L, hq * hd), dtype)
+        p["layers"]["k_bias"] = jnp.zeros((L, hkv * hd), dtype)
+        p["layers"]["v_bias"] = jnp.zeros((L, hkv * hd), dtype)
     if not cfg.tie_word_embeddings:
         p["lm_head"] = w(ks[8], d, cfg.vocab_size)
     return p
@@ -114,11 +129,18 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
 
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
     q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32
-                ).astype(h.dtype).reshape(B, T, hq, hd)
+                ).astype(h.dtype)
     k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32
-                ).astype(h.dtype).reshape(B, T, hkv, hd)
+                ).astype(h.dtype)
     v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32
-                ).astype(h.dtype).reshape(B, T, hkv, hd)
+                ).astype(h.dtype)
+    if "q_bias" in lp:  # Qwen2 family
+        q = q + lp["q_bias"]
+        k = k + lp["k_bias"]
+        v = v + lp["v_bias"]
+    q = q.reshape(B, T, hq, hd)
+    k = k.reshape(B, T, hkv, hd)
+    v = v.reshape(B, T, hkv, hd)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_k is not None:

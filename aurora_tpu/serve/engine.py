@@ -70,11 +70,16 @@ class EngineConfig:
 def _qkv(cfg: LlamaConfig, lp, h):
     B, T, _ = h.shape
     q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32).astype(
-        h.dtype).reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+        h.dtype)
     k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32).astype(
-        h.dtype).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+        h.dtype)
     v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32).astype(
-        h.dtype).reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+        h.dtype)
+    if "q_bias" in lp:  # Qwen2 family
+        q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
+    q = q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
     return q, k, v
 
 

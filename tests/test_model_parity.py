@@ -203,3 +203,36 @@ def test_projector_matches_torch(rng):
         want = seq(torch.from_numpy(x)).numpy()
     got = np.asarray(apply_projector(params, jnp.asarray(x), cfg))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_qwen2_logits_and_greedy_match_hf(rng):
+    """Qwen2 family (qkv bias + GQA + tied embeddings) — sglang model-zoo
+    breadth (srt/models/qwen2.py)."""
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers import Qwen2ForCausalLM
+    torch.manual_seed(9)
+    hf_cfg = HFQwen2Config(
+        vocab_size=160, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, rms_norm_eps=1e-6, rope_theta=10000,
+        tie_word_embeddings=True, attn_implementation="eager")
+    hf = Qwen2ForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.qkv_bias and cfg.tie_word_embeddings
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    ids = rng.integers(0, 160, size=(2, 13))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-4)
+
+    prompt = ids[:1, :7]
+    with torch.no_grad():
+        want_gen = hf.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                               do_sample=False).numpy()[0, 7:]
+    from aurora_tpu.generate import generate
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray(prompt), axis=0)
+    res = generate(params, cfg, embeds, jnp.ones((1, 7), bool),
+                   max_new_tokens=8, eos_ids=(-1,))
+    np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_gen)
