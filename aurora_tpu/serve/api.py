@@ -100,11 +100,6 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         ecfg = loop_.engine.ecfg
         max_new = int(body.get("max_new_tokens", body.get("max_tokens",
                                                           128)))
-        if len(prompt_ids) > max(ecfg.prefill_buckets):
-            raise web.HTTPBadRequest(
-                text=json.dumps({"error": "prompt too long: "
-                                 f"{len(prompt_ids)} > "
-                                 f"{max(ecfg.prefill_buckets)}"}))
         if len(prompt_ids) + max_new > ecfg.max_seq_len:
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": "prompt+max_tokens exceeds "

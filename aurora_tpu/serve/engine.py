@@ -266,7 +266,7 @@ class ServeEngine:
         for b in self.ecfg.prefill_buckets:
             if n <= b:
                 return b
-        raise ValueError(f"prompt length {n} exceeds largest bucket")
+        return max(self.ecfg.prefill_buckets)  # chunked prefill
 
     def _admit(self) -> None:
         admitted = self.sched.get_prefill_batch(self.alloc.available())
@@ -307,7 +307,6 @@ class ServeEngine:
         req.slots = new_slots
         self.rows[row] = req
 
-        # padded views for the bucketed compiled program
         if self.embed_fn is not None and req.pixel_values is not None:
             embeds = self.embed_fn(req)  # [n_total, D], multimodal fused
             embeds = embeds[n_cached:]
@@ -316,26 +315,36 @@ class ServeEngine:
                 self.params["embed_tokens"],
                 jnp.asarray(ids[n_cached:]), axis=0)))
         D = embeds.shape[-1]
-        pad_embeds = np.zeros((1, bucket, D), embeds.dtype)
-        pad_embeds[0, :n_new] = embeds
-        # padded lanes write into the reserved trash slot (duplicate-index
-        # scatter winners are unspecified, so pads must never alias real
-        # slots)
-        wslots = np.full((1, bucket), self.ecfg.num_slots - 1, np.int32)
-        wslots[0, :n_new] = new_slots
-        positions = np.zeros((1, bucket), np.int32)
-        positions[0, :n_new] = n_cached + np.arange(n_new)
-        positions[0, n_new:] = n_cached + max(n_new - 1, 0)
-        kv_mask = np.zeros((1, S), bool)
-        kv_mask[0, :len(ids)] = True
 
-        last_logits, self.pool.k, self.pool.v = _extend_step(
-            self.params, jnp.asarray(pad_embeds, self.ecfg.kv_dtype),
-            self.pool.k, self.pool.v,
-            jnp.asarray(self.slot_table[row:row + 1]),
-            jnp.asarray(wslots), jnp.asarray(kv_mask),
-            jnp.asarray(positions),
-            jnp.asarray([max(n_new - 1, 0)], np.int32), self.cfg)
+        # chunked prefill (tp_worker.py chunked-prefill parity): long
+        # prompts run through the largest bucket repeatedly, each chunk
+        # extending the KV written by the previous one
+        last_logits = None
+        for start in range(0, n_new, bucket):
+            chunk = min(bucket, n_new - start)
+            cbucket = self._bucket(chunk)
+            pad_embeds = np.zeros((1, cbucket, D), embeds.dtype)
+            pad_embeds[0, :chunk] = embeds[start:start + chunk]
+            # padded lanes write into the reserved trash slot
+            # (duplicate-index scatter winners are unspecified, so pads
+            # must never alias real slots)
+            wslots = np.full((1, cbucket), self.ecfg.num_slots - 1,
+                             np.int32)
+            wslots[0, :chunk] = new_slots[start:start + chunk]
+            positions = np.zeros((1, cbucket), np.int32)
+            base = n_cached + start
+            positions[0, :chunk] = base + np.arange(chunk)
+            positions[0, chunk:] = base + max(chunk - 1, 0)
+            kv_mask = np.zeros((1, S), bool)
+            kv_mask[0, :base + chunk] = True
+
+            last_logits, self.pool.k, self.pool.v = _extend_step(
+                self.params, jnp.asarray(pad_embeds, self.ecfg.kv_dtype),
+                self.pool.k, self.pool.v,
+                jnp.asarray(self.slot_table[row:row + 1]),
+                jnp.asarray(wslots), jnp.asarray(kv_mask),
+                jnp.asarray(positions),
+                jnp.asarray([max(chunk - 1, 0)], np.int32), self.cfg)
         self._emit(req, last_logits)
 
     def _decode(self) -> None:

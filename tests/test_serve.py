@@ -169,3 +169,16 @@ def test_engine_many_requests_rolling(tiny_engine, rng):
     for i in range(7):
         assert done[str(i)].output_ids == want[str(i)], i
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_chunked_prefill_matches_offline(tiny_engine, rng):
+    """Prompts longer than the largest bucket run chunked and still match
+    the offline engine (tp_worker chunked-prefill parity)."""
+    params, cfg, ecfg = tiny_engine  # buckets (16, 32)
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=50)]  # > 32
+    want = _offline_greedy(params, cfg, ids, 6)
+    done = _run_engine(engine, [Request(rid="long", input_ids=list(ids),
+                                        max_new_tokens=6)])
+    assert done["long"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0

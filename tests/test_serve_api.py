@@ -118,10 +118,10 @@ def test_health_and_model_info(served):
     _with_app(served, go)
 
 
-def test_prompt_too_long_rejected(served):
+def test_prompt_plus_max_tokens_over_seq_len_rejected(served):
     async def go(client):
         r = await client.post("/generate", json={
-            "text": "x" * 500, "max_new_tokens": 4})
+            "text": "x" * 500, "max_new_tokens": 500})
         assert r.status == 400
 
     _with_app(served, go)
