@@ -76,9 +76,15 @@ class ServingLoop:
         self.engine.add_request(req)
         return q
 
-    def detok(self, ids) -> str:
-        return self.tokenizer.decode([int(t) for t in ids],
+    def detok(self, ids, req=None) -> str:
+        text = self.tokenizer.decode([int(t) for t in ids],
                                      skip_special_tokens=True)
+        stop = getattr(req, "stop_trim", None) if req is not None else None
+        if stop:
+            idx = text.find(stop)
+            if idx >= 0:
+                text = text[:idx]
+        return text
 
 
 def _sampling_from(body: Dict[str, Any]) -> SamplingParams:
@@ -104,13 +110,16 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             raise web.HTTPBadRequest(
                 text=json.dumps({"error": "prompt+max_tokens exceeds "
                                  f"max_seq_len {ecfg.max_seq_len}"}))
+        stop = body.get("stop") or ()
+        if isinstance(stop, str):
+            stop = (stop,)
         return Request(
             rid=body.get("rid", uuid.uuid4().hex),
             input_ids=[int(t) for t in prompt_ids],
             sampling=_sampling_from(body),
             max_new_tokens=int(body.get("max_new_tokens",
                                         body.get("max_tokens", 128))),
-            eos_ids=eos_default, stream=stream)
+            eos_ids=eos_default, stop_strs=tuple(stop), stream=stream)
 
     async def run_request(req: Request):
         q = await loop_.submit(req)
@@ -136,7 +145,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         if not req.stream:
             done = await run_request(req)
             return web.json_response({
-                "text": loop_.detok(done.output_ids),
+                "text": loop_.detok(done.output_ids, done),
                 "output_ids": done.output_ids,
                 "meta_info": {"finish_reason": done.finished.value,
                               "prompt_tokens": len(done.input_ids),
@@ -187,7 +196,8 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         return web.json_response({
             "id": req.rid, "object": "text_completion",
             "created": int(time.time()), "model": model_name,
-            "choices": [{"index": 0, "text": loop_.detok(done.output_ids),
+            "choices": [{"index": 0,
+                         "text": loop_.detok(done.output_ids, done),
                          "finish_reason": done.finished.value}],
             "usage": {"prompt_tokens": len(done.input_ids),
                       "completion_tokens": len(done.output_ids),
@@ -213,7 +223,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             "choices": [{"index": 0,
                          "message": {"role": "assistant",
                                      "content":
-                                     loop_.detok(done.output_ids)},
+                                     loop_.detok(done.output_ids, done)},
                          "finish_reason": done.finished.value}],
             "usage": {"prompt_tokens": len(done.input_ids),
                       "completion_tokens": len(done.output_ids),
@@ -282,7 +292,8 @@ def launch_server(params, cfg, tokenizer, *, host="0.0.0.0",
     from aurora_tpu.serve.engine import EngineConfig
 
     engine = ServeEngine(params, cfg, engine_cfg or EngineConfig(),
-                         embed_fn=mm.embed_fn if mm else None)
+                         embed_fn=mm.embed_fn if mm else None,
+                         tokenizer=tokenizer)
     loop_ = ServingLoop(engine, tokenizer, mm=mm)
     app = build_app(loop_, model_name)
 

@@ -215,10 +215,11 @@ class ServeEngine:
 
     def __init__(self, params: Params, cfg: LlamaConfig,
                  ecfg: EngineConfig = EngineConfig(),
-                 embed_fn=None):
+                 embed_fn=None, tokenizer=None):
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
+        self.tokenizer = tokenizer  # needed only for stop_strs matching
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype)
         # last slot is a write-trash target for padded lanes, never allocated
         self.alloc = SlotAllocator(ecfg.num_slots - 1)
@@ -399,6 +400,7 @@ class ServeEngine:
         for req in rows:
             req.output_ids.append(int(sampled[req.batch_row]))
             req.check_finished()
+            self._check_stop_strs(req)
         self._steps += 1
 
     def _emit(self, req: Request, last_logits) -> None:
@@ -410,6 +412,22 @@ class ServeEngine:
             jnp.asarray([req.sampling.top_p], np.float32), key)
         req.output_ids.append(int(jax.device_get(tok)[0]))
         req.check_finished()
+        self._check_stop_strs(req)
+
+    def _check_stop_strs(self, req: Request) -> None:
+        """Stop-string finish (StopWordStoppingCriteria / OpenAI `stop`
+        parity). Requires a tokenizer on the engine."""
+        if (req.finished is not None or not req.stop_strs
+                or self.tokenizer is None):
+            return
+        text = self.tokenizer.decode(req.output_ids,
+                                     skip_special_tokens=True)
+        for stop in req.stop_strs:
+            idx = text.find(stop)
+            if idx >= 0:
+                req.finished = FinishReason.EOS
+                req.stop_trim = stop  # API layer trims at the stop string
+                return
 
     def _release(self, req: Request) -> None:
         """Finished request → cache its prompt KV, free the rest."""

@@ -43,6 +43,7 @@ class Request:
     sampling: SamplingParams = SamplingParams()
     max_new_tokens: int = 128
     eos_ids: tuple = (2,)
+    stop_strs: tuple = ()          # OpenAI `stop` / template STOP_WORDS
     stream: bool = False
     arrival: float = dataclasses.field(default_factory=time.monotonic)
 
@@ -53,6 +54,7 @@ class Request:
     slots: Optional[np.ndarray] = None          # all owned slots (per token)
     batch_row: int = -1
     finished: Optional[FinishReason] = None
+    stop_trim: Optional[str] = None
     # filled by fusion for multimodal requests
     pixel_values: Optional[np.ndarray] = None
     kept_ratio: float = 0.8

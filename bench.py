@@ -96,5 +96,22 @@ def main():
     }))
 
 
+def main_with_retries(attempts: int = 3):
+    """The remote-TPU tunnel in this environment drops connections under
+    load; retry transient transport failures inside one process (the TPU
+    claim survives, so retries are cheap)."""
+    import sys
+    import time as _t
+    for i in range(attempts):
+        try:
+            return main()
+        except Exception as e:  # noqa: BLE001 — transport errors vary
+            if i == attempts - 1:
+                raise
+            print(f"[bench] attempt {i + 1} failed ({e}); retrying",
+                  file=sys.stderr)
+            _t.sleep(30)
+
+
 if __name__ == "__main__":
-    main()
+    main_with_retries()

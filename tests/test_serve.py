@@ -182,3 +182,24 @@ def test_chunked_prefill_matches_offline(tiny_engine, rng):
                                         max_new_tokens=6)])
     assert done["long"].output_ids == want
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_stop_strings_finish_requests(tiny_engine, tmp_path, rng):
+    """OpenAI `stop` / template STOP_WORDS semantics."""
+    from utils import make_tiny_tokenizer
+    params, cfg, ecfg = tiny_engine
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    engine = ServeEngine(params, cfg, ecfg, tokenizer=tok)
+    ids = [int(x) for x in rng.integers(3, 128, size=10)]
+    # run once without stops to learn what it generates
+    base = _run_engine(engine, [Request(rid="b", input_ids=list(ids),
+                                        max_new_tokens=8, eos_ids=(-1,))])
+    text = tok.decode(base["b"].output_ids, skip_special_tokens=True)
+    assert len(text) >= 2
+    stop = text[1]  # some character it definitely emits
+    done = _run_engine(engine, [Request(
+        rid="s", input_ids=list(ids), max_new_tokens=8, eos_ids=(-1,),
+        stop_strs=(stop,))])
+    assert done["s"].finished.value == "stop"
+    assert done["s"].stop_trim == stop
+    assert len(done["s"].output_ids) <= len(base["b"].output_ids)
