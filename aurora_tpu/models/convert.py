@@ -116,6 +116,9 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
     return LlamaConfig(
         qkv_bias=(cfg.get("model_type") == "qwen2"
                   or cfg.get("attention_bias", False)),
+        num_experts=cfg.get("num_local_experts",
+                            cfg.get("num_experts", 0)) or 0,
+        num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],
@@ -213,6 +216,8 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
     L = cfg.num_hidden_layers
 
     def stack(fmt, transpose=False):
+        if fmt.format(0) not in sd:  # e.g. dense mlp keys on MoE models
+            return None
         mats = [sd[fmt.format(i)] for i in range(L)]
         arr = np.stack([m.T if transpose else m for m in mats])
         return _j(arr, dtype)
@@ -233,6 +238,18 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         },
         "final_norm": _j(sd["norm.weight"], dtype),
     }
+    if cfg.num_experts > 0:  # Mixtral layout: block_sparse_moe
+        E = cfg.num_experts
+        del p["layers"]["gate"], p["layers"]["up"], p["layers"]["down"]
+        p["layers"]["moe_router"] = _j(np.stack(
+            [sd[f"layers.{i}.block_sparse_moe.gate.weight"].T
+             for i in range(L)]), dtype)
+        for ours, theirs in (("moe_gate", "w1"), ("moe_down", "w2"),
+                             ("moe_up", "w3")):
+            p["layers"][ours] = _j(np.stack(
+                [np.stack([sd[f"layers.{i}.block_sparse_moe.experts."
+                              f"{e}.{theirs}.weight"].T
+                           for e in range(E)]) for i in range(L)]), dtype)
     if cfg.qkv_bias:
         for name in ("q", "k", "v"):
             p["layers"][f"{name}_bias"] = stack(

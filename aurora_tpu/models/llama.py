@@ -49,6 +49,8 @@ class LlamaConfig:
     rope_linear_scaling: Optional[float] = None
     tie_word_embeddings: bool = False
     qkv_bias: bool = False   # Qwen2-family attention biases
+    num_experts: int = 0     # >0 → Mixtral-family MoE MLP
+    num_experts_per_tok: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -107,6 +109,15 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
         p["layers"]["q_bias"] = jnp.zeros((L, hq * hd), dtype)
         p["layers"]["k_bias"] = jnp.zeros((L, hkv * hd), dtype)
         p["layers"]["v_bias"] = jnp.zeros((L, hkv * hd), dtype)
+    if cfg.num_experts > 0:
+        from aurora_tpu.ops.moe import init_moe_params
+        moe_ps = [init_moe_params(k, cfg.num_experts, d, i, dtype)
+                  for k in jax.random.split(ks[9], L)]
+        for name in ("router", "gate", "up", "down"):
+            p["layers"][f"moe_{name}"] = jnp.stack(
+                [mp[name] for mp in moe_ps])
+        for name in ("gate", "up", "down"):
+            del p["layers"][name]
     if not cfg.tie_word_embeddings:
         p["lm_head"] = w(ks[8], d, cfg.vocab_size)
     return p
@@ -174,12 +185,18 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     x = x + attn
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
-                   ).astype(h.dtype)
-    up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
-                 ).astype(h.dtype)
-    h = jnp.dot(jax.nn.silu(gate) * up, lp["down"],
-                preferred_element_type=jnp.float32).astype(x.dtype)
+    if "moe_router" in lp:  # Mixtral-family sparse MLP
+        from aurora_tpu.ops.moe import moe_mlp
+        h = moe_mlp({"router": lp["moe_router"], "gate": lp["moe_gate"],
+                     "up": lp["moe_up"], "down": lp["moe_down"]},
+                    h, cfg.num_experts_per_tok).astype(x.dtype)
+    else:
+        gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
+                       ).astype(h.dtype)
+        up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
+                     ).astype(h.dtype)
+        h = jnp.dot(jax.nn.silu(gate) * up, lp["down"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
     return x + h, cache_k, cache_v
 
 

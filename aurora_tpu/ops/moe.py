@@ -1,0 +1,96 @@
+"""Mixture-of-Experts MLP (Mixtral-family).
+
+Parity targets: the reference's MoE surface — xtuner's vendored mixtral /
+deepseek_v2 modelings (src/xtuner/xtuner/model/transformers_models/) and
+sglang's fused-MoE layer (srt/layers/fused_moe/fused_moe.py). Note the
+reference shards experts over TP and has NO cross-device token dispatch
+(SURVEY §2.4 EP row); we mirror that: experts are laid out on a mesh axis
+(PartitionSpec over the expert dim — 'tp' doubles as the expert axis), each
+device computes its expert shard for all tokens, and the weighted combine
+psums under GSPMD.
+
+Compute formulation: top-k routing with renormalized softmax (Mixtral
+semantics) and a dense expert einsum — every expert runs on every token and
+the routing mask zeroes non-selected contributions. For the expert counts
+the reference ships (8-16) this keeps the MXU busy with one big batched
+matmul instead of gather/scatter bookkeeping; token-dropping capacity
+dispatch can replace it later without changing the interface.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+Params = Dict[str, Any]
+
+
+def init_moe_params(rng: jax.Array, num_experts: int, hidden: int,
+                    intermediate: int, dtype=jnp.float32) -> Params:
+    ks = jax.random.split(rng, 4)
+
+    def w(key, *shape):
+        return jax.random.normal(key, shape, dtype) * 0.02
+
+    return {
+        "router": w(ks[0], hidden, num_experts),
+        "gate": w(ks[1], num_experts, hidden, intermediate),
+        "up": w(ks[2], num_experts, hidden, intermediate),
+        "down": w(ks[3], num_experts, intermediate, hidden),
+    }
+
+
+def moe_mlp(params: Params, x: jnp.ndarray, top_k: int,
+            return_router_logits: bool = False):
+    """x: [B, T, D] → [B, T, D]. Mixtral routing: softmax over the top-k
+    router logits only (renormalized)."""
+    B, T, D = x.shape
+    logits = jnp.dot(x, params["router"],
+                     preferred_element_type=jnp.float32)      # [B,T,E]
+    E = logits.shape[-1]
+    top_vals, top_idx = jax.lax.top_k(logits, top_k)
+    top_probs = jax.nn.softmax(top_vals, axis=-1)             # renormalize
+    # scatter top-k probs back to dense [B,T,E]
+    probs = jnp.zeros((B, T, E), jnp.float32)
+    b_ix = jnp.arange(B)[:, None, None]
+    t_ix = jnp.arange(T)[None, :, None]
+    probs = probs.at[b_ix, t_ix, top_idx].set(top_probs)
+
+    # dense expert compute; expert dim e shards on the mesh ('tp' ≡ ep)
+    gate = jnp.einsum("btd,edi->btei", x, params["gate"],
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+    up = jnp.einsum("btd,edi->btei", x, params["up"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+    h = jax.nn.silu(gate) * up
+    out = jnp.einsum("btei,eid->bted", h, params["down"],
+                     preferred_element_type=jnp.float32)
+    out = jnp.sum(out * probs[..., None], axis=2).astype(x.dtype)
+    if return_router_logits:
+        return out, logits
+    return out
+
+
+def load_balancing_loss(router_logits: jnp.ndarray, top_k: int):
+    """Mixtral auxiliary load-balancing loss: E · Σ_e f_e · P_e where f is
+    the fraction of tokens routed to e and P the mean router prob."""
+    E = router_logits.shape[-1]
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    _, top_idx = jax.lax.top_k(router_logits, top_k)
+    counts = jnp.zeros(router_logits.shape[:-1] + (E,), jnp.float32)
+    counts = jnp.sum(jax.nn.one_hot(top_idx, E), axis=-2)
+    f = jnp.mean(counts, axis=tuple(range(counts.ndim - 1))) / top_k
+    p = jnp.mean(probs, axis=tuple(range(probs.ndim - 1)))
+    return E * jnp.sum(f * p)
+
+
+MOE_PARAM_SPECS = {
+    # expert dim on 'tp' (the reference's TP-sharded experts), matmul dims
+    # on fsdp — drop into parallel.mesh rules for MoE checkpoints
+    "router": ("fsdp", None),
+    "gate": ("tp", "fsdp", None),
+    "up": ("tp", "fsdp", None),
+    "down": ("tp", None, "fsdp"),
+}

@@ -72,6 +72,10 @@ _LLAMA_RULES = [
     (r"layers/(input_norm|post_attn_norm)$", P(None, None)),
     (r"layers/(q|k|v|gate|up)$", P(None, "fsdp", "tp")),
     (r"layers/(o|down)$", P(None, "tp", "fsdp")),
+    # MoE (Mixtral): experts on 'tp' (≡ EP, TP-sharded experts like the
+    # reference's fused-MoE layer)
+    (r"layers/moe_router$", P(None, "fsdp", None)),
+    (r"layers/moe_(gate|up|down)$", P(None, "tp", "fsdp", None)),
 ]
 
 # ViT per-layer dict layout (aurora_tpu.models.vit.init_vit_params)

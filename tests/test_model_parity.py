@@ -236,3 +236,38 @@ def test_qwen2_logits_and_greedy_match_hf(rng):
     res = generate(params, cfg, embeds, jnp.ones((1, 7), bool),
                    max_new_tokens=8, eos_ids=(-1,))
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_gen)
+
+
+def test_mixtral_moe_logits_match_hf(rng):
+    """Mixtral MoE family — top-2 renormalized routing, expert MLPs
+    (xtuner transformers_models/mixtral + sglang fused_moe surface)."""
+    from transformers import MixtralConfig as HFMixtralConfig
+    from transformers import MixtralForCausalLM
+    torch.manual_seed(10)
+    hf_cfg = HFMixtralConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        num_local_experts=4, num_experts_per_tok=2,
+        max_position_embeddings=512, rms_norm_eps=1e-5,
+        attn_implementation="eager", tie_word_embeddings=False)
+    hf = MixtralForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    ids = rng.integers(0, 128, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=4e-4, atol=4e-4)
+
+
+def test_moe_load_balancing_loss(rng):
+    from aurora_tpu.ops.moe import load_balancing_loss
+    logits = jnp.asarray(rng.standard_normal((2, 10, 4)), jnp.float32)
+    lb = float(load_balancing_loss(logits, 2))
+    assert np.isfinite(lb) and lb > 0
+    # perfectly uniform router → loss == E * E * (1/E) * (1/E) = 1
+    uniform = jnp.zeros((2, 40, 4), jnp.float32)
+    lb_u = float(load_balancing_loss(uniform, 2))
+    np.testing.assert_allclose(lb_u, 1.0, rtol=1e-5)

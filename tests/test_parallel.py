@@ -148,3 +148,30 @@ def test_hybrid_grads_match(devices, rng):
     for a, b in zip(g_h, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-5, atol=5e-5)
+
+
+def test_moe_expert_parallel_sharding(devices, rng):
+    """MoE llama forward with experts sharded on 'tp' (EP) matches the
+    replicated result."""
+    import dataclasses
+    from jax.sharding import NamedSharding
+    from aurora_tpu.models.llama import (LlamaConfig, init_llama_params,
+                                         llama_apply)
+    from aurora_tpu.parallel.mesh import llama_param_specs, shard_pytree
+
+    cfg = dataclasses.replace(LlamaConfig.tiny(), num_experts=4,
+                              num_experts_per_tok=2)
+    params = init_llama_params(jax.random.PRNGKey(11), cfg)
+    ids = jnp.asarray(rng.integers(3, 250, size=(4, 12)))
+    want, _ = llama_apply(params, cfg, input_ids=ids)
+
+    mesh = create_mesh(MeshConfig(dp=2, fsdp=2, tp=2), devices=devices)
+    specs = llama_param_specs(params)
+    # experts must actually shard on tp
+    assert specs["layers"]["moe_gate"] == P(None, "tp", "fsdp", None)
+    sharded = shard_pytree(params, specs, mesh)
+    got, _ = llama_apply(sharded, cfg,
+                         input_ids=jax.device_put(
+                             ids, NamedSharding(mesh, P(("dp", "fsdp")))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
