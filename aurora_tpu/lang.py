@@ -1,0 +1,147 @@
+"""Minimal prompt-program DSL — the sglang frontend surface.
+
+Parity: the `sglang.lang` primitives the reference's pipelines actually use
+(src/sglang/python/sglang/lang/api.py: @function / system / user /
+assistant / gen; interpreter.py run loop; RuntimeEndpoint backend) — e.g.
+the VDCScore judge programs (lmms_eval/tasks/vdc/utils.py:201-258) are
+written in exactly this API.
+
+A program is a Python function over a State; primitives append chat
+messages; `gen(name, ...)` calls the backend (any OpenAI-chat endpoint —
+ours included) and stores the completion under `state[name]`. Supports
+temperature/max_tokens/stop and `choices` (serve.constrained on aurora_tpu
+backends; prompt-level fallback elsewhere).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.request
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+_default_backend = None
+_backend_lock = threading.Lock()
+
+
+class RuntimeEndpoint:
+    """OpenAI-chat backend (lang/backend RuntimeEndpoint parity)."""
+
+    def __init__(self, base_url: str, timeout: float = 600.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def chat(self, messages: List[Dict[str, str]], *, max_tokens: int,
+             temperature: float, stop: Sequence[str] = (),
+             choices: Optional[Sequence[str]] = None) -> str:
+        payload: Dict[str, Any] = {
+            "messages": messages, "max_tokens": max_tokens,
+            "temperature": temperature}
+        if stop:
+            payload["stop"] = list(stop)
+        if choices:
+            payload["choices_constraint"] = list(choices)
+        req = urllib.request.Request(
+            self.base_url + "/v1/chat/completions",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            body = json.loads(r.read())
+        return body["choices"][0]["message"]["content"]
+
+
+def set_default_backend(backend) -> None:
+    global _default_backend
+    with _backend_lock:
+        _default_backend = backend
+
+
+class State:
+    """Accumulated messages + captured generations."""
+
+    def __init__(self, backend):
+        self.backend = backend
+        self.messages: List[Dict[str, str]] = []
+        self.captured: Dict[str, str] = {}
+
+    def __iadd__(self, piece):
+        piece.apply(self)
+        return self
+
+    def __getitem__(self, name: str) -> str:
+        return self.captured[name]
+
+
+class _Message:
+    def __init__(self, role: str, content: str):
+        self.role = role
+        self.content = content
+
+    def apply(self, state: State) -> None:
+        state.messages.append({"role": self.role, "content": self.content})
+
+
+class _Gen:
+    def __init__(self, name: str, max_tokens: int = 128,
+                 temperature: float = 0.0, stop: Sequence[str] = (),
+                 choices: Optional[Sequence[str]] = None):
+        self.name = name
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.stop = stop
+        self.choices = choices
+
+    def apply(self, state: State) -> None:
+        text = state.backend.chat(
+            state.messages, max_tokens=self.max_tokens,
+            temperature=self.temperature, stop=self.stop,
+            choices=self.choices)
+        state.captured[self.name] = text
+        state.messages.append({"role": "assistant", "content": text})
+
+
+class _Assistant:
+    """assistant(gen(...)) — runs the gen in the assistant slot."""
+
+    def __init__(self, gen: _Gen):
+        self.gen = gen
+
+    def apply(self, state: State) -> None:
+        self.gen.apply(state)
+
+
+def system(content: str) -> _Message:
+    return _Message("system", content)
+
+
+def user(content: str) -> _Message:
+    return _Message("user", content)
+
+
+def assistant(gen_or_text) -> Any:
+    if isinstance(gen_or_text, _Gen):
+        return _Assistant(gen_or_text)
+    return _Message("assistant", gen_or_text)
+
+
+def gen(name: str, max_tokens: int = 128, temperature: float = 0.0,
+        stop: Sequence[str] = (), choices=None) -> _Gen:
+    return _Gen(name, max_tokens, temperature, stop, choices)
+
+
+class function:  # noqa: N801 — decorator name matches the reference API
+    """@function — wraps a program; .run(**kwargs) executes it."""
+
+    def __init__(self, fn: Callable):
+        self.fn = fn
+
+    def run(self, backend=None, **kwargs) -> State:
+        backend = backend or _default_backend
+        assert backend is not None, \
+            "call set_default_backend(RuntimeEndpoint(...)) first"
+        state = State(backend)
+        self.fn(state, **kwargs)
+        return state
+
+    def __call__(self, state: State, **kwargs):
+        return self.fn(state, **kwargs)

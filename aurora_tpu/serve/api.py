@@ -113,7 +113,13 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         stop = body.get("stop") or ()
         if isinstance(stop, str):
             stop = (stop,)
+        constraint = None
+        if body.get("choices_constraint"):
+            from aurora_tpu.serve.constrained import ChoiceConstraint
+            constraint = ChoiceConstraint.from_strings(
+                loop_.tokenizer, body["choices_constraint"])
         return Request(
+            constraint=constraint,
             rid=body.get("rid", uuid.uuid4().hex),
             input_ids=[int(t) for t in prompt_ids],
             sampling=_sampling_from(body),

@@ -191,8 +191,11 @@ def _decode_buckets(max_seq_len: int):
 
 
 @jax.jit
-def _sample_dynamic(logits, temps, top_ps, key):
-    """Per-row temperature / top-p; temp == 0 → greedy. logits [B, V]."""
+def _sample_dynamic(logits, temps, top_ps, key, allowed_mask=None):
+    """Per-row temperature / top-p; temp == 0 → greedy. logits [B, V].
+    allowed_mask [B, V] bool restricts candidates (constrained decode)."""
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask, logits, -jnp.inf)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     lt = logits / jnp.maximum(temps[:, None], 1e-6)
     sorted_l = jnp.sort(lt, axis=-1)[:, ::-1]
@@ -395,22 +398,49 @@ class ServeEngine:
             jnp.asarray(kv_mask[:, :S_b]), jnp.asarray(positions),
             self.cfg)
         self._rng, key = jax.random.split(self._rng)
+        mask = self._constraint_mask(rows)
         sampled = np.asarray(jax.device_get(_sample_dynamic(
-            logits, jnp.asarray(temps), jnp.asarray(top_ps), key)))
+            logits, jnp.asarray(temps), jnp.asarray(top_ps), key,
+            None if mask is None else jnp.asarray(mask))))
         for req in rows:
-            req.output_ids.append(int(sampled[req.batch_row]))
+            tok = int(sampled[req.batch_row])
+            req.output_ids.append(tok)
+            if req.constraint is not None:
+                req.constraint.advance(tok)
+                if req.constraint.finished:
+                    req.finished = FinishReason.EOS
             req.check_finished()
             self._check_stop_strs(req)
         self._steps += 1
 
+    def _constraint_mask(self, rows):
+        """[B, V] allowed-token mask when any active request is
+        constrained (serve.constrained)."""
+        if not any(r.constraint is not None for r in rows):
+            return None
+        mask = np.ones((self.ecfg.max_batch, self.cfg.vocab_size), bool)
+        for r in rows:
+            if r.constraint is not None:
+                mask[r.batch_row] = r.constraint.mask(self.cfg.vocab_size)
+        return mask
+
     def _emit(self, req: Request, last_logits) -> None:
         """Sample the first token right after extend."""
         self._rng, key = jax.random.split(self._rng)
+        cmask = None
+        if req.constraint is not None:
+            cmask = jnp.asarray(
+                req.constraint.mask(self.cfg.vocab_size)[None])
         tok = _sample_dynamic(
             last_logits, jnp.asarray([req.sampling.temperature],
                                      np.float32),
-            jnp.asarray([req.sampling.top_p], np.float32), key)
-        req.output_ids.append(int(jax.device_get(tok)[0]))
+            jnp.asarray([req.sampling.top_p], np.float32), key, cmask)
+        t = int(jax.device_get(tok)[0])
+        req.output_ids.append(t)
+        if req.constraint is not None:
+            req.constraint.advance(t)
+            if req.constraint.finished:
+                req.finished = FinishReason.EOS
         req.check_finished()
         self._check_stop_strs(req)
 

@@ -44,6 +44,7 @@ class Request:
     max_new_tokens: int = 128
     eos_ids: tuple = (2,)
     stop_strs: tuple = ()          # OpenAI `stop` / template STOP_WORDS
+    constraint: Any = None         # serve.constrained.ChoiceConstraint
     stream: bool = False
     arrival: float = dataclasses.field(default_factory=time.monotonic)
 

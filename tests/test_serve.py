@@ -203,3 +203,30 @@ def test_stop_strings_finish_requests(tiny_engine, tmp_path, rng):
     assert done["s"].finished.value == "stop"
     assert done["s"].stop_trim == stop
     assert len(done["s"].output_ids) <= len(base["b"].output_ids)
+
+
+def test_choice_constrained_decoding(tiny_engine, tmp_path, rng):
+    """Output restricted to one of the given token sequences
+    (sglang constrained-decode surface)."""
+    from aurora_tpu.serve.constrained import ChoiceConstraint
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=9)]
+    choices = [[7, 8, 9], [7, 20], [50]]
+    done = _run_engine(engine, [Request(
+        rid="c", input_ids=list(ids), max_new_tokens=8, eos_ids=(-1,),
+        constraint=ChoiceConstraint(choices))])
+    out = done["c"].output_ids
+    assert out in choices
+    assert done["c"].finished.value == "stop"
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_choice_constraint_trie():
+    from aurora_tpu.serve.constrained import ChoiceConstraint
+    c = ChoiceConstraint([[1, 2, 3], [1, 5]])
+    assert c.allowed_tokens() == [1]
+    c.advance(1)
+    assert c.allowed_tokens() == [2, 5]
+    c.advance(5)
+    assert c.finished
