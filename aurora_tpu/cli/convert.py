@@ -25,11 +25,12 @@ def main():
                    help="xtuner dir providing configs when --src is orbax")
     p.add_argument("--dst", required=True)
     p.add_argument("--format", default="xtuner",
-                   choices=["xtuner", "huggingface"])
+                   choices=["xtuner", "huggingface", "official"])
     p.add_argument("--step", type=int, default=None)
     args = p.parse_args()
 
-    from aurora_tpu.models.export import export_hf_llava, export_xtuner_dir
+    from aurora_tpu.models.export import (export_hf_llava,
+                                          export_xtuner_dir)
     from aurora_tpu.train.checkpoint import latest_step, restore_checkpoint
 
     if latest_step(args.src) is not None:  # orbax training checkpoint
@@ -52,6 +53,11 @@ def main():
     if args.format == "xtuner":
         export_xtuner_dir(params, acfg.llm, acfg.vit, acfg.projector,
                           args.dst, tokenizer=tokenizer)
+    elif args.format == "official":
+        from aurora_tpu.models.export import export_official_llava
+        export_official_llava(params, acfg.llm, acfg.vit, acfg.projector,
+                              args.dst,
+                              visual_select_layer=acfg.visual_select_layer)
     else:
         export_hf_llava(params, acfg.llm, acfg.vit, acfg.projector,
                         args.dst)

@@ -8,8 +8,10 @@ Parity: AuroraModel.to_hf dispatch (src/xtuner/xtuner/model/aurora.py:295-597)
                     (`to_huggingface_llava` :364-496) incl. the vocab
                     resize-to-multiple-of-64 with mvn-sampled new rows
                     (:454-491);
-  * 'official'    → LLaVA-repo layout (`to_official_llava` :498-597),
-                    keys documented, emitted as a flat state dict.
+  * 'official'    → LLaVA-repo layout (`to_official_llava` :498-597):
+                    llama keys at root, ViT under
+                    model.vision_tower.vision_tower.*, projector as
+                    model.mm_projector.{0,2}, llava config fields.
 
 Everything is numpy/safetensors — no torch needed to write.
 """
@@ -255,4 +257,39 @@ def export_hf_llava(params, llm_cfg: LlamaConfig, vit_cfg: ViTConfig,
         "vision_feature_select_strategy": "default",
         "image_token_index": 32000,
     }
+    _write(sd, cfg_dict, out_dir)
+
+
+def export_official_llava(params, llm_cfg: LlamaConfig,
+                          vit_cfg: ViTConfig, pj_cfg: ProjectorConfig,
+                          out_dir: str,
+                          visual_select_layer: int = -2) -> None:
+    """LLaVA-repo (haotian-liu) layout — to_official_llava parity
+    (aurora.py:504-582): llama state dict at root, ViT remapped to
+    model.vision_tower.vision_tower.vision_model.*, projector to
+    model.mm_projector.{0,2}.*, LlavaConfig fields on the llama config."""
+    sd = llama_state_dict(params["llm"], llm_cfg)
+    vit_sd = vit_state_dict(params["visual_encoder"], vit_cfg)
+    for k, v in vit_sd.items():
+        sd["model.vision_tower.vision_tower." + k] = v
+    pj_sd = projector_state_dict(params["projector"])
+    for k, v in pj_sd.items():
+        # model.{0,2}.* → model.mm_projector.{0,2}.*
+        sd["model.mm_projector." + k[len("model."):]] = v
+
+    cfg_dict = llama_config_dict(llm_cfg)
+    cfg_dict.update({
+        "model_type": "llava",
+        "architectures": ["LlavaLlamaForCausalLM"],
+        "image_aspect_ratio": "pad",
+        "mm_hidden_size": vit_cfg.hidden_size,
+        "mm_projector_type": f"mlp{pj_cfg.depth}x_gelu",
+        "mm_use_im_patch_token": False,
+        "mm_use_im_start_end": False,
+        "mm_vision_select_feature": "patch",
+        "mm_vision_select_layer": visual_select_layer,
+        "unfreeze_mm_vision_tower": True,
+        "use_cache": True,
+        "use_mm_proj": True,
+    })
     _write(sd, cfg_dict, out_dir)

@@ -113,3 +113,25 @@ def test_hf_llava_export_loads_in_transformers(tmp_path):
     want = sd["language_model.model.layers.0.self_attn.q_proj.weight"]
     got = model.language_model.layers[0].self_attn.q_proj.weight
     np.testing.assert_allclose(got.detach().numpy(), want, rtol=1e-6)
+
+
+def test_official_llava_export_layout(tmp_path):
+    """to_official_llava key layout (aurora.py:504-511 mappings)."""
+    import safetensors.numpy as st
+    from aurora_tpu.models.export import export_official_llava
+    cfg = AuroraConfig.tiny()
+    params = _params(cfg, seed=7)
+    out = str(tmp_path / "official")
+    export_official_llava(params, cfg.llm, cfg.vit, cfg.projector, out)
+    sd = st.load_file(os.path.join(out, "model.safetensors"))
+    assert "model.embed_tokens.weight" in sd
+    assert ("model.vision_tower.vision_tower.vision_model.encoder."
+            "layers.0.self_attn.q_proj.weight") in sd
+    assert "model.mm_projector.0.weight" in sd
+    assert "model.mm_projector.2.bias" in sd
+    import json
+    with open(os.path.join(out, "config.json")) as f:
+        c = json.load(f)
+    assert c["model_type"] == "llava"
+    assert c["mm_projector_type"] == "mlp2x_gelu"
+    assert c["mm_vision_select_layer"] == -2
