@@ -112,13 +112,19 @@ def merge_lora(params: Params, adapters: Params,
 
 def make_lora_train_step(acfg, tcfg, base_params: Params,
                          lora_cfg: LoraConfig, opt):
-    """Train step over the adapter pytree only (base params frozen and
-    closed over — they never enter the optimizer)."""
+    """Train step over the adapter pytree only — the frozen base never
+    enters the optimizer. The returned step takes base_params as an
+    ARGUMENT (jit must not close over weight pytrees: they would be
+    embedded as HLO constants); the bound `step(adapters, opt_state,
+    batch)` convenience passes the captured base through untraced-safe
+    partial application at call sites that jit it themselves should use
+    `step_with_base`."""
+    import functools
     import optax
     from aurora_tpu.models.aurora import aurora_forward
 
-    def loss_fn(adapters, batch):
-        params = merge_lora(base_params, adapters, lora_cfg)
+    def loss_fn(adapters, base, batch):
+        params = merge_lora(base, adapters, lora_cfg)
         loss, ntok = aurora_forward(
             params, acfg, batch["input_ids"], batch.get("pixel_values"),
             attention_mask=batch.get("attention_mask"),
@@ -126,12 +132,16 @@ def make_lora_train_step(acfg, tcfg, base_params: Params,
             mode="loss", remat=tcfg.remat)
         return loss, ntok
 
-    def step(adapters, opt_state, batch):
+    def step_with_base(adapters, opt_state, batch, base):
         (loss, ntok), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            adapters, batch)
+            adapters, base, batch)
         updates, opt_state = opt.update(grads, opt_state, adapters)
         adapters = optax.apply_updates(adapters, updates)
         return adapters, opt_state, {"loss": loss, "ntokens": ntok,
                                      "grad_norm": optax.global_norm(grads)}
 
+    def step(adapters, opt_state, batch):
+        return step_with_base(adapters, opt_state, batch, base_params)
+
+    step.with_base = step_with_base
     return step
