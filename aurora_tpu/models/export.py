@@ -163,11 +163,37 @@ def vit_config_dict(cfg: ViTConfig) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 
 def _write(sd: Dict[str, np.ndarray], cfg_dict: Dict[str, Any],
-           out_dir: str) -> None:
+           out_dir: str, max_shard_bytes: int = 5 * 1024 ** 3) -> None:
+    """Write config + safetensors, sharding with an HF-style
+    model.safetensors.index.json above max_shard_bytes (the reference's
+    `xtuner convert split` capability folded into export)."""
     from safetensors.numpy import save_file
     os.makedirs(out_dir, exist_ok=True)
-    save_file({k: np.ascontiguousarray(v) for k, v in sd.items()},
-              os.path.join(out_dir, "model.safetensors"))
+    sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
+    total = sum(v.nbytes for v in sd.values())
+    if total <= max_shard_bytes:
+        save_file(sd, os.path.join(out_dir, "model.safetensors"))
+    else:
+        shards, cur, cur_bytes = [], {}, 0
+        for k, v in sd.items():
+            if cur and cur_bytes + v.nbytes > max_shard_bytes:
+                shards.append(cur)
+                cur, cur_bytes = {}, 0
+            cur[k] = v
+            cur_bytes += v.nbytes
+        if cur:
+            shards.append(cur)
+        n = len(shards)
+        weight_map = {}
+        for i, shard in enumerate(shards):
+            fn = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_file(shard, os.path.join(out_dir, fn))
+            for k in shard:
+                weight_map[k] = fn
+        with open(os.path.join(out_dir,
+                               "model.safetensors.index.json"), "w") as f:
+            json.dump({"metadata": {"total_size": total},
+                       "weight_map": weight_map}, f, indent=2)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         json.dump(cfg_dict, f, indent=2)
 

@@ -135,3 +135,27 @@ def test_official_llava_export_layout(tmp_path):
     assert c["model_type"] == "llava"
     assert c["mm_projector_type"] == "mlp2x_gelu"
     assert c["mm_vision_select_layer"] == -2
+
+
+def test_sharded_export_roundtrip(tmp_path, rng):
+    """Above the shard threshold the export writes an HF-style index that
+    our loader (and transformers) read back (convert split parity)."""
+    import functools
+    from aurora_tpu.models import export as ex
+    cfg = AuroraConfig.tiny()
+    params = _params(cfg, seed=8)
+    out = str(tmp_path / "sharded")
+    # force sharding with a tiny threshold
+    orig = ex._write
+    ex_write = functools.partial(orig, max_shard_bytes=64 * 1024)
+    try:
+        ex._write = ex_write
+        export_xtuner_dir(params, cfg.llm, cfg.vit, cfg.projector, out)
+    finally:
+        ex._write = orig
+    assert os.path.exists(os.path.join(out,
+                                       "model.safetensors.index.json"))
+    llm, llm_cfg, *_ = load_auroracap_dir(out, llm_dtype=jnp.float32,
+                                          vit_dtype=jnp.float32)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), llm, params["llm"])
