@@ -32,7 +32,7 @@ def main():
                                          init_llama_params, llama_apply)
 
     cfg = LlamaConfig.vicuna_7b_v15_16k()
-    B, CTX, S = 4, 256, 512   # 7B bf16 ≈13.5G; KV ≈1.1G; v5e has 15.75G
+    B, CTX, S = 8, 128, 256   # 7B bf16 ≈13.5G; KV ≈1.1G; v5e has 15.75G
     print("[bench] init 7B params on device", file=sys.stderr)
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     cache = init_kv_cache(cfg, B, S, jnp.bfloat16)
@@ -106,7 +106,7 @@ def main():
         detail["vit_encode_error"] = str(e)[:200]
 
     print(json.dumps({
-        "metric": "auroracap7b_decode_throughput_b4_ctx256_bf16",
+        "metric": "auroracap7b_decode_throughput_b8_bf16",
         "value": round(B / dt, 1),
         "unit": "tokens/s (batched serving decode, 1x v5e chip)",
         "vs_baseline": None,
