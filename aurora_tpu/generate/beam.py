@@ -66,13 +66,20 @@ def beam_generate(params, cfg: LlamaConfig, inputs_embeds: jnp.ndarray,
     # beams whose first token is EOS retire immediately
     first_eos = jnp.isin(top_tok, eos_arr)
 
-    fin_scores = jnp.where(first_eos, beam_scores / 1.0, _NEG)
+    def norm(score, n_generated):
+        # HF (4.57 vectorized beam search) normalizes by the GENERATED
+        # length: finished beams use cur_len + 1 - decoder_prompt_len
+        # (generation/utils.py "_update_finished_beams": topk_log_probs /
+        # ((cur_len + 1 - decoder_prompt_len) ** length_penalty)), and the
+        # early-stop heuristic uses cur_len - decoder_prompt_len. The
+        # prompt length never enters.
+        return score / (n_generated.astype(jnp.float32) ** length_penalty)
+
+    fin_scores = jnp.where(first_eos, norm(beam_scores, jnp.asarray(1)),
+                           _NEG)
     fin_tokens = jnp.where(first_eos[:, None], tokens, pad_id)
     fin_lens = jnp.where(first_eos, 1, 0)
     beam_scores = jnp.where(first_eos, _NEG, beam_scores)
-
-    def norm(score, n):
-        return score / (n.astype(jnp.float32) ** length_penalty)
 
     def cond(st):
         (step, _, _, beam_scores, _, fin_scores, _, _, _) = st

@@ -52,18 +52,26 @@ class ServingLoop:
                 continue
             try:
                 stepped = await asyncio.to_thread(self.engine.step)
-            except Exception as e:  # fail pending requests, keep serving
+            except Exception as e:
+                # Unexpected engine failure: per-request errors are already
+                # isolated inside the engine (aborted + error field), so a
+                # step-level exception means the running batch is suspect.
+                # Fail only the in-flight batch; the waiting queue survives
+                # (sglang tp_worker abort-path parity).
                 import logging
                 logging.getLogger(__name__).exception("engine step failed")
-                for rid, q in list(self._events.items()):
-                    q.put_nowait(("error", e))
-                    self._events.pop(rid, None)
-                self.engine.sched.waiting.clear()
+                for req in self.engine.fail_running():
+                    q = self._events.pop(req.rid, None)
+                    if q is not None:
+                        q.put_nowait(("error", e))
                 continue
             for req in stepped:
                 q = self._events.pop(req.rid, None)
                 if q is not None:
-                    q.put_nowait(("done", req))
+                    if req.error is not None:
+                        q.put_nowait(("error", RuntimeError(req.error)))
+                    else:
+                        q.put_nowait(("done", req))
             # streaming: push partials for running requests
             for req in self.engine.sched.running:
                 q = self._events.get(req.rid)
@@ -171,7 +179,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
                 await resp.write(
                     f"data: {json.dumps({'error': str(r)})}\n\n".encode())
                 break
-            text = loop_.detok(r.output_ids)
+            text = loop_.detok(r.output_ids, r)  # stop_trim in streams too
             delta = text[sent:]
             sent = len(text)
             if openai == "chat":
@@ -264,6 +272,15 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             sampling=_sampling_from(body),
             max_new_tokens=int(body.get("max_new_tokens", 1024)),
             eos_ids=eos_default, stream=bool(body.get("stream")))
+        # placeholder expansion (frames x visual tokens) can blow past the
+        # slot-table width — enforce the same guard make_request applies
+        ecfg = loop_.engine.ecfg
+        if len(req.input_ids) + req.max_new_tokens > ecfg.max_seq_len:
+            raise web.HTTPBadRequest(
+                text=json.dumps({"error": "expanded prompt "
+                                 f"({len(req.input_ids)}) + max_new_tokens "
+                                 f"({req.max_new_tokens}) exceeds "
+                                 f"max_seq_len {ecfg.max_seq_len}"}))
         return req
 
     async def h_health(request):

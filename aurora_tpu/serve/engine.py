@@ -245,6 +245,26 @@ class ServeEngine:
     def abort(self, rid: str) -> bool:
         return self.sched.abort(rid)
 
+    def fail_running(self) -> List[Request]:
+        """Tear down the in-flight batch after an unrecoverable step error
+        (slots freed, rows cleared, radix locks dropped); the waiting queue
+        is untouched. Returns the failed requests."""
+        failed = []
+        for req in list(self.sched.running):
+            self.sched.running.remove(req)
+            req.finished = FinishReason.ABORT
+            if 0 <= req.batch_row < len(self.rows) and \
+                    self.rows[req.batch_row] is req:
+                self.rows[req.batch_row] = None
+            if req.slots is not None and len(req.slots):
+                self.alloc.free(req.slots)
+                req.slots = None
+            if req.prefix_node is not None:
+                self.radix.lock(req.prefix_node, -1)
+                req.prefix_node = None
+            failed.append(req)
+        return failed
+
     def has_work(self) -> bool:
         return bool(self.sched.waiting or self.sched.running)
 
@@ -279,18 +299,42 @@ class ServeEngine:
             if row < 0:
                 self.sched.waiting.insert(0, req)
                 break
-            self._extend(req, row)
+            try:
+                self._extend(req, row)
+            except Exception as e:  # isolate the poison request
+                req.finished = FinishReason.ABORT
+                req.error = str(e)
+                if self.rows[row] is req:
+                    self.rows[row] = None
+                if req.slots is not None and len(req.slots):
+                    self.alloc.free(req.slots)
+                    req.slots = None
+                if req.prefix_node is not None:
+                    self.radix.lock(req.prefix_node, -1)
+                    req.prefix_node = None
+                self.sched.aborted.append(req)
+                continue
             self.sched.running.append(req)
 
     def _extend(self, req: Request, row: int) -> None:
         ids = np.asarray(req.input_ids, np.int64)
-        if req.prefix_slots is None and self.radix is not None:
-            req.prefix_slots, req.prefix_node = self.radix.match_prefix(
-                req.input_ids)
+        if len(ids) + req.max_new_tokens > self.ecfg.max_seq_len:
+            raise ValueError(
+                f"request {req.rid}: prompt ({len(ids)}) + max_new_tokens "
+                f"({req.max_new_tokens}) exceeds max_seq_len "
+                f"{self.ecfg.max_seq_len}")
+        # Always re-match immediately before locking: prefix_slots cached
+        # during LPM scheduling are NOT locked, so an earlier request's
+        # evictions may have freed them (sglang inc_lock_ref-at-match
+        # pattern; advisor round-1 high finding). Lock atomically with the
+        # match; req.prefix_node is only set once the lock is held so the
+        # _admit error path knows whether to unlock.
+        prefix_slots, prefix_node = self.radix.match_prefix(req.input_ids)
+        self.radix.lock(prefix_node, +1)
+        req.prefix_slots, req.prefix_node = prefix_slots, prefix_node
         n_cached = len(req.prefix_slots)
         if n_cached == len(ids):  # full hit: re-extend the last token
             n_cached -= 1
-        self.radix.lock(req.prefix_node, +1)
 
         n_new = len(ids) - n_cached
         need = n_new + req.max_new_tokens

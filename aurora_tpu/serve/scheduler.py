@@ -55,6 +55,7 @@ class Request:
     slots: Optional[np.ndarray] = None          # all owned slots (per token)
     batch_row: int = -1
     finished: Optional[FinishReason] = None
+    error: Optional[str] = None    # per-request failure (isolation path)
     stop_trim: Optional[str] = None
     # filled by fusion for multimodal requests
     pixel_values: Optional[np.ndarray] = None
@@ -90,6 +91,10 @@ class Scheduler:
         self.radix = radix_cache
         self.waiting: List[Request] = []
         self.running: List[Request] = []
+        # waiting-queue aborts / admission failures parked here so
+        # retire_finished still emits a 'done' event for them (the API
+        # layer awaits one per request)
+        self.aborted: List[Request] = []
 
     def add(self, req: Request) -> None:
         self.waiting.append(req)
@@ -99,6 +104,7 @@ class Scheduler:
             if req.rid == rid:
                 req.finished = FinishReason.ABORT
                 self.waiting.remove(req)
+                self.aborted.append(req)
                 return True
         for req in self.running:
             if req.rid == rid:
@@ -148,4 +154,6 @@ class Scheduler:
     def retire_finished(self) -> List[Request]:
         done = [r for r in self.running if r.finished is not None]
         self.running = [r for r in self.running if r.finished is None]
+        done.extend(self.aborted)
+        self.aborted = []
         return done

@@ -1,0 +1,86 @@
+"""Ragged (paged) attention kernel vs XLA oracle.
+
+Covers the serving engine's two modes — batched decode (T=1) and batched
+extend (T>1, per-row q_offsets) — plus GQA grouping, indirect row_ids and
+zero-length padded lanes. Parity target: the reference's Triton decode /
+extend kernels (sglang srt/layers/triton_attention/)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aurora_tpu.ops.pallas.ragged_attention import (
+    ragged_attention, ragged_attention_reference)
+
+
+def _rows(rng, B, Hkv, S, hd, dtype=jnp.float32):
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, hd)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, hd)), dtype)
+    return k, v
+
+
+@pytest.mark.parametrize("G", [1, 4])
+def test_decode_matches_reference(G):
+    rng = np.random.default_rng(0)
+    B, Hkv, S, hd = 4, 2, 256, 128
+    Hq = Hkv * G
+    k, v = _rows(rng, B, Hkv, S, hd)
+    lens = jnp.asarray([5, 130, 256, 1], jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, hd)), jnp.float32)
+    offs = lens - 1
+    rows = jnp.arange(B, dtype=jnp.int32)
+    got = ragged_attention(q, k, v, lens, offs, rows, chunk=128)
+    want = ragged_attention_reference(q, k, v, lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_extend_matches_reference_with_offsets():
+    rng = np.random.default_rng(1)
+    B, Hkv, S, hd, T = 3, 2, 256, 128, 32
+    k, v = _rows(rng, B, Hkv, S, hd)
+    # per-row cached prefix lengths; new tokens T appended after them
+    offs = jnp.asarray([0, 7, 100], jnp.int32)
+    lens = offs + T
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv, hd)), jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    got = ragged_attention(q, k, v, lens, offs, rows, chunk=128)
+    want = ragged_attention_reference(q, k, v, lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_indirect_rows_and_padded_lanes():
+    rng = np.random.default_rng(2)
+    B, Hkv, S, hd = 4, 1, 128, 128
+    k, v = _rows(rng, B, Hkv, S, hd)
+    # lane 0 reads KV row 3, lane 1 reads row 1; lane 2 is padding (len 0)
+    rows = jnp.asarray([3, 1, 0], jnp.int32)
+    lens = jnp.asarray([60, 128, 0], jnp.int32)
+    offs = jnp.maximum(lens - 1, 0)
+    q = jnp.asarray(rng.standard_normal((3, 1, Hkv, hd)), jnp.float32)
+    got = ragged_attention(q, k, v, lens, offs, rows, chunk=128)
+    want = ragged_attention_reference(q, k, v, lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got)[:2], np.asarray(want)[:2],
+                               atol=2e-5, rtol=2e-5)
+    assert np.all(np.isfinite(np.asarray(got)))  # padded lane: no NaNs
+
+
+def test_masking_ignores_garbage_beyond_length():
+    """Positions >= kv_lens must not affect the output (rows beyond a
+    request's length hold stale garbage by design)."""
+    rng = np.random.default_rng(3)
+    B, Hkv, S, hd = 2, 2, 128, 128
+    k, v = _rows(rng, B, Hkv, S, hd)
+    lens = jnp.asarray([40, 100], jnp.int32)
+    offs = lens - 1
+    q = jnp.asarray(rng.standard_normal((B, 1, Hkv, hd)), jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    base = ragged_attention(q, k, v, lens, offs, rows, chunk=128)
+    # poison everything beyond each row's length
+    k2 = k.at[0, :, 40:].set(1e4).at[1, :, 100:].set(1e4)
+    v2 = v.at[0, :, 40:].set(-1e4).at[1, :, 100:].set(-1e4)
+    poisoned = ragged_attention(q, k2, v2, lens, offs, rows, chunk=128)
+    np.testing.assert_allclose(np.asarray(base), np.asarray(poisoned),
+                               atol=1e-6)
