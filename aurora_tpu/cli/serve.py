@@ -68,9 +68,18 @@ def main():
         tokenizer = AutoTokenizer.from_pretrained(args.model_path)
 
     num_slots = args.num_slots
+    dtype_bytes = 2 if dtype == jnp.bfloat16 else 4
     if num_slots <= 0:
+        # budget covers row buffers (per-request contiguous KV) first;
+        # the remainder sizes the radix cache pool
         budget = int(4e9 * args.mem_fraction)  # conservative default
-        num_slots = kv_pool_size_for_memory(cfg, budget)
+        probe = EngineConfig(max_batch=args.max_batch,
+                             max_seq_len=args.max_seq_len, num_slots=1)
+        rows_bytes = (2 * cfg.num_hidden_layers * args.max_batch
+                      * cfg.num_key_value_heads * probe.s_row
+                      * cfg.head_dim * dtype_bytes)
+        num_slots = kv_pool_size_for_memory(
+            cfg, max(budget - rows_bytes, 1), dtype_bytes)
     ecfg = EngineConfig(max_batch=args.max_batch,
                         max_seq_len=args.max_seq_len,
                         num_slots=num_slots,

@@ -17,12 +17,18 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class SamplingParams:
-    """Static sampling configuration (compiled into the decode step)."""
+    """Per-request sampling configuration. The serving engine applies the
+    FULL surface on device (srt/layers/sampler.py + srt/sampling/
+    penaltylib parity): penalties run over per-row token histograms, and
+    min_new_tokens suppresses eos until satisfied."""
     temperature: float = 0.0          # 0 → greedy (HF do_sample=False)
     top_k: int = 0                    # 0 → disabled
     top_p: float = 1.0
     min_p: float = 0.0
-    repetition_penalty: float = 1.0   # applied by the serving engine
+    repetition_penalty: float = 1.0   # HF/CTRL style, prompt+output
+    frequency_penalty: float = 0.0    # OpenAI style, output histogram
+    presence_penalty: float = 0.0     # OpenAI style, output presence
+    min_new_tokens: int = 0           # suppress eos below this length
 
     @property
     def is_greedy(self) -> bool:

@@ -99,9 +99,37 @@ def _sampling_from(body: Dict[str, Any]) -> SamplingParams:
     temp = float(body.get("temperature", 0.0))
     if not body.get("do_sample", True):
         temp = 0.0
-    return SamplingParams(temperature=temp,
-                          top_p=float(body.get("top_p", 1.0)),
-                          top_k=int(body.get("top_k", 0)))
+    return SamplingParams(
+        temperature=temp,
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        min_p=float(body.get("min_p", 0.0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        frequency_penalty=float(body.get("frequency_penalty", 0.0)),
+        presence_penalty=float(body.get("presence_penalty", 0.0)),
+        min_new_tokens=int(body.get("min_new_tokens", 0)))
+
+
+def _logprobs_payload(loop_, req, chat: bool = False):
+    """OpenAI-format logprobs block for a finished request."""
+    if not req.logprobs:
+        return None
+    toks = [loop_.tokenizer.decode([t]) for t in req.output_ids]
+    if chat:
+        content = []
+        for t, lp, top in zip(toks, req.output_logprobs,
+                              req.output_top_logprobs):
+            content.append({
+                "token": t, "logprob": lp,
+                "top_logprobs": [
+                    {"token": loop_.tokenizer.decode([i]), "logprob": v}
+                    for i, v in top]})
+        return {"content": content}
+    return {"tokens": toks,
+            "token_logprobs": req.output_logprobs,
+            "top_logprobs": [
+                {loop_.tokenizer.decode([i]): v for i, v in top}
+                for top in req.output_top_logprobs]}
 
 
 def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
@@ -126,6 +154,11 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             from aurora_tpu.serve.constrained import ChoiceConstraint
             constraint = ChoiceConstraint.from_strings(
                 loop_.tokenizer, body["choices_constraint"])
+        elif body.get("regex"):
+            from aurora_tpu.serve.fsm import RegexConstraint
+            constraint = RegexConstraint(
+                body["regex"], loop_.tokenizer,
+                loop_.engine.cfg.vocab_size, eos_ids=eos_default)
         return Request(
             constraint=constraint,
             rid=body.get("rid", uuid.uuid4().hex),
@@ -133,6 +166,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             sampling=_sampling_from(body),
             max_new_tokens=int(body.get("max_new_tokens",
                                         body.get("max_tokens", 128))),
+            logprobs=bool(body.get("logprobs")),
             eos_ids=eos_default, stop_strs=tuple(stop), stream=stream)
 
     async def run_request(req: Request):
@@ -158,12 +192,16 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             req = make_request(ids, body, stream=bool(body.get("stream")))
         if not req.stream:
             done = await run_request(req)
+            meta = {"finish_reason": done.finished.value,
+                    "prompt_tokens": len(done.input_ids),
+                    "completion_tokens": len(done.output_ids)}
+            if done.logprobs:
+                meta["output_token_logprobs"] = done.output_logprobs
+                meta["output_top_logprobs"] = done.output_top_logprobs
             return web.json_response({
                 "text": loop_.detok(done.output_ids, done),
                 "output_ids": done.output_ids,
-                "meta_info": {"finish_reason": done.finished.value,
-                              "prompt_tokens": len(done.input_ids),
-                              "completion_tokens": len(done.output_ids)}})
+                "meta_info": meta})
         return await _stream_response(request, req, openai=None)
 
     async def _stream_response(request, req, openai):
@@ -212,6 +250,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             "created": int(time.time()), "model": model_name,
             "choices": [{"index": 0,
                          "text": loop_.detok(done.output_ids, done),
+                         "logprobs": _logprobs_payload(loop_, done),
                          "finish_reason": done.finished.value}],
             "usage": {"prompt_tokens": len(done.input_ids),
                       "completion_tokens": len(done.output_ids),
@@ -220,12 +259,10 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
     async def h_chat(request):
         body = await request.json()
         msgs = body.get("messages", [])
-        system = " ".join(m["content"] for m in msgs
-                          if m["role"] == "system")
-        turns = [m["content"] for m in msgs if m["role"] == "user"]
-        tpl = PROMPT_TEMPLATE.vicuna
-        prompt = tpl["SYSTEM"].format(system=system) if system else ""
-        prompt += tpl["INSTRUCTION"].format(input=" ".join(turns), round=1)
+        from aurora_tpu.utils.templates import render_conversation
+        tpl = getattr(PROMPT_TEMPLATE, body.get("chat_template", "vicuna"),
+                      PROMPT_TEMPLATE.vicuna)
+        prompt = render_conversation(tpl, msgs)
         ids = loop_.tokenizer.encode(prompt)
         req = make_request(ids, body, stream=bool(body.get("stream")))
         if req.stream:
@@ -238,6 +275,8 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
                          "message": {"role": "assistant",
                                      "content":
                                      loop_.detok(done.output_ids, done)},
+                         "logprobs": _logprobs_payload(loop_, done,
+                                                       chat=True),
                          "finish_reason": done.finished.value}],
             "usage": {"prompt_tokens": len(done.input_ids),
                       "completion_tokens": len(done.output_ids),
@@ -296,6 +335,36 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         ok = loop_.engine.abort(body.get("rid", ""))
         return web.json_response({"aborted": ok})
 
+    async def h_flush_cache(request):
+        remaining = loop_.engine.flush_cache()
+        return web.json_response({"flushed": True,
+                                  "cached_tokens": remaining})
+
+    async def h_update_weights(request):
+        """Live weight reload with rollback (sglang /update_weights,
+        model_runner.py:230-316). Body: {"model_dir": "<HF llama dir>"}.
+        Waits briefly for the running batch to drain, then swaps."""
+        body = await request.json()
+        try:
+            from aurora_tpu.models.convert import (llama_params_from_hf,
+                                                   load_torch_state_dict)
+            sd = load_torch_state_dict(body["model_dir"])
+            new_params = llama_params_from_hf(
+                sd, loop_.engine.cfg,
+                dtype=loop_.engine.params["embed_tokens"].dtype)
+        except Exception as e:
+            return web.json_response(
+                {"success": False, "message": f"load failed: {e}"},
+                status=400)
+        deadline = time.monotonic() + float(body.get("drain_timeout", 10))
+        while True:
+            ok, msg = loop_.engine.update_weights(new_params)
+            if ok or time.monotonic() > deadline:
+                break
+            await asyncio.sleep(0.05)
+        return web.json_response({"success": ok, "message": msg},
+                                 status=200 if ok else 409)
+
     app = web.Application()
     app.router.add_post("/generate", h_generate)
     app.router.add_post("/v1/completions", h_completions)
@@ -303,6 +372,8 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
     app.router.add_get("/health", h_health)
     app.router.add_get("/get_model_info", h_model_info)
     app.router.add_post("/abort_request", h_abort)
+    app.router.add_post("/flush_cache", h_flush_cache)
+    app.router.add_post("/update_weights", h_update_weights)
     return app
 
 

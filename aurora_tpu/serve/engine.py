@@ -2,21 +2,34 @@
 
 Replaces the reference's ModelRunner + RadixAttention + CUDA-graph decode
 (src/sglang/python/sglang/srt/model_executor/model_runner.py:486-584,
-srt/layers/radix_attention.py:31-218, cuda_graph_runner.py) with two
-compiled XLA programs over a flat KV slot pool:
+srt/layers/radix_attention.py:31-218, cuda_graph_runner.py) with compiled
+XLA programs over ROW-CONTIGUOUS per-request KV:
 
-  * EXTEND — one request per call, prompt bucketed to static lengths;
-    computes fresh KV, scatters it into the pool, attends over
-    radix-cached prefix slots + the new tokens, returns last-token logits.
-  * DECODE — whole running batch, one token per request per step; KV
-    written at slot_table[b, seq_len_b], attention gathers each row's
-    slots. Static [max_batch, max_seq_len] shapes → ONE compiled program
-    replayed every step (the role CUDA graphs play in the reference, free
-    under XLA).
+  * Each running request owns one row of a [L, B, Hkv, S, hd] KV buffer.
+    Attention (both EXTEND and DECODE) runs through the Pallas ragged
+    paged-attention kernel (ops/pallas/ragged_attention.py), which streams
+    each row's contiguous KV stripe at HBM bandwidth and clamps reads to
+    the row's live length — the TPU-native answer to paged attention
+    (the reference gets this from FlashInfer/Triton,
+    srt/layers/triton_attention/decode_attention.py:1-649).
+  * EXTEND is BATCHED: all admitted requests in a wave run through ONE
+    kernel call (lanes indexed by row_ids / q_offsets), tp_worker.py
+    get_new_prefill_batch/forward_prefill_batch parity (:411-570); only
+    oversize prompts fall back to per-request chunked prefill.
+  * DECODE is one compiled program for the whole batch with sampling FUSED
+    in: per-row temperature/top-k/top-p/min-p, frequency/presence/
+    repetition penalties over on-device token histograms, and per-token
+    logprobs — the full sampler surface (srt/layers/sampler.py:1-181 +
+    srt/sampling/penaltylib parity) with zero extra device round-trips.
+  * The radix prefix cache keeps its own flat slot pool ([L, slots, Hkv,
+    hd]); prompt KV is copied row→pool at release (best-effort insert) and
+    pool→row at admit on a prefix hit. Decode tokens never touch the pool,
+    so decoding allocates nothing.
 
-The KV pool arrays are threaded functionally through the steps with donated
-buffers, so updates are in-place on device. Sampling runs on-device with
-per-row temperature/top-p (request-level sampling params without recompiles).
+Static [max_batch, S_row] shapes → ONE compiled decode program replayed
+every step (the role CUDA graphs play in the reference, free under XLA).
+KV buffers are threaded functionally through the steps with donated
+arguments, so updates are in-place on device.
 """
 
 from __future__ import annotations
@@ -31,6 +44,7 @@ import numpy as np
 
 from aurora_tpu.models.llama import LlamaConfig
 from aurora_tpu.ops.norms import rms_norm
+from aurora_tpu.ops.pallas.ragged_attention import ragged_attention
 from aurora_tpu.ops.rope import apply_rope, rope_cos_sin
 from aurora_tpu.serve.kv_pool import KVPool, SlotAllocator
 from aurora_tpu.serve.radix_cache import RadixCache
@@ -38,6 +52,8 @@ from aurora_tpu.serve.scheduler import (FinishReason, Request, Scheduler,
                                         SchedulePolicy)
 
 Params = Dict[str, Any]
+
+_TOPK_LOGPROBS = 5  # top-alternatives returned per sampled token
 
 
 def _make_radix(free_slots):
@@ -56,15 +72,22 @@ def _make_radix(free_slots):
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
     max_batch: int = 8
-    max_seq_len: int = 2048          # slot-table width per request
-    num_slots: int = 32768
+    max_seq_len: int = 2048          # per-request KV row capacity
+    num_slots: int = 8192            # radix-cache pool (prefix KV only)
     prefill_buckets: Tuple[int, ...] = (32, 128, 512, 2048)
     policy: SchedulePolicy = SchedulePolicy.LPM
     kv_dtype: Any = jnp.bfloat16
+    kv_chunk: int = 512              # ragged-kernel KV chunk width
+
+    @property
+    def s_row(self) -> int:
+        """KV row width: max_seq_len rounded up to a chunk multiple."""
+        c = min(self.kv_chunk, self.max_seq_len)
+        return -(-self.max_seq_len // c) * c
 
 
 # ---------------------------------------------------------------------------
-# Pool-aware llama forward pieces
+# Row-KV llama forward
 # ---------------------------------------------------------------------------
 
 def _qkv(cfg: LlamaConfig, lp, h):
@@ -93,120 +116,233 @@ def _mlp(cfg: LlamaConfig, lp, x):
                        preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _pool_attention(cfg: LlamaConfig, q, pk_l, pv_l, slot_table, kv_mask,
-                    q_pos):
-    """q: [B, T, H, hd]; pool layer pk/pv: [num_slots, Hkv, hd];
-    slot_table: [B, Smax]; kv_mask: [B, Smax] bool valid slots;
-    q_pos: [B, T] global positions (causal vs slot index)."""
-    B, T, H, hd = q.shape
-    k = pk_l[slot_table]                      # [B, Smax, Hkv, hd]
-    v = pv_l[slot_table]
-    if cfg.num_key_value_heads != H:
-        rep = H // cfg.num_key_value_heads
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-    scale = hd ** -0.5
-    logits = jnp.einsum("bthd,bshd->bhts", q.astype(k.dtype) * scale, k,
-                        preferred_element_type=jnp.float32)
-    kv_pos = jnp.arange(slot_table.shape[1])[None, None, None, :]
-    mask = kv_mask[:, None, None, :] & (kv_pos <= q_pos[:, None, :, None])
-    logits = jnp.where(mask, logits, -2.38e38)
-    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhts,bshd->bthd", probs, v)
+def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows_k, rows_v,
+                  row_ids, q_offsets, kv_lens, chunk):
+    """Shared EXTEND/DECODE forward over row-contiguous KV.
 
-
-def _forward_pool(params: Params, cfg: LlamaConfig, embeds, pk, pv,
-                  slot_table, write_slots, kv_mask, positions):
-    """Shared EXTEND/DECODE forward.
-
-    embeds [B, T, D]; write_slots [B, T] pool indices for the new tokens;
-    kv_mask [B, Smax] validity AFTER the new tokens are in the table;
-    positions [B, T] global positions of the new tokens.
-    Returns (logits [B, T, V] fp32, pk, pv).
+    embeds    [Bk, T, D] — new-token embeddings per lane
+    rows_k/v  [L, B, Hkv, S_row, hd]
+    row_ids   [Bk] — KV row per lane
+    q_offsets [Bk] — global position of embeds[:, 0]
+    kv_lens   [Bk] — row length AFTER the new tokens (0 = padded lane)
+    Returns (last hidden [Bk, D], rows_k, rows_v). Write positions past a
+    lane's valid length (query padding) go out of bounds and are dropped.
     """
     x = embeds
+    Bk, T, _ = x.shape
+    S_row = rows_k.shape[3]
+    positions = q_offsets[:, None] + jnp.arange(T)[None, :]       # [Bk, T]
+    wpos = jnp.where(positions < kv_lens[:, None], positions, S_row)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
                             cfg.rope_linear_scaling, dtype=jnp.float32)
+    ridx = row_ids[:, None]
 
     def layer(x, xs):
-        lp, pk_l, pv_l = xs
+        lp, rk_l, rv_l = xs
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, h)
         q, k = apply_rope(q, k, cos, sin)
-        flat = write_slots.reshape(-1)
-        pk_l = pk_l.at[flat].set(
-            k.reshape(-1, *k.shape[2:]).astype(pk_l.dtype))
-        pv_l = pv_l.at[flat].set(
-            v.reshape(-1, *v.shape[2:]).astype(pv_l.dtype))
-        attn = _pool_attention(cfg, q, pk_l, pv_l, slot_table, kv_mask,
-                               positions)
-        B, T, _, _ = attn.shape
-        attn = jnp.dot(attn.reshape(B, T, -1).astype(x.dtype), lp["o"],
+        # advanced indices around the head slice move to the front:
+        # rk_l[ridx, :, wpos] has shape [Bk, T, Hkv, hd] == k
+        rk_l = rk_l.at[ridx, :, wpos].set(k.astype(rk_l.dtype),
+                                          mode="drop")
+        rv_l = rv_l.at[ridx, :, wpos].set(v.astype(rv_l.dtype),
+                                          mode="drop")
+        attn = ragged_attention(q, rk_l, rv_l, kv_lens, q_offsets,
+                                row_ids, chunk=chunk)
+        attn = jnp.dot(attn.reshape(Bk, T, -1).astype(x.dtype), lp["o"],
                        preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + attn
-        return _mlp(cfg, lp, x), (pk_l, pv_l)
+        return _mlp(cfg, lp, x), (rk_l, rv_l)
 
-    x, (pk, pv) = jax.lax.scan(layer, x, (params["layers"], pk, pv))
+    x, (rows_k, rows_v) = jax.lax.scan(layer, x, (params["layers"],
+                                                  rows_k, rows_v))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    # last valid token per lane (lanes may be partially padded)
+    last = jnp.clip(kv_lens - q_offsets - 1, 0, T - 1)
+    x = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
+    return x, rows_k, rows_v
+
+
+def _lm_head(params, cfg, x):
     head = (params["embed_tokens"].T if cfg.tie_word_embeddings
             else params["lm_head"])
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
-    return logits, pk, pv
+    return jnp.dot(x, head, preferred_element_type=jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",),
-                   donate_argnums=(2, 3))
-def _extend_step(params, embeds, pk, pv, slot_table, write_slots,
-                 kv_mask, positions, last_idx, cfg):
-    logits, pk, pv = _forward_pool(params, cfg, embeds, pk, pv,
-                                   slot_table, write_slots, kv_mask,
-                                   positions)
-    last = jnp.take_along_axis(logits, last_idx[:, None, None],
-                               axis=1)[:, 0]
-    return last, pk, pv
+# ---------------------------------------------------------------------------
+# Sampling core (full surface, fused on device)
+# ---------------------------------------------------------------------------
 
+def _sample_core(logits, counts, seen, samp, allowed, key):
+    """logits [N, V] fp32 → (sampled [N], tok_logprob [N], top-k ids/lps).
 
-@functools.partial(jax.jit, static_argnames=("cfg",),
-                   donate_argnums=(2, 3))
-def _decode_step(params, tokens, pk, pv, slot_table, write_slots,
-                 kv_mask, positions, cfg):
-    embeds = jnp.take(params["embed_tokens"], tokens[:, None], axis=0)
-    logits, pk, pv = _forward_pool(params, cfg, embeds, pk, pv,
-                                   slot_table, write_slots, kv_mask,
-                                   positions)
-    return logits[:, 0], pk, pv
+    Applies, per row: repetition penalty (prompt+output presence `seen`),
+    frequency/presence penalties (output histogram `counts`), constraint
+    mask, temperature, top-k, top-p, min-p — srt/layers/sampler.py:1-181 +
+    srt/sampling/penaltylib parity. Logprobs are reported from the RAW
+    model distribution (pre-penalty), as the reference's logits processor
+    does.
+    """
+    N, V = logits.shape
+    raw_lp = jax.nn.log_softmax(logits, axis=-1)
 
+    rep = samp["rep"][:, None]
+    logits = jnp.where(seen,
+                       jnp.where(logits > 0, logits / rep, logits * rep),
+                       logits)
+    logits = logits - samp["freq"][:, None] * counts
+    logits = logits - samp["pres"][:, None] * (counts > 0)
+    if allowed is not None:
+        logits = jnp.where(allowed, logits, -jnp.inf)
 
-def _decode_buckets(max_seq_len: int):
-    """KV gather widths: power-of-two steps from 256 up to max_seq_len.
-    Short sequences read a fraction of the slot table — the TPU analog of
-    paged attention's read-only-what-exists property."""
-    out = []
-    b = 256
-    while b < max_seq_len:
-        out.append(b)
-        b *= 2
-    out.append(max_seq_len)
-    return out
-
-
-@jax.jit
-def _sample_dynamic(logits, temps, top_ps, key, allowed_mask=None):
-    """Per-row temperature / top-p; temp == 0 → greedy. logits [B, V].
-    allowed_mask [B, V] bool restricts candidates (constrained decode)."""
-    if allowed_mask is not None:
-        logits = jnp.where(allowed_mask, logits, -jnp.inf)
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    lt = logits / jnp.maximum(temps[:, None], 1e-6)
-    sorted_l = jnp.sort(lt, axis=-1)[:, ::-1]
-    probs = jax.nn.softmax(sorted_l, axis=-1)
+    lt = logits / jnp.maximum(samp["temp"][:, None], 1e-6)
+    sl = jnp.sort(lt, axis=-1)[:, ::-1]
+    # top-k: mask below the k-th largest (k == 0 → disabled)
+    ks = samp["top_k"]
+    kth = jnp.take_along_axis(sl, jnp.clip(ks - 1, 0, V - 1)[:, None],
+                              axis=-1)
+    lt = jnp.where((ks[:, None] > 0) & (lt < kth), -jnp.inf, lt)
+    rank = jnp.arange(V)[None, :]
+    sl = jnp.where((ks[:, None] > 0) & (rank >= ks[:, None]), -jnp.inf, sl)
+    # top-p over the (top-k filtered) sorted logits
+    probs = jax.nn.softmax(sl, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
-    cut = (cum - probs) > top_ps[:, None]
-    thresh = jnp.min(jnp.where(cut, sorted_l, jnp.inf), axis=-1,
-                     keepdims=True)
+    cut = (cum - probs) > samp["top_p"][:, None]
+    thresh = jnp.min(jnp.where(cut, sl, jnp.inf), axis=-1, keepdims=True)
+    # no cutoff (top_p == 1 keeps everything) → threshold must not mask
+    thresh = jnp.where(jnp.isinf(thresh), -jnp.inf, thresh)
     lt = jnp.where(lt < thresh, -jnp.inf, lt)
+    # min-p: drop tokens below min_p × max-prob
+    pmax = probs[:, :1]
+    lp_lt = jax.nn.log_softmax(lt, axis=-1)
+    lt = jnp.where(
+        (samp["min_p"][:, None] > 0)
+        & (jnp.exp(lp_lt) < samp["min_p"][:, None] * pmax),
+        -jnp.inf, lt)
+
     sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
-    return jnp.where(temps <= 0.0, greedy, sampled)
+    sampled = jnp.where(samp["temp"] <= 0.0, greedy, sampled)
+    tok_lp = jnp.take_along_axis(raw_lp, sampled[:, None], axis=-1)[:, 0]
+    top_lp, top_ids = jax.lax.top_k(raw_lp, _TOPK_LOGPROBS)
+    return sampled, tok_lp, top_lp, top_ids
+
+
+def _samp_arrays(reqs, n, rows=None):
+    """Stack per-request SamplingParams into device-ready [n] arrays.
+    rows: optional row index per request (dense lanes when None)."""
+    out = {"temp": np.zeros(n, np.float32),
+           "top_k": np.zeros(n, np.int32),
+           "top_p": np.ones(n, np.float32),
+           "min_p": np.zeros(n, np.float32),
+           "freq": np.zeros(n, np.float32),
+           "pres": np.zeros(n, np.float32),
+           "rep": np.ones(n, np.float32)}
+    for i, r in enumerate(reqs):
+        j = i if rows is None else rows[i]
+        s = r.sampling
+        out["temp"][j] = s.temperature
+        out["top_k"][j] = s.top_k
+        out["top_p"][j] = s.top_p
+        out["min_p"][j] = s.min_p
+        out["freq"][j] = s.frequency_penalty
+        out["pres"][j] = s.presence_penalty
+        out["rep"][j] = s.repetition_penalty
+    return {k: jnp.asarray(v) for k, v in out.items()}
+
+
+# ---------------------------------------------------------------------------
+# Compiled steps
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"),
+                   donate_argnums=(1, 2))
+def _extend_step(params, rows_k, rows_v, embeds, row_ids, q_offsets,
+                 kv_lens, cfg, chunk):
+    x, rows_k, rows_v = _forward_rows(params, cfg, embeds, rows_k, rows_v,
+                                      row_ids, q_offsets, kv_lens, chunk)
+    return _lm_head(params, cfg, x), rows_k, rows_v
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"),
+                   donate_argnums=(1, 2, 3, 4))
+def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
+                 active, samp, allowed, key, cfg, chunk):
+    """One token for every active row, sampling fused in.
+    tokens [B] last sampled ids; positions [B] their write positions;
+    active [B] bool. Returns sampled ids + logprobs + updated buffers."""
+    B = tokens.shape[0]
+    embeds = jnp.take(params["embed_tokens"], tokens, axis=0)[:, None]
+    embeds = embeds.astype(rows_k.dtype)
+    row_ids = jnp.arange(B, dtype=jnp.int32)
+    kv_lens = jnp.where(active, positions + 1, 0)
+    x, rows_k, rows_v = _forward_rows(params, cfg, embeds, rows_k, rows_v,
+                                      row_ids, positions, kv_lens, chunk)
+    logits = _lm_head(params, cfg, x)
+    sampled, tok_lp, top_lp, top_ids = _sample_core(
+        logits, counts.astype(jnp.float32), seen, samp, allowed, key)
+    upd = active.astype(counts.dtype)
+    counts = counts.at[row_ids, sampled].add(upd)
+    seen = seen.at[row_ids, sampled].max(active)
+    return (sampled, tok_lp, top_lp, top_ids, counts, seen,
+            rows_k, rows_v)
+
+
+@functools.partial(jax.jit, donate_argnums=(1, 2))
+def _sample_after_extend(logits, counts, seen, row_ids, samp, allowed,
+                         key):
+    """First token for freshly extended lanes (logits [Bk, V])."""
+    sampled, tok_lp, top_lp, top_ids = _sample_core(
+        logits, counts[row_ids].astype(jnp.float32), seen[row_ids], samp,
+        allowed, key)
+    counts = counts.at[row_ids, sampled].add(1)
+    seen = seen.at[row_ids, sampled].max(True)
+    return sampled, tok_lp, top_lp, top_ids, counts, seen
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _load_prefix(rows_k, rows_v, cache_k, cache_v, slots, row, start,
+                 n_valid):
+    """Copy a radix-cached prefix chunk (pool slots) into row positions
+    [start, start+n_valid). Padded slot entries (i >= n_valid) are routed
+    to an out-of-bounds position and dropped."""
+    nb = slots.shape[0]
+    S_row = rows_k.shape[3]
+    k = jnp.take(cache_k, slots, axis=1)         # [L, nb, Hkv, hd]
+    v = jnp.take(cache_v, slots, axis=1)
+    i = jnp.arange(nb)
+    pos = jnp.where(i < n_valid, start + i, S_row)
+    # advanced indices (row scalar, pos [nb]) around slices move to front:
+    # target shape [nb, L, Hkv, hd]
+    rows_k = rows_k.at[:, row, :, pos].set(
+        k.transpose(1, 0, 2, 3).astype(rows_k.dtype), mode="drop")
+    rows_v = rows_v.at[:, row, :, pos].set(
+        v.transpose(1, 0, 2, 3).astype(rows_v.dtype), mode="drop")
+    return rows_k, rows_v
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _store_prompt(cache_k, cache_v, rows_k, rows_v, row, start, slots):
+    """Copy row KV positions [start, start+nb) into pool slots (release-
+    time radix insert). slots entries == num_slots are dropped (padding)."""
+    S_row = rows_k.shape[3]
+    nb = slots.shape[0]
+    pos = jnp.clip(start + jnp.arange(nb), 0, S_row - 1)
+    k = rows_k[:, row][:, :, pos].transpose(0, 2, 1, 3)  # [L, nb, Hkv, hd]
+    v = rows_v[:, row][:, :, pos].transpose(0, 2, 1, 3)
+    cache_k = cache_k.at[:, slots].set(k.astype(cache_k.dtype),
+                                       mode="drop")
+    cache_v = cache_v.at[:, slots].set(v.astype(cache_v.dtype),
+                                       mode="drop")
+    return cache_k, cache_v
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _reset_row_stats(counts, seen, row, prompt_seen):
+    counts = counts.at[row].set(0)
+    seen = seen.at[row].set(prompt_seen)
+    return counts, seen
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +350,7 @@ def _sample_dynamic(logits, temps, top_ps, key, allowed_mask=None):
 # ---------------------------------------------------------------------------
 
 class ServeEngine:
-    """Single-host engine: schedule → extend/decode → sample → stream."""
+    """Single-host engine: schedule → batched extend / decode → stream."""
 
     def __init__(self, params: Params, cfg: LlamaConfig,
                  ecfg: EngineConfig = EngineConfig(),
@@ -224,15 +360,20 @@ class ServeEngine:
         self.ecfg = ecfg
         self.tokenizer = tokenizer  # needed only for stop_strs matching
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype)
-        # last slot is a write-trash target for padded lanes, never allocated
-        self.alloc = SlotAllocator(ecfg.num_slots - 1)
+        self.alloc = SlotAllocator(ecfg.num_slots)
         self.radix = _make_radix(self.alloc.free)
-        self.sched = Scheduler(ecfg.max_batch, ecfg.num_slots,
+        self.sched = Scheduler(ecfg.max_batch,
+                               ecfg.max_batch * ecfg.max_seq_len,
                                ecfg.policy, self.radix)
         self.embed_fn = embed_fn  # multimodal hook: req → [T, D] embeds
-        B, S = ecfg.max_batch, ecfg.max_seq_len
-        self.slot_table = np.zeros((B, S), np.int32)
-        self.seq_lens = np.zeros((B,), np.int32)
+        B, S = ecfg.max_batch, ecfg.s_row
+        L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        self.rows_k = jnp.zeros((L, B, Hkv, S, hd), ecfg.kv_dtype)
+        self.rows_v = jnp.zeros((L, B, Hkv, S, hd), ecfg.kv_dtype)
+        self.counts = jnp.zeros((B, cfg.vocab_size), jnp.int32)
+        self.seen = jnp.zeros((B, cfg.vocab_size), bool)
+        self.chunk = min(ecfg.kv_chunk, S)
         self.rows: List[Optional[Request]] = [None] * B
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
@@ -247,8 +388,8 @@ class ServeEngine:
 
     def fail_running(self) -> List[Request]:
         """Tear down the in-flight batch after an unrecoverable step error
-        (slots freed, rows cleared, radix locks dropped); the waiting queue
-        is untouched. Returns the failed requests."""
+        (rows cleared, radix locks dropped); the waiting queue is
+        untouched. Returns the failed requests."""
         failed = []
         for req in list(self.sched.running):
             self.sched.running.remove(req)
@@ -256,9 +397,6 @@ class ServeEngine:
             if 0 <= req.batch_row < len(self.rows) and \
                     self.rows[req.batch_row] is req:
                 self.rows[req.batch_row] = None
-            if req.slots is not None and len(req.slots):
-                self.alloc.free(req.slots)
-                req.slots = None
             if req.prefix_node is not None:
                 self.radix.lock(req.prefix_node, -1)
                 req.prefix_node = None
@@ -268,10 +406,47 @@ class ServeEngine:
     def has_work(self) -> bool:
         return bool(self.sched.waiting or self.sched.running)
 
+    def flush_cache(self) -> int:
+        """Drop all unlocked radix-cached prefixes (sglang /flush_cache).
+        Returns the number of cached tokens remaining (locked paths)."""
+        self.radix.evict(self.ecfg.num_slots)
+        return self.radix.total_cached_tokens()
+
+    def update_weights(self, new_params: Params) -> Tuple[bool, str]:
+        """Live weight reload with rollback (model_runner.py:230-316
+        parity): the new pytree must match the current structure and
+        shapes exactly; on any mismatch the old weights stay. The radix
+        cache is flushed (its KV was computed by the old weights).
+        Refuses while requests are running — their KV would silently mix
+        two models."""
+        if self.sched.running:
+            return False, "requests in flight; retry when idle"
+        old = self.params
+        try:
+            paths_old = jax.tree_util.tree_leaves_with_path(old)
+            paths_new = jax.tree_util.tree_leaves_with_path(new_params)
+            if (jax.tree_util.tree_structure(old)
+                    != jax.tree_util.tree_structure(new_params)):
+                raise ValueError("parameter tree structure mismatch")
+            for (kp, a), (_, b) in zip(paths_old, paths_new):
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"shape mismatch at {jax.tree_util.keystr(kp)}: "
+                        f"{a.shape} vs {b.shape}")
+            self.params = jax.tree.map(
+                lambda a, b: jnp.asarray(b, a.dtype), old, new_params)
+            self.flush_cache()
+            return True, "weights updated"
+        except Exception as e:  # rollback
+            self.params = old
+            return False, str(e)
+
     def step(self) -> List[Request]:
         """One engine iteration → requests finished this step."""
         self._admit()
+        self._jump_forwards()
         self._decode()
+        self._jump_forwards()
         done = []
         for req in self.sched.retire_finished():
             self._release(req)
@@ -292,32 +467,62 @@ class ServeEngine:
                 return b
         return max(self.ecfg.prefill_buckets)  # chunked prefill
 
+    @staticmethod
+    def _lane_bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def _admit(self) -> None:
-        admitted = self.sched.get_prefill_batch(self.alloc.available())
+        free_rows = sum(r is None for r in self.rows)
+        admitted = self.sched.get_prefill_batch(
+            free_rows * self.ecfg.max_seq_len)
+        wave: List[Request] = []
+        max_bucket = max(self.ecfg.prefill_buckets)
         for req in admitted:
             row = self._free_row()
             if row < 0:
                 self.sched.waiting.insert(0, req)
-                break
-            try:
-                self._extend(req, row)
-            except Exception as e:  # isolate the poison request
-                req.finished = FinishReason.ABORT
-                req.error = str(e)
-                if self.rows[row] is req:
-                    self.rows[row] = None
-                if req.slots is not None and len(req.slots):
-                    self.alloc.free(req.slots)
-                    req.slots = None
-                if req.prefix_node is not None:
-                    self.radix.lock(req.prefix_node, -1)
-                    req.prefix_node = None
-                self.sched.aborted.append(req)
                 continue
-            self.sched.running.append(req)
+            try:
+                n_cached = self._prepare(req, row)
+            except Exception as e:  # isolate the poison request
+                self._abort_admission(req, row, e)
+                continue
+            if req.extend_len_pending > max_bucket:
+                # oversize prompt: per-request chunked prefill
+                try:
+                    self._extend_chunked(req, n_cached)
+                except Exception as e:
+                    self._abort_admission(req, row, e)
+                    continue
+                self.sched.running.append(req)
+            else:
+                wave.append(req)
+        if wave:
+            try:
+                self._extend_wave(wave)
+            except Exception as e:
+                for req in wave:
+                    self._abort_admission(req, req.batch_row, e)
+                return
+            self.sched.running.extend(wave)
 
-    def _extend(self, req: Request, row: int) -> None:
-        ids = np.asarray(req.input_ids, np.int64)
+    def _abort_admission(self, req: Request, row: int, e: Exception):
+        req.finished = FinishReason.ABORT
+        req.error = str(e)
+        if 0 <= row < len(self.rows) and self.rows[row] is req:
+            self.rows[row] = None
+        if req.prefix_node is not None:
+            self.radix.lock(req.prefix_node, -1)
+            req.prefix_node = None
+        self.sched.aborted.append(req)
+
+    def _prepare(self, req: Request, row: int) -> int:
+        """Claim a row: lock + load the radix prefix, reset sampling stats.
+        Returns n_cached. Raises on invalid requests (isolated upstream)."""
+        ids = req.input_ids
         if len(ids) + req.max_new_tokens > self.ecfg.max_seq_len:
             raise ValueError(
                 f"request {req.rid}: prompt ({len(ids)}) + max_new_tokens "
@@ -326,167 +531,228 @@ class ServeEngine:
         # Always re-match immediately before locking: prefix_slots cached
         # during LPM scheduling are NOT locked, so an earlier request's
         # evictions may have freed them (sglang inc_lock_ref-at-match
-        # pattern; advisor round-1 high finding). Lock atomically with the
-        # match; req.prefix_node is only set once the lock is held so the
-        # _admit error path knows whether to unlock.
-        prefix_slots, prefix_node = self.radix.match_prefix(req.input_ids)
+        # pattern). req.prefix_node is only set once the lock is held so
+        # the _admit error path knows whether to unlock.
+        prefix_slots, prefix_node = self.radix.match_prefix(ids)
         self.radix.lock(prefix_node, +1)
         req.prefix_slots, req.prefix_node = prefix_slots, prefix_node
-        n_cached = len(req.prefix_slots)
+        n_cached = len(prefix_slots)
         if n_cached == len(ids):  # full hit: re-extend the last token
             n_cached -= 1
-
-        n_new = len(ids) - n_cached
-        need = n_new + req.max_new_tokens
-        if self.alloc.available() < need:
-            self.radix.evict(need - self.alloc.available())
-        new_slots = self.alloc.alloc(n_new)
-        assert new_slots is not None, "KV pool exhausted"
-
-        S = self.ecfg.max_seq_len
-        bucket = self._bucket(n_new)
-        table = np.zeros((S,), np.int32)
-        table[:n_cached] = req.prefix_slots[:n_cached]
-        table[n_cached:n_cached + n_new] = new_slots
-        # pre-reserve decode slots lazily (allocated per decode step)
-        self.slot_table[row] = table
-        self.seq_lens[row] = len(ids)
         req.batch_row = row
-        req.slots = new_slots
+        req.n_cached = n_cached
+        req.extend_len_pending = len(ids) - n_cached
         self.rows[row] = req
 
+        max_bucket = max(self.ecfg.prefill_buckets)
+        for start in range(0, n_cached, max_bucket):
+            n = min(max_bucket, n_cached - start)
+            nb = self._bucket(n)
+            slots = np.zeros((nb,), np.int32)
+            slots[:n] = req.prefix_slots[start:start + n]
+            self.rows_k, self.rows_v = _load_prefix(
+                self.rows_k, self.rows_v, self.pool.k, self.pool.v,
+                jnp.asarray(slots), jnp.asarray(row, np.int32),
+                jnp.asarray(start, np.int32), jnp.asarray(n, np.int32))
+        prompt_seen = np.zeros((self.cfg.vocab_size,), bool)
+        valid = np.asarray([t for t in ids if 0 <= t < self.cfg.vocab_size],
+                           np.int64)
+        prompt_seen[valid] = True
+        self.counts, self.seen = _reset_row_stats(
+            self.counts, self.seen, row, jnp.asarray(prompt_seen))
+        return n_cached
+
+    def _embeds_for(self, req: Request, n_cached: int) -> np.ndarray:
         if self.embed_fn is not None and req.pixel_values is not None:
-            embeds = self.embed_fn(req)  # [n_total, D], multimodal fused
-            embeds = embeds[n_cached:]
-        else:
-            embeds = np.asarray(jax.device_get(jnp.take(
-                self.params["embed_tokens"],
-                jnp.asarray(ids[n_cached:]), axis=0)))
-        D = embeds.shape[-1]
+            return np.asarray(self.embed_fn(req))[n_cached:]
+        ids = np.asarray(req.input_ids[n_cached:], np.int64)
+        # placeholder/mm ids are clipped; their embeds are never attended
+        # to in text-only deployments
+        ids = np.clip(ids, 0, self.cfg.vocab_size - 1)
+        return np.asarray(jax.device_get(jnp.take(
+            self.params["embed_tokens"], jnp.asarray(ids), axis=0)))
 
-        # chunked prefill (tp_worker.py chunked-prefill parity): long
-        # prompts run through the largest bucket repeatedly, each chunk
-        # extending the KV written by the previous one
-        last_logits = None
+    def _extend_wave(self, wave: List[Request]) -> None:
+        """Batched multi-request prefill: ONE kernel call for all admitted
+        requests (tp_worker.py:411-570 forward_prefill_batch parity)."""
+        T = self._bucket(max(r.extend_len_pending for r in wave))
+        Bk = self._lane_bucket(len(wave))
+        D = self.params["embed_tokens"].shape[1]
+        embeds = np.zeros((Bk, T, D), np.float32)
+        row_ids = np.zeros((Bk,), np.int32)
+        offs = np.zeros((Bk,), np.int32)
+        lens = np.zeros((Bk,), np.int32)
+        for i, req in enumerate(wave):
+            n_new = req.extend_len_pending
+            embeds[i, :n_new] = self._embeds_for(req, req.n_cached)
+            row_ids[i] = req.batch_row
+            offs[i] = req.n_cached
+            lens[i] = req.n_cached + n_new
+        logits, self.rows_k, self.rows_v = _extend_step(
+            self.params, self.rows_k, self.rows_v,
+            jnp.asarray(embeds, self.ecfg.kv_dtype), jnp.asarray(row_ids),
+            jnp.asarray(offs), jnp.asarray(lens), self.cfg, self.chunk)
+        self._emit(wave, logits[:len(wave)], row_ids[:len(wave)])
+
+    def _extend_chunked(self, req: Request, n_cached: int) -> None:
+        """Oversize prompt: chunk through the largest bucket, each chunk
+        extending the KV written by the previous one."""
+        bucket = max(self.ecfg.prefill_buckets)
+        embeds = self._embeds_for(req, n_cached)
+        n_new = embeds.shape[0]
+        D = embeds.shape[1]
+        row = req.batch_row
+        logits = None
         for start in range(0, n_new, bucket):
-            chunk = min(bucket, n_new - start)
-            cbucket = self._bucket(chunk)
-            pad_embeds = np.zeros((1, cbucket, D), embeds.dtype)
-            pad_embeds[0, :chunk] = embeds[start:start + chunk]
-            # padded lanes write into the reserved trash slot
-            # (duplicate-index scatter winners are unspecified, so pads
-            # must never alias real slots)
-            wslots = np.full((1, cbucket), self.ecfg.num_slots - 1,
-                             np.int32)
-            wslots[0, :chunk] = new_slots[start:start + chunk]
-            positions = np.zeros((1, cbucket), np.int32)
+            chunk_n = min(bucket, n_new - start)
+            cb = self._bucket(chunk_n)
+            pad = np.zeros((1, cb, D), np.float32)
+            pad[0, :chunk_n] = embeds[start:start + chunk_n]
             base = n_cached + start
-            positions[0, :chunk] = base + np.arange(chunk)
-            positions[0, chunk:] = base + max(chunk - 1, 0)
-            kv_mask = np.zeros((1, S), bool)
-            kv_mask[0, :base + chunk] = True
+            logits, self.rows_k, self.rows_v = _extend_step(
+                self.params, self.rows_k, self.rows_v,
+                jnp.asarray(pad, self.ecfg.kv_dtype),
+                jnp.asarray([row], np.int32),
+                jnp.asarray([base], np.int32),
+                jnp.asarray([base + chunk_n], np.int32),
+                self.cfg, self.chunk)
+        self._emit([req], logits, np.asarray([row], np.int32))
 
-            last_logits, self.pool.k, self.pool.v = _extend_step(
-                self.params, jnp.asarray(pad_embeds, self.ecfg.kv_dtype),
-                self.pool.k, self.pool.v,
-                jnp.asarray(self.slot_table[row:row + 1]),
-                jnp.asarray(wslots), jnp.asarray(kv_mask),
-                jnp.asarray(positions),
-                jnp.asarray([max(chunk - 1, 0)], np.int32), self.cfg)
-        self._emit(req, last_logits)
+    def _allowed_mask(self, reqs, rows, n) -> Optional[jnp.ndarray]:
+        """[n, V] allowed-token mask when any request is constrained or
+        below min_new_tokens (eos suppressed)."""
+        need = any(r.constraint is not None
+                   or len(r.output_ids) < r.sampling.min_new_tokens
+                   for r in reqs)
+        if not need:
+            return None
+        mask = np.ones((n, self.cfg.vocab_size), bool)
+        for r, j in zip(reqs, rows):
+            if r.constraint is not None:
+                mask[j] = r.constraint.mask(self.cfg.vocab_size)
+            if len(r.output_ids) < r.sampling.min_new_tokens:
+                for eos in r.eos_ids:
+                    if 0 <= eos < self.cfg.vocab_size:
+                        mask[j, eos] = False
+        return jnp.asarray(mask)
+
+    def _emit(self, reqs: List[Request], logits, row_ids) -> None:
+        """Sample the first token for freshly extended lanes."""
+        self._rng, key = jax.random.split(self._rng)
+        samp = _samp_arrays(reqs, len(reqs))
+        allowed = self._allowed_mask(reqs, range(len(reqs)), len(reqs))
+        sampled, tok_lp, top_lp, top_ids, self.counts, self.seen = \
+            _sample_after_extend(logits, self.counts, self.seen,
+                                 jnp.asarray(row_ids, np.int32), samp,
+                                 allowed, key)
+        out = jax.device_get((sampled, tok_lp, top_lp, top_ids))
+        for i, req in enumerate(reqs):
+            self._accept_token(req, int(out[0][i]), float(out[1][i]),
+                               out[2][i], out[3][i])
+
+    def _accept_token(self, req: Request, tok: int, logprob: float,
+                      top_lp, top_ids) -> None:
+        req.output_ids.append(tok)
+        if req.logprobs:
+            req.output_logprobs.append(logprob)
+            req.output_top_logprobs.append(
+                [(int(i), float(v)) for i, v in zip(top_ids, top_lp)])
+        if req.constraint is not None:
+            req.constraint.advance(tok)
+            if req.constraint.finished:
+                req.finished = FinishReason.EOS
+        req.check_finished()
+        self._check_stop_strs(req)
+
+    def _jump_forwards(self) -> None:
+        """Jump-forward decoding (constrained requests,
+        srt/constrained/jump_forward.py parity): stretches where the
+        constraint permits exactly one token are written through ONE
+        extend call instead of one decode step each. Iterates because the
+        token sampled after a jump can enter another forced stretch."""
+        while True:
+            fired = False
+            for req in self.rows:
+                if (req is None or req.finished is not None
+                        or req.constraint is None or req.logprobs
+                        or not hasattr(req.constraint, "forced_run")
+                        or not req.output_ids):
+                    continue
+                if self._maybe_jump(req):
+                    fired = True
+            if not fired:
+                return
+
+    def _maybe_jump(self, req: Request) -> bool:
+        budget = min(req.max_new_tokens - len(req.output_ids) - 1,
+                     max(self.ecfg.prefill_buckets) - 1)
+        if budget <= 0:
+            return False
+        forced = req.constraint.forced_run(budget)
+        if not forced:
+            return False
+        row = req.batch_row
+        off = req.seq_len - 1        # position of the unwritten last token
+        toks = [req.output_ids[-1]] + forced
+        req.output_ids.extend(forced)
+        if req.constraint.finished:
+            req.finished = FinishReason.EOS
+        req.check_finished()
+        self._check_stop_strs(req)
+        if req.finished is not None:
+            return True  # jump ended the request: KV no longer needed
+        T = self._bucket(len(toks))
+        ids = np.zeros((T,), np.int64)
+        ids[:len(toks)] = toks
+        embeds = jnp.take(self.params["embed_tokens"],
+                          jnp.asarray(np.clip(ids, 0,
+                                              self.cfg.vocab_size - 1)),
+                          axis=0)[None].astype(self.ecfg.kv_dtype)
+        logits, self.rows_k, self.rows_v = _extend_step(
+            self.params, self.rows_k, self.rows_v, embeds,
+            jnp.asarray([row], np.int32), jnp.asarray([off], np.int32),
+            jnp.asarray([off + len(toks)], np.int32), self.cfg,
+            self.chunk)
+        self._emit([req], logits, np.asarray([row], np.int32))
+        return True
 
     def _decode(self) -> None:
         active = [r for r in self.rows if r is not None
                   and r.finished is None and r.output_ids]
         if not active:
             return
-        B, S = self.ecfg.max_batch, self.ecfg.max_seq_len
+        B = self.ecfg.max_batch
         tokens = np.zeros((B,), np.int32)
-        write_slots = np.full((B, 1), self.ecfg.num_slots - 1, np.int32)
-        positions = np.zeros((B, 1), np.int32)
-        kv_mask = np.zeros((B, S), bool)
-        temps = np.zeros((B,), np.float32)
-        top_ps = np.ones((B,), np.float32)
+        positions = np.zeros((B,), np.int32)
+        act = np.zeros((B,), bool)
         rows = []
         for req in active:
             b = req.batch_row
             pos = req.seq_len - 1          # position of the new token
-            if pos >= S:
+            if pos >= self.ecfg.s_row:
                 req.finished = FinishReason.LENGTH
                 continue
-            slot = self.alloc.alloc(1)
-            if slot is None:
-                self.radix.evict(64)
-                slot = self.alloc.alloc(1)
-                assert slot is not None, "KV pool exhausted in decode"
-            self.slot_table[b, pos] = slot[0]
-            req.slots = np.concatenate([req.slots, slot])
             tokens[b] = req.output_ids[-1]
-            write_slots[b, 0] = slot[0]
-            positions[b, 0] = pos
-            kv_mask[b, :pos + 1] = True
-            temps[b] = req.sampling.temperature
-            top_ps[b] = req.sampling.top_p
-            self.seq_lens[b] = pos + 1
+            positions[b] = pos
+            act[b] = True
             rows.append(req)
         if not rows:
             return
 
-        # bucket the gather width to the longest active sequence
-        need = int(max(self.seq_lens[r.batch_row] for r in rows))
-        S_b = next(b for b in _decode_buckets(S) if b >= min(need, S))
-        logits, self.pool.k, self.pool.v = _decode_step(
-            self.params, jnp.asarray(tokens), self.pool.k, self.pool.v,
-            jnp.asarray(self.slot_table[:, :S_b]),
-            jnp.asarray(write_slots),
-            jnp.asarray(kv_mask[:, :S_b]), jnp.asarray(positions),
-            self.cfg)
         self._rng, key = jax.random.split(self._rng)
-        mask = self._constraint_mask(rows)
-        sampled = np.asarray(jax.device_get(_sample_dynamic(
-            logits, jnp.asarray(temps), jnp.asarray(top_ps), key,
-            None if mask is None else jnp.asarray(mask))))
+        samp = _samp_arrays(rows, B, [r.batch_row for r in rows])
+        allowed = self._allowed_mask(rows, [r.batch_row for r in rows], B)
+        (sampled, tok_lp, top_lp, top_ids, self.counts, self.seen,
+         self.rows_k, self.rows_v) = _decode_step(
+            self.params, self.rows_k, self.rows_v, self.counts, self.seen,
+            jnp.asarray(tokens), jnp.asarray(positions), jnp.asarray(act),
+            samp, allowed, key, self.cfg, self.chunk)
+        out = jax.device_get((sampled, tok_lp, top_lp, top_ids))
         for req in rows:
-            tok = int(sampled[req.batch_row])
-            req.output_ids.append(tok)
-            if req.constraint is not None:
-                req.constraint.advance(tok)
-                if req.constraint.finished:
-                    req.finished = FinishReason.EOS
-            req.check_finished()
-            self._check_stop_strs(req)
+            b = req.batch_row
+            self._accept_token(req, int(out[0][b]), float(out[1][b]),
+                               out[2][b], out[3][b])
         self._steps += 1
-
-    def _constraint_mask(self, rows):
-        """[B, V] allowed-token mask when any active request is
-        constrained (serve.constrained)."""
-        if not any(r.constraint is not None for r in rows):
-            return None
-        mask = np.ones((self.ecfg.max_batch, self.cfg.vocab_size), bool)
-        for r in rows:
-            if r.constraint is not None:
-                mask[r.batch_row] = r.constraint.mask(self.cfg.vocab_size)
-        return mask
-
-    def _emit(self, req: Request, last_logits) -> None:
-        """Sample the first token right after extend."""
-        self._rng, key = jax.random.split(self._rng)
-        cmask = None
-        if req.constraint is not None:
-            cmask = jnp.asarray(
-                req.constraint.mask(self.cfg.vocab_size)[None])
-        tok = _sample_dynamic(
-            last_logits, jnp.asarray([req.sampling.temperature],
-                                     np.float32),
-            jnp.asarray([req.sampling.top_p], np.float32), key, cmask)
-        t = int(jax.device_get(tok)[0])
-        req.output_ids.append(t)
-        if req.constraint is not None:
-            req.constraint.advance(t)
-            if req.constraint.finished:
-                req.finished = FinishReason.EOS
-        req.check_finished()
-        self._check_stop_strs(req)
 
     def _check_stop_strs(self, req: Request) -> None:
         """Stop-string finish (StopWordStoppingCriteria / OpenAI `stop`
@@ -504,35 +770,47 @@ class ServeEngine:
                 return
 
     def _release(self, req: Request) -> None:
-        """Finished request → cache its prompt KV, free the rest."""
+        """Finished request → cache its prompt KV (best-effort), free the
+        row. Decode-token KV lives only in the row and needs no freeing."""
         row = req.batch_row
-        self.rows[row] = None
+        if 0 <= row < len(self.rows) and self.rows[row] is req:
+            self.rows[row] = None
+        if req.prefix_node is None:
+            return
         self.radix.lock(req.prefix_node, -1)
-        n_cached = len(req.prefix_slots) if req.prefix_slots is not None \
-            else 0
-        if n_cached == len(req.input_ids):
-            n_cached -= 1
+        n_cached = req.n_cached
         prompt_ids = req.input_ids
-        prompt_slots = np.concatenate([
-            np.asarray(req.prefix_slots[:n_cached], np.int32),
-            np.asarray(req.slots[:len(prompt_ids) - n_cached], np.int32)])
-        dup = self.radix.insert(prompt_ids, prompt_slots)
-        # slots for the already-cached prefix [n_cached:dup] are duplicates
-        if dup > n_cached:
-            self.alloc.free(req.slots[:dup - n_cached])
-        # decode-token slots are never cached — free them
-        extra = req.slots[len(prompt_ids) - n_cached:]
-        if len(extra):
-            self.alloc.free(extra)
+        n_new = len(prompt_ids) - n_cached
+        if n_new <= 0:
+            return
+        if self.alloc.available() < n_new:
+            self.radix.evict(n_new - self.alloc.available())
+        slots = self.alloc.alloc(n_new)
+        if slots is None:
+            return  # pool full of locked prefixes: skip caching
+        max_bucket = max(self.ecfg.prefill_buckets)
+        for start in range(0, n_new, max_bucket):
+            n = min(max_bucket, n_new - start)
+            nb = self._bucket(n)
+            padded = np.full((nb,), self.ecfg.num_slots, np.int32)  # drop
+            padded[:n] = slots[start:start + n]
+            self.pool.k, self.pool.v = _store_prompt(
+                self.pool.k, self.pool.v, self.rows_k, self.rows_v,
+                jnp.asarray(row, np.int32),
+                jnp.asarray(n_cached + start, np.int32),
+                jnp.asarray(padded))
+        full = np.concatenate([
+            np.asarray(req.prefix_slots[:n_cached], np.int32), slots])
+        dup = self.radix.insert(prompt_ids, full)
+        if dup > n_cached:  # prefix grew under us: free duplicate slots
+            self.alloc.free(slots[:dup - n_cached])
 
     # -- memory introspection (check_memory parity, tp_worker.py:301-321) ----
 
     def check_memory(self) -> Dict[str, int]:
         cached = self.radix.total_cached_tokens()
-        in_flight = sum(len(r.slots) for r in self.rows if r is not None
-                        and r.slots is not None)
+        in_flight = sum(r.seq_len for r in self.rows if r is not None)
         free = self.alloc.available()
-        # num_slots - 1: the trash slot is reserved, never allocated
-        leaked = (self.ecfg.num_slots - 1) - free - cached - in_flight
+        leaked = self.ecfg.num_slots - free - cached
         return {"free": free, "cached": cached, "in_flight": in_flight,
                 "leaked": leaked}

@@ -44,15 +44,20 @@ class Request:
     max_new_tokens: int = 128
     eos_ids: tuple = (2,)
     stop_strs: tuple = ()          # OpenAI `stop` / template STOP_WORDS
-    constraint: Any = None         # serve.constrained.ChoiceConstraint
+    constraint: Any = None         # serve.constrained constraint object
     stream: bool = False
+    logprobs: bool = False         # collect per-token logprobs
     arrival: float = dataclasses.field(default_factory=time.monotonic)
 
     # runtime state
     output_ids: List[int] = dataclasses.field(default_factory=list)
+    output_logprobs: List[float] = dataclasses.field(default_factory=list)
+    output_top_logprobs: List[list] = dataclasses.field(
+        default_factory=list)
     prefix_slots: Optional[np.ndarray] = None   # radix-cache hit
     prefix_node: Any = None
-    slots: Optional[np.ndarray] = None          # all owned slots (per token)
+    n_cached: int = 0              # locked prefix length at admission
+    extend_len_pending: int = 0    # new prompt tokens at admission
     batch_row: int = -1
     finished: Optional[FinishReason] = None
     error: Optional[str] = None    # per-request failure (isolation path)

@@ -230,3 +230,109 @@ def test_choice_constraint_trie():
     assert c.allowed_tokens() == [2, 5]
     c.advance(5)
     assert c.finished
+
+
+# ---------------------------------------------------------------------------
+# Full sampling surface (srt/layers/sampler.py + penaltylib parity)
+# ---------------------------------------------------------------------------
+
+def test_engine_batched_prefill_matches_individual(tiny_engine, rng):
+    """A wave of requests admitted together (ONE batched extend call) must
+    produce exactly what each request produces alone."""
+    params, cfg, ecfg = tiny_engine
+    want = {}
+    prompts = {}
+    for i in range(4):
+        ids = [int(x) for x in rng.integers(3, 128, size=5 + 2 * i)]
+        prompts[str(i)] = ids
+        want[str(i)] = _offline_greedy(params, cfg, ids, 5)
+    engine = ServeEngine(params, cfg, ecfg)
+    reqs = [Request(rid=r, input_ids=list(p), max_new_tokens=5)
+            for r, p in prompts.items()]
+    # submit all up front: the scheduler admits them as one wave
+    done = _run_engine(engine, reqs)
+    for r in prompts:
+        assert done[r].output_ids == want[r], r
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_engine_presence_penalty_changes_output(tiny_engine, rng):
+    """A large presence penalty must forbid repeating any emitted token;
+    without it the tiny random model usually loops."""
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=8)]
+    done = _run_engine(engine, [
+        Request(rid="plain", input_ids=list(ids), max_new_tokens=12,
+                eos_ids=(-1,)),
+        Request(rid="pen", input_ids=list(ids), max_new_tokens=12,
+                eos_ids=(-1,),
+                sampling=SamplingParams(temperature=0.0,
+                                        presence_penalty=100.0))])
+    out = done["pen"].output_ids
+    assert len(set(out)) == len(out), "presence penalty must stop repeats"
+    assert done["plain"].output_ids != out
+
+
+def test_engine_repetition_penalty_discourages_prompt_tokens(tiny_engine,
+                                                             rng):
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=8)]
+    base = _run_engine(engine, [Request(
+        rid="b", input_ids=list(ids), max_new_tokens=6, eos_ids=(-1,))])
+    done = _run_engine(engine, [Request(
+        rid="r", input_ids=list(ids), max_new_tokens=6, eos_ids=(-1,),
+        sampling=SamplingParams(temperature=0.0,
+                                repetition_penalty=1e6))])
+    seen = set(ids)
+    # with an absurd penalty no prompt token can be greedily re-emitted
+    # (unless every logit of unseen tokens is masked, impossible here)
+    assert all(t not in seen for t in done["r"].output_ids)
+    assert isinstance(base["b"].output_ids, list)
+
+
+def test_engine_top_k_one_is_greedy(tiny_engine, rng):
+    """top_k=1 at high temperature must reduce to greedy decoding."""
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=10)]
+    want = _offline_greedy(params, cfg, ids, 6)
+    done = _run_engine(engine, [Request(
+        rid="k", input_ids=list(ids), max_new_tokens=6,
+        sampling=SamplingParams(temperature=5.0, top_k=1))])
+    assert done["k"].output_ids == want
+
+
+def test_engine_min_new_tokens_suppresses_eos(tiny_engine, rng):
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=9)]
+    # learn what the model greedily emits first, make THAT the eos
+    probe = _run_engine(engine, [Request(
+        rid="p", input_ids=list(ids), max_new_tokens=1, eos_ids=(-1,))])
+    eos = probe["p"].output_ids[0]
+    done = _run_engine(engine, [
+        Request(rid="short", input_ids=list(ids), max_new_tokens=8,
+                eos_ids=(eos,)),
+        Request(rid="long", input_ids=list(ids), max_new_tokens=8,
+                eos_ids=(eos,),
+                sampling=SamplingParams(min_new_tokens=5))])
+    assert len(done["short"].output_ids) == 1
+    assert len(done["long"].output_ids) >= 5
+    assert done["long"].output_ids[0] != eos  # eos was suppressed
+
+
+def test_engine_logprobs_returned(tiny_engine, rng):
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=7)]
+    done = _run_engine(engine, [Request(
+        rid="lp", input_ids=list(ids), max_new_tokens=5, logprobs=True)])
+    r = done["lp"]
+    assert len(r.output_logprobs) == len(r.output_ids)
+    assert all(lp <= 0.0 for lp in r.output_logprobs)
+    # greedy: the sampled token must be the top-1 alternative
+    for tok, top in zip(r.output_ids, r.output_top_logprobs):
+        assert top[0][0] == tok
+        assert len(top) == 5
