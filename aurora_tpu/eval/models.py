@@ -53,18 +53,38 @@ class AuroraCapEval:
                                       self.max_new_tokens)),
             image_size=self.image_size)
 
-    def loglikelihood(self, context_ids, continuation_ids) -> float:
-        """Σ log p(continuation | context) — text-only requests
-        (auroracap.py:232-297)."""
-        ids = jnp.asarray([list(context_ids) + list(continuation_ids)])
-        logits, _ = llama_apply(self.params["llm"], self.cfg.llm,
-                                input_ids=ids)
-        lp = jax.nn.log_softmax(logits[0, :-1].astype(jnp.float32), -1)
-        n_ctx = len(context_ids)
-        cont = jnp.asarray(list(continuation_ids))
+    def loglikelihood(self, context_ids, continuation_ids,
+                      pixel_values: Optional[np.ndarray] = None) -> float:
+        """Σ log p(continuation | context) (auroracap.py:232-297).
+
+        MULTIMODAL scoring: when pixel_values [F, C, H, W] is given,
+        context_ids may contain IMAGE_TOKEN_INDEX (-200) markers — one per
+        frame. The ViT+ToMe encoder runs at token_merge_ratio, visual
+        embeddings are spliced over the markers (the reference adapter's
+        `model(data, mode="tensor")` composition), and the continuation is
+        scored over the fused sequence."""
+        cont = list(continuation_ids)
+        if pixel_values is None:
+            ids = jnp.asarray([list(context_ids) + cont])
+            logits, _ = llama_apply(self.params["llm"], self.cfg.llm,
+                                    input_ids=ids)
+        else:
+            from aurora_tpu.models.aurora import (encode_visual,
+                                                  fuse_multimodal)
+            ids = np.asarray([list(context_ids) + cont])
+            dtype = self.params["llm"]["embed_tokens"].dtype
+            px = jnp.asarray(pixel_values, dtype)[None]
+            groups = [encode_visual(self.params, px, self.cfg,
+                                    self.token_merge_ratio)]
+            fused = fuse_multimodal(self.params["llm"]["embed_tokens"],
+                                    jnp.asarray(ids), groups)
+            logits, _ = llama_apply(self.params["llm"], self.cfg.llm,
+                                    inputs_embeds=fused["inputs_embeds"])
+        # the continuation is always the TAIL of the (fused) sequence
+        lp = jax.nn.log_softmax(logits[0].astype(jnp.float32), -1)
+        n = len(cont)
         tok_lp = jnp.take_along_axis(
-            lp[n_ctx - 1: n_ctx - 1 + len(continuation_ids)],
-            cont[:, None], axis=1)[:, 0]
+            lp[-n - 1:-1], jnp.asarray(cont)[:, None], axis=1)[:, 0]
         return float(jnp.sum(tok_lp))
 
 

@@ -11,55 +11,27 @@ local copy): one record per video with fields
   {"video_name": str, "caption": str, "qa_list": [{question, answer}, ...]}
 and videos as <video_name>.mp4 (or .MP4/.mkv/npy/frame-dir) beside them.
 
-Prompt pools are representative members of the reference pools
-(vdc/utils.py:51-152 holds the full lists); override with
-`AURORA_VDC_PROMPTS=<json file>` mapping subset → list[str] for exact pools.
+Prompt pools are the EXACT benchmark constants (vdc_prompts.py, verbatim
+from vdc/utils.py:51-152); override with `AURORA_VDC_PROMPTS=<json file>`
+mapping subset → list[str] for custom protocols. Unlike the reference's
+global `random.choice` (utils.py:172-194), the choice is seeded per
+document (video_name) so generated captions are reproducible run-to-run
+while still drawing uniformly from the pool.
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
-import random
 from typing import Dict, List
 
 from aurora_tpu.eval.api import TaskConfig, register_task
+from aurora_tpu.eval.tasks.vdc_prompts import POOLS
 
 VDC_DIR = os.environ.get("AURORA_VDC_DIR", "data/vdc")
 
-_PROMPTS: Dict[str, List[str]] = {
-    "short": [
-        "Summarize the video in one concise sentence.",
-        "Write a brief, single-sentence caption for this video.",
-        "Give a short description capturing the video's main content.",
-    ],
-    "detailed": [
-        "Describe the video in detail.",
-        "Provide a thorough and detailed description of the video, "
-        "covering all visible elements and events.",
-        "Write a comprehensive caption describing everything happening "
-        "in this video.",
-    ],
-    "main_object": [
-        "Describe the main subject of the video, including its "
-        "appearance and actions throughout the frames.",
-        "Give a detailed account of the primary object or person in the "
-        "video and how they move and act.",
-    ],
-    "background": [
-        "Describe the background of the video, including the setting, "
-        "environment, and any contextual details.",
-        "Detail the scene's background elements, such as location, "
-        "lighting, and surrounding objects.",
-    ],
-    "camera": [
-        "Describe the camera work in the video, including movements, "
-        "angles, zooms, and pans.",
-        "Using these frames, describe the camera's movements, including "
-        "its tracking of the main subject, changes in angles, and any "
-        "zooms or pans.",
-    ],
-}
+_PROMPTS: Dict[str, List[str]] = dict(POOLS)
 
 _override = os.environ.get("AURORA_VDC_PROMPTS")
 if _override and os.path.exists(_override):
@@ -83,7 +55,10 @@ def doc_to_visual(doc):
 
 def _doc_to_text(subset):
     def fn(doc, **_):
-        return random.choice(_PROMPTS[subset])
+        pool = _PROMPTS[subset]
+        key = f"{subset}:{doc.get('video_name', '')}".encode()
+        idx = int.from_bytes(hashlib.sha1(key).digest()[:4], "little")
+        return pool[idx % len(pool)]
     return fn
 
 

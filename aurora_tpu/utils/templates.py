@@ -60,6 +60,37 @@ PROMPT_TEMPLATE = SimpleNamespace(
 )
 
 
+def render_conversation(template: dict, messages, system: str = "") -> str:
+    """Render a MULTI-ROUND OpenAI-style message list the way the
+    reference chat tools accumulate prompts (xtuner tools/chat.py:
+    SYSTEM + INSTRUCTION(round=1) + reply + SEP + INSTRUCTION(round=2)
+    + ...): each user turn opens a round, each assistant turn closes it.
+    `messages`: [{"role": "system"|"user"|"assistant", "content": str}].
+    The rendered prompt ends mid-round, awaiting the assistant."""
+    sys_parts = [m["content"] for m in messages if m["role"] == "system"]
+    if system:
+        sys_parts.insert(0, system)
+    text = ""
+    if sys_parts and "SYSTEM" in template:
+        text += template["SYSTEM"].format(system=" ".join(sys_parts))
+    round_no = 1
+    open_round = False
+    for m in messages:
+        if m["role"] == "user":
+            if open_round:  # consecutive user turns share a round
+                text += template["SEP"]
+            text += template["INSTRUCTION"].format(input=m["content"],
+                                                   round=round_no)
+            open_round = True
+        elif m["role"] == "assistant":
+            text += m["content"] + template["SEP"]
+            round_no += 1
+            open_round = False
+    if not open_round:  # dialog must end awaiting the assistant
+        text += template["INSTRUCTION"].format(input="", round=round_no)
+    return text
+
+
 def apply_template(template: dict, user_input: str, system: str = "",
                    round: int = 1, with_system: bool = None) -> str:
     """Render a single-round prompt the way the reference CLI does

@@ -161,3 +161,77 @@ def test_vdc_tasks_registered():
     for subset in ("camera", "short", "background", "main_object",
                    "detailed"):
         assert f"vdc_{subset}_test" in names
+
+
+def test_vdc_prompt_pools_byte_equal_to_reference():
+    """The pools ARE the benchmark definition — must match the reference
+    constants byte-for-byte (vdc/utils.py:51-152)."""
+    ref = "/root/reference/src/lmms-eval/lmms_eval/tasks/vdc/utils.py"
+    if not os.path.exists(ref):
+        pytest.skip("reference checkout not present")
+    import ast
+    from aurora_tpu.eval.tasks import vdc_prompts
+    tree = ast.parse(open(ref).read())
+    ref_pools = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and isinstance(
+                node.targets[0], ast.Name):
+            name = node.targets[0].id
+            if name.endswith("_CAPTION_PROMPTS"):
+                ref_pools[name] = ast.literal_eval(node.value)
+    assert len(ref_pools) == 5
+    for name, pool in ref_pools.items():
+        assert getattr(vdc_prompts, name) == pool, name
+
+
+def test_vdc_prompt_choice_is_deterministic_per_doc():
+    from aurora_tpu.eval.tasks.vdc import (_PROMPTS, doc_to_text_camera,
+                                           doc_to_text_short)
+    d1 = {"video_name": "abc"}
+    d2 = {"video_name": "xyz"}
+    assert doc_to_text_short(d1) == doc_to_text_short(d1)
+    assert doc_to_text_short(d1) in _PROMPTS["short"]
+    assert doc_to_text_camera(d1) in _PROMPTS["camera"]
+    # different docs draw from the pool (overwhelmingly different picks
+    # across a spread of names)
+    picks = {doc_to_text_short({"video_name": f"v{i}"}) for i in range(50)}
+    assert len(picks) > 3
+
+
+def test_multimodal_loglikelihood_matches_torch(tmp_path, rng):
+    """Continuation scored WITH pixel inputs must match the torch
+    composition: ViT(+ToMe) → projector → splice → llama log-softmax
+    (reference adapter auroracap.py:232-297)."""
+    import torch
+    from aurora_tpu.eval.models import AuroraCapEval
+    from aurora_tpu.utils.constants import IMAGE_TOKEN_INDEX
+
+    root, llm_t, vit_t, proj_t, tok = make_tiny_xtuner_dir(
+        tmp_path / "model")
+    model = AuroraCapEval(pretrained=root, token_merge_ratio=1.0,
+                          num_frames=2, image_size=56, dtype=jnp.float32)
+
+    px = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    ctx = [1, 5, IMAGE_TOKEN_INDEX, 9, IMAGE_TOKEN_INDEX, 11]
+    cont = [17, 23, 31]
+    got = model.loglikelihood(ctx, cont, pixel_values=px)
+
+    with torch.no_grad():
+        feats = vit_t(torch.from_numpy(px),
+                      output_hidden_states=True).hidden_states[-2][:, 1:]
+        vis = proj_t(feats)                       # [2, N, D]
+        emb = llm_t.get_input_embeddings()
+        pieces, k = [], 0
+        for t in ctx + cont:
+            if t == IMAGE_TOKEN_INDEX:
+                pieces.append(vis[k])
+                k += 1
+            else:
+                pieces.append(emb(torch.tensor([t])))
+        seq = torch.cat(pieces)[None]
+        logits = llm_t(inputs_embeds=seq).logits[0].float()
+        lp = torch.log_softmax(logits, -1)
+        want = sum(lp[-len(cont) - 1 + i, c].item()
+                   for i, c in enumerate(cont))
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)

@@ -1,0 +1,134 @@
+"""Regex→FSM constrained decoding + jump-forward tests
+(srt/constrained/fsm_cache.py + jump_forward.py parity)."""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+from aurora_tpu.serve.engine import EngineConfig, ServeEngine
+from aurora_tpu.serve.fsm import (RegexConstraint, RegexDFA, TokenFSM,
+                                  get_token_fsm)
+from aurora_tpu.serve.scheduler import Request
+
+from utils import make_tiny_tokenizer
+
+
+@pytest.mark.parametrize("pattern,accept,reject", [
+    (r"abc", ["abc"], ["ab", "abcd"]),
+    (r"a*b+", ["b", "aab", "abbb"], ["a", ""]),
+    (r"(ab|cd){1,2}", ["ab", "abcd", "cdcd"], ["abcdab", "a"]),
+    (r"[^x]+", ["abc", "yz"], ["ax", ""]),
+    (r"\d+\.\d+", ["3.14", "10.0"], ["3.", ".5", "3"]),
+    (r"-?\d{1,3}", ["7", "-42", "123"], ["1234", "-", ""]),
+])
+def test_regex_dfa_vs_python_re(pattern, accept, reject):
+    alphabet = sorted(set(
+        "abcdefghijklmnopqrstuvwxyz0123456789.-xyz"))
+    dfa = RegexDFA(pattern, alphabet)
+    for t in accept:
+        assert dfa.accepts[dfa.walk(0, t)], (pattern, t)
+        assert re.fullmatch(pattern, t)
+    for t in reject:
+        assert not dfa.accepts[dfa.walk(0, t)], (pattern, t)
+        assert not re.fullmatch(pattern, t)
+
+
+def test_token_fsm_allowed_sets(tmp_path):
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    V = tok.vocab_size
+    fsm = TokenFSM(r"[0-9]+", tok, V)
+    allowed0 = np.nonzero(fsm.allowed[0])[0]
+    assert len(allowed0) > 0
+    for tid in allowed0[:20]:
+        s = tok.decode([int(tid)])
+        assert s and all(c in "0123456789" for c in s), (tid, s)
+
+
+def test_token_fsm_cache(tmp_path):
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    a = get_token_fsm(r"ab+", tok, tok.vocab_size)
+    b = get_token_fsm(r"ab+", tok, tok.vocab_size)
+    assert a is b
+
+
+@pytest.fixture(scope="module")
+def fsm_engine(tmp_path_factory):
+    cfg = LlamaConfig.tiny(vocab_size=512)
+    params = init_llama_params(jax.random.PRNGKey(11), cfg,
+                               dtype=jnp.float32)
+    tok = make_tiny_tokenizer(str(tmp_path_factory.mktemp("tok")))
+    ecfg = EngineConfig(max_batch=2, max_seq_len=128, num_slots=512,
+                        prefill_buckets=(16, 64), kv_dtype=jnp.float32)
+    return params, cfg, tok, ecfg
+
+
+def _run(engine, reqs):
+    for r in reqs:
+        engine.add_request(r)
+    done = []
+    for _ in range(400):
+        done += engine.step()
+        if not engine.has_work():
+            break
+    return {r.rid: r for r in done}
+
+
+def test_engine_regex_output_matches_pattern(fsm_engine, rng):
+    """JSON-schema-style regex through the live engine → valid output."""
+    params, cfg, tok, ecfg = fsm_engine
+    engine = ServeEngine(params, cfg, ecfg, tokenizer=tok)
+    pattern = r'\{"age": [0-9]{1,3}\}'
+    ids = [int(x) for x in rng.integers(3, 500, size=8)]
+    c = RegexConstraint(pattern, tok, cfg.vocab_size, eos_ids=(2,))
+    done = _run(engine, [Request(rid="j", input_ids=ids,
+                                 max_new_tokens=64, eos_ids=(2,),
+                                 constraint=c)])
+    out = done["j"]
+    # the tiny WordLevel tokenizer joins with spaces on batch decode;
+    # reassemble from per-token surface strings
+    text = "".join(tok.decode([t], skip_special_tokens=True)
+                   for t in out.output_ids)
+    assert re.fullmatch(pattern, text), text
+    assert out.finished.value == "stop"
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_engine_jump_forward_skips_decode_steps(fsm_engine, rng):
+    """The forced JSON scaffolding must be written via extend calls, not
+    per-token decode steps: engine._steps stays well below the output
+    length."""
+    params, cfg, tok, ecfg = fsm_engine
+    engine = ServeEngine(params, cfg, ecfg, tokenizer=tok)
+    pattern = r'\{"result": "(yes|no)", "confidence": [0-9]\}'
+    ids = [int(x) for x in rng.integers(3, 500, size=6)]
+    c = RegexConstraint(pattern, tok, cfg.vocab_size, eos_ids=(2,))
+    done = _run(engine, [Request(rid="jf", input_ids=ids,
+                                 max_new_tokens=80, eos_ids=(2,),
+                                 constraint=c)])
+    out = done["jf"]
+    text = "".join(tok.decode([t], skip_special_tokens=True)
+                   for t in out.output_ids)
+    assert re.fullmatch(pattern, text), text
+    # the scaffolding (~30 chars) is forced; only a handful of positions
+    # are free choices — decode steps must be far fewer than tokens
+    assert engine._steps < len(out.output_ids) / 2, (
+        engine._steps, len(out.output_ids))
+
+
+def test_regex_constraint_forced_run_semantics(tmp_path):
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    c = RegexConstraint(r"abc(x|y)", tok, tok.vocab_size, eos_ids=(2,))
+    allowed = c.allowed_tokens()
+    assert allowed
+    first = allowed[0]
+    c.advance(first)
+    forced = c.forced_run(32)
+    # after consuming the first allowed token the 'abc' stem is forced
+    # up to the (x|y) branch
+    assert all(isinstance(t, int) for t in forced)
+    # the branch point leaves >1 option
+    assert len(c.allowed_tokens()) >= 2 or c.finished
