@@ -26,6 +26,9 @@ def main():
     p.add_argument("--num-slots", type=int, default=0,
                    help="KV slots; 0 → sized from --mem-fraction")
     p.add_argument("--mem-fraction", type=float, default=0.8)
+    p.add_argument("--decode-steps", type=int, default=1,
+                   help="decode steps per host sync (hides dispatch "
+                        "latency; sglang --num-continuous-decode-steps)")
     p.add_argument("--schedule-policy", default="lpm",
                    choices=["lpm", "fcfs", "lof", "random"])
     p.add_argument("--dtype", default="bfloat16",
@@ -84,7 +87,8 @@ def main():
                         max_seq_len=args.max_seq_len,
                         num_slots=num_slots,
                         policy=SchedulePolicy(args.schedule_policy),
-                        kv_dtype=dtype)
+                        kv_dtype=dtype,
+                        decode_steps=args.decode_steps)
     launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
                   engine_cfg=ecfg, mm=mm)
 

@@ -289,7 +289,7 @@ def _bwd_dq_kernel(q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref,
 
 
 def _flash_bwd(res, g, *, causal, scale, q_offset, block_q, block_kv,
-               t_q=None, t_kv=None):
+               t_q=None, t_kv=None, g_lse=None):
     q, k, v, q_seg, kv_seg, out, lse = res
     BH, Tq, D = q.shape
     Tkv = k.shape[1]
@@ -304,6 +304,10 @@ def _flash_bwd(res, g, *, causal, scale, q_offset, block_q, block_kv,
 
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32),
                     axis=-1)[:, None, :]   # [BH, 1, Tq]
+    if g_lse is not None:
+        # lse cotangent folds into delta: ds = p·(dP − Δ + ḡ_lse)
+        # (∂lse_r/∂s_rj = p_rj), so Δ' = Δ − ḡ_lse feeds the same kernels
+        delta = delta - g_lse.astype(jnp.float32)[:, None, :]
     lse = lse[:, None, :]                   # [BH, 1, Tq]
 
     kw = dict(scale=scale, causal=causal, q_offset=q_offset, t_q=t_q,
@@ -394,6 +398,76 @@ def _flash_core_bwd(causal, scale, q_offset, block_q, block_kv,
 
 
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_lse_core(q, k, v, causal, scale, q_offset, block_q, block_kv,
+                    t_q, t_kv):
+    """Flash attention that also returns a DIFFERENTIABLE log-sum-exp —
+    the building block for ring attention, where per-block (out, lse)
+    pairs are merged online and gradients must flow through the merge
+    weights (yunchang ring_flash_attn.py parity, but via autodiff)."""
+    return _flash_fwd(q, k, v, None, None, causal=causal, scale=scale,
+                      q_offset=q_offset, block_q=block_q,
+                      block_kv=block_kv, t_q=t_q, t_kv=t_kv)
+
+
+def _flash_lse_core_fwd(q, k, v, causal, scale, q_offset, block_q,
+                        block_kv, t_q, t_kv):
+    out, lse = _flash_fwd(q, k, v, None, None, causal=causal, scale=scale,
+                          q_offset=q_offset, block_q=block_q,
+                          block_kv=block_kv, t_q=t_q, t_kv=t_kv)
+    return (out, lse), (q, k, v, out, lse)
+
+
+def _flash_lse_core_bwd(causal, scale, q_offset, block_q, block_kv, t_q,
+                        t_kv, res, g):
+    q, k, v, out, lse = res
+    g_out, g_lse = g
+    dq, dk, dv = _flash_bwd((q, k, v, None, None, out, lse), g_out,
+                            causal=causal, scale=scale, q_offset=q_offset,
+                            block_q=block_q, block_kv=block_kv, t_q=t_q,
+                            t_kv=t_kv, g_lse=g_lse)
+    return dq, dk, dv
+
+
+_flash_lse_core.defvjp(_flash_lse_core_fwd, _flash_lse_core_bwd)
+
+
+def flash_attention_lse(q, k, v, *, causal: bool = False,
+                        scale: Optional[float] = None,
+                        q_offset: int = 0,
+                        block_q: int = DEFAULT_BLOCK_Q,
+                        block_kv: int = DEFAULT_BLOCK_KV):
+    """Flash attention returning (out [B,T,H,D], lse [B,H,T]).
+
+    The lse output is differentiable (its cotangent routes through the
+    backward kernels' delta term), so compositions that weight partial
+    attention results by lse — ring attention's online merge — get exact
+    gradients from plain autodiff."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    if k.shape[2] != H:
+        rep = H // k.shape[2]
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+
+    def fold(x):
+        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
+
+    qf, kf, vf = fold(q), fold(k), fold(v)
+    bq = min(block_q, max(128, 1 << (T - 1).bit_length()))
+    bk = min(block_kv, max(128, 1 << (S - 1).bit_length()))
+    qf = _pad_to(qf, bq, 1)
+    kf = _pad_to(kf, bk, 1)
+    vf = _pad_to(vf, bk, 1)
+    out, lse = _flash_lse_core(qf, kf, vf, causal, float(scale),
+                               int(q_offset), bq, bk, T, S)
+    out = out[:, :T].reshape(B, H, T, D).transpose(0, 2, 1, 3)
+    lse = lse[:, :T].reshape(B, H, T)
+    return out, lse
 
 
 def flash_attention(q, k, v, *, causal: bool = False,

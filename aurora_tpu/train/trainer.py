@@ -49,6 +49,11 @@ class TrainConfig:
     # 'hybrid' (requires a mesh passed to make_train_step)
     sp_mode: Optional[str] = None
     hybrid_ulysses: int = 1
+    # ring options: 'contiguous' | 'zigzag' causal load balance (apply
+    # zigzag_split to batches first); heads_k_stride bounds the llama3
+    # varlen-ring all-gather (0 → all kv heads at once)
+    ring_layout: str = "contiguous"
+    heads_k_stride: int = 0
 
 
 @dataclasses.dataclass
@@ -115,16 +120,24 @@ def _build_sp_attn(tcfg: TrainConfig, mesh):
                                kv_segment_ids=segment_ids, **kw)
         return sp_attn
     if tcfg.sp_mode in ("ring", "hybrid"):
-        fn = (functools.partial(hybrid_mha,
-                                ulysses=tcfg.hybrid_ulysses)
-              if tcfg.sp_mode == "hybrid" else ring_mha)
+        from aurora_tpu.parallel.hybrid import hybrid_varlen_mha
+        from aurora_tpu.parallel.ring import ring_varlen_mha
+        if tcfg.sp_mode == "hybrid":
+            fn = functools.partial(hybrid_mha, ulysses=tcfg.hybrid_ulysses,
+                                   layout=tcfg.ring_layout)
+            vfn = functools.partial(hybrid_varlen_mha,
+                                    ulysses=tcfg.hybrid_ulysses,
+                                    heads_k_stride=tcfg.heads_k_stride)
+        else:
+            fn = functools.partial(ring_mha, layout=tcfg.ring_layout)
+            vfn = functools.partial(ring_varlen_mha,
+                                    heads_k_stride=tcfg.heads_k_stride)
 
         def sp_attn(q, k, v, segment_ids=None):
             if segment_ids is not None:
-                raise NotImplementedError(
-                    "varlen packing under ring/hybrid SP is not wired "
-                    "yet (zigzag varlen, SURVEY §7 hard part 4); use "
-                    "sp_mode='ulysses' for packed batches")
+                # packed varlen → llama3-style all-gather-KV ring
+                # (dispatches/internlm2.py:204-240 parity)
+                return vfn(q, k, v, segment_ids, mesh, **kw)
             return fn(q, k, v, mesh, **kw)
         return sp_attn
     raise ValueError(f"unknown sp_mode {tcfg.sp_mode!r}")

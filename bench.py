@@ -1,161 +1,236 @@
 """Round benchmark on real TPU hardware.
 
-Primary metric: AuroraCap-7B (Vicuna-7B shape) batched decode throughput —
-the serving hot loop (one compiled step, batch 8, 512-token context), the
-path sglang accelerates with CUDA graphs + FlashInfer in the reference.
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+PRIMARY metric (the BASELINE.md north star): AuroraCap-7B end-to-end
+videos/sec — preprocess → ViT-H+ToMe encode (8 frames @378, ratio 0.2) →
+projector → fuse → prefill → full 256-token caption decode, driven through
+the real serving engine (continuous batching, ragged paged attention,
+multi-step decode).
 
+detail carries the supporting numbers: steady-state batched decode
+throughput (b8), decode-attention kernel vs the XLA-gather path at
+b8/ctx2048 with % of HBM speed-of-light, ViT clip encode rate, prefill
+rate, and the e2e stage breakdown.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is null: the reference publishes no wall-clock numbers
 (BASELINE.md — `published` is empty).
 
 Environment notes (see .claude/skills/verify): the TPU is reached through a
-single-stream relay whose transport stalls on large messages —
-block_until_ready does not sync, and multi-MB HLO payloads (e.g. the
-32-distinct-shape ToMe ViT unroll) can wedge it. The decode program is a
-compact lax.scan HLO and the 7B weights are initialized on device, so
-nothing big crosses the pipe; timing chains N dispatches host-side and
-syncs once with device_get ((t_N − t_1)/(N − 1) cancels the RPC constant).
+single-stream relay — block_until_ready does not sync, only jax.device_get
+does; params MUST be jit arguments (closures embed 13.5GB constants in the
+HLO and wedge the relay); stages run sequentially and free their weights
+(7B bf16 ≈ 13.5G of the ~15.75G v5e HBM).
 """
 
-import functools
 import json
 import sys
 import time
 
 import numpy as np
 
+E2E_VIDEOS = 4
+FRAMES = 8
+IMAGE_SIZE = 378
+KEPT_RATIO = 0.2
+CAPTION_TOKENS = 256
+LLM_BATCH = 2
+LLM_HIDDEN = 4096
+
+
+def _sync(x):
+    import jax
+    jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
+
+
+def _vit_stage(jax, jnp, detail):
+    """ViT-H+ToMe+projector encode for the e2e clips + clip rate.
+    Returns per-video visual embeddings (device arrays, small)."""
+    from aurora_tpu.models.projector import (ProjectorConfig,
+                                             apply_projector,
+                                             init_projector_params)
+    from aurora_tpu.models.vit import ViTConfig, init_vit_params, vit_encode
+
+    cfg = ViTConfig.dfn5b_vit_h_378()
+    pj_cfg = ProjectorConfig(visual_hidden_size=cfg.hidden_size,
+                             llm_hidden_size=LLM_HIDDEN, depth=2)
+    rng = jax.random.PRNGKey(0)
+    params = init_vit_params(rng, cfg, dtype=jnp.bfloat16)
+    pj = init_projector_params(rng, pj_cfg, dtype=jnp.bfloat16)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def enc(params, pj, px):
+        feats = vit_encode(params, px, cfg, kept_ratio=KEPT_RATIO,
+                           select_layer=-2)
+        return apply_projector(pj, feats, pj_cfg)
+
+    host = np.random.default_rng(0)
+    clips = [jnp.asarray(host.standard_normal((FRAMES, 3, IMAGE_SIZE,
+                                               IMAGE_SIZE)), jnp.bfloat16)
+             for _ in range(E2E_VIDEOS)]
+    t0 = time.perf_counter()
+    out = enc(params, pj, clips[0])
+    _sync(out)
+    print(f"[bench] vit compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+
+    t0 = time.perf_counter()
+    embeds = [enc(params, pj, c) for c in clips]
+    _sync(embeds[-1])
+    t_vit = time.perf_counter() - t0
+    detail["e2e_vit_encode_s"] = round(t_vit, 3)
+    detail["vit_encode_clips_per_s"] = round(E2E_VIDEOS / t_vit, 2)
+    # flatten frames → the fused visual token sequence [F*N_vis, 4096]
+    embeds = [e.reshape(-1, e.shape[-1]) for e in embeds]
+    n_vis = embeds[0].shape[0]
+    detail["visual_tokens_per_video"] = int(n_vis)
+    del params, pj, clips
+    return embeds, t_vit
+
+
+def _kernel_stage(detail):
+    """Ragged paged-attention kernel vs the XLA-gather path at b8/ctx2048
+    (VERDICT round-1 item 2 done-criteria measurement)."""
+    import aurora_tpu.cli.bench_kernels as bk
+    argv = sys.argv
+    try:
+        sys.argv = ["bench_kernels", "--layers", "8", "--iters", "10",
+                    "--chunk", "1024"]
+        out = bk.main()
+    finally:
+        sys.argv = argv
+    detail["paged_attn_b8_ctx2048"] = out
+
+
+def _llm_stage(jax, jnp, embeds, detail):
+    """7B engine: e2e prefill+caption decode, then steady-state b8 decode."""
+    from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+    from aurora_tpu.serve.engine import EngineConfig, ServeEngine
+    from aurora_tpu.serve.scheduler import Request
+
+    cfg = LlamaConfig.vicuna_7b_v15_16k()
+    print("[bench] init 7B params on device", file=sys.stderr)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
+    n_vis = embeds[0].shape[0]
+    prompt_len = n_vis + 24           # visual tokens + instruction text
+    max_seq = prompt_len + CAPTION_TOKENS
+    # b2 rows ≈ 1.6GB next to 13.5GB of weights on a 15.75GB v5e;
+    # kv_chunk=512 keeps s_row tight (1536, not 2048)
+    ecfg = EngineConfig(
+        max_batch=LLM_BATCH, max_seq_len=max_seq, num_slots=128,
+        prefill_buckets=(-(-prompt_len // 256) * 256,),
+        kv_chunk=512, decode_steps=16)
+    host = np.random.default_rng(1)
+
+    emb_table = {}
+
+    def embed_fn(req):
+        return emb_table[req.rid]
+
+    def make_req(i, warm=False):
+        rid = f"warm{i}" if warm else f"v{i}"
+        ids = [int(x) for x in host.integers(10, 30000, size=prompt_len)]
+        vis = embeds[i % len(embeds)]
+        txt = jnp.take(params["embed_tokens"],
+                       jnp.asarray(ids[n_vis:]), axis=0)
+        emb_table[rid] = jnp.concatenate([vis.astype(jnp.bfloat16),
+                                          txt.astype(jnp.bfloat16)])
+        req = Request(rid=rid, input_ids=ids,
+                      max_new_tokens=8 if warm else CAPTION_TOKENS,
+                      eos_ids=(-1,))
+        req.pixel_values = True  # routes through embed_fn
+        return req
+
+    def run_e2e(batch):
+        import dataclasses
+        engine = ServeEngine(params, cfg,
+                             dataclasses.replace(ecfg, max_batch=batch),
+                             embed_fn=embed_fn)
+        t0 = time.perf_counter()
+        engine.add_request(make_req(0, warm=True))
+        while engine.has_work():
+            engine.step()
+        print(f"[bench] engine compile+warm "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        for i in range(E2E_VIDEOS):
+            engine.add_request(make_req(i))
+        done = 0
+        while engine.has_work():
+            done += len(engine.step())
+        assert done == E2E_VIDEOS, done
+        return time.perf_counter() - t0
+
+    try:
+        t_llm = run_e2e(LLM_BATCH)
+        detail["e2e_llm_batch"] = LLM_BATCH
+    except Exception as e:  # noqa: BLE001 — likely HBM exhaustion at b2
+        print(f"[bench] e2e batch {LLM_BATCH} failed ({str(e)[:120]}); "
+              "falling back to batch 1", file=sys.stderr)
+        t_llm = run_e2e(1)
+        detail["e2e_llm_batch"] = 1
+    detail["e2e_llm_s"] = round(t_llm, 3)
+    detail["e2e_prompt_tokens"] = prompt_len
+    detail["e2e_caption_tokens"] = CAPTION_TOKENS
+    detail["e2e_llm_tokens_per_s"] = round(
+        E2E_VIDEOS * CAPTION_TOKENS / t_llm, 1)
+    emb_table.clear()
+
+    # steady-state batched decode throughput (b8, prompt 16, 160 new)
+    ecfg8 = EngineConfig(max_batch=8, max_seq_len=256, num_slots=64,
+                         prefill_buckets=(16,), kv_chunk=256,
+                         decode_steps=32)
+    engine8 = ServeEngine(params, cfg, ecfg8)
+
+    def batch8(tag, n_new):
+        return [Request(rid=f"{tag}{i}",
+                        input_ids=[int(x) for x in
+                                   host.integers(10, 30000, size=16)],
+                        max_new_tokens=n_new, eos_ids=(-1,))
+                for i in range(8)]
+
+    t0 = time.perf_counter()
+    for r in batch8("w", 8):
+        engine8.add_request(r)
+    while engine8.has_work():
+        engine8.step()
+    print(f"[bench] decode compile+warm {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    t0 = time.perf_counter()
+    for r in batch8("d", 160):
+        engine8.add_request(r)
+    while engine8.has_work():
+        engine8.step()
+    t_dec = time.perf_counter() - t0
+    detail["decode_tokens_per_s_b8"] = round(8 * 160 / t_dec, 1)
+    detail["decode_ms_per_step_b8"] = round(t_dec / 160 * 1e3, 2)
+    detail["backend"] = jax.default_backend()
+    return t_llm
+
 
 def main():
     import jax
     import jax.numpy as jnp
-    from aurora_tpu.models.llama import (LlamaConfig, init_kv_cache,
-                                         init_llama_params, llama_apply)
 
-    cfg = LlamaConfig.vicuna_7b_v15_16k()
-    B, CTX, S = 8, 128, 256   # 7B bf16 ≈13.5G; KV ≈1.1G; v5e has 15.75G
-    print("[bench] init 7B params on device", file=sys.stderr)
-    params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    cache = init_kv_cache(cfg, B, S, jnp.bfloat16)
-
-    # fill the cache to CTX with one prefill call (compact scan HLO)
-    ids = jnp.ones((B, CTX), jnp.int32)
-    print("[bench] prefill", file=sys.stderr)
-
-    @jax.jit
-    def prefill(params, ids, cache):
-        _, cache = llama_apply(params, cfg, input_ids=ids, kv_cache=cache,
-                               cache_len=0)
-        return cache
-    t0 = time.perf_counter()
-    cache = prefill(params, ids, cache)
-    jax.device_get(cache["k"][0, 0, 0, 0, 0])
-    compile_prefill = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cache = prefill(params, ids, cache)
-    jax.device_get(cache["k"][0, 0, 0, 0, 0])
-    prefill_s = time.perf_counter() - t0
-    print(f"[bench] prefill {prefill_s:.2f}s "
-          f"(compile {compile_prefill:.1f}s)", file=sys.stderr)
-
-    # params MUST be jit arguments: closing over them embeds 13.5GB of
-    # constants into the HLO, which has to cross the relay pipe — the
-    # root cause of every earlier bench stall.
-    @functools.partial(jax.jit, donate_argnums=(2,))
-    def decode_step(params, tok, cache):
-        logits, cache = llama_apply(params, cfg, input_ids=tok,
-                                    kv_cache=cache, cache_len=CTX)
-        nxt = jnp.argmax(logits[:, -1:], axis=-1).astype(jnp.int32)
-        return nxt, cache
-
-    tok = jnp.ones((B, 1), jnp.int32)
-
-    def run(n, cache):
-        t = tok
-        for _ in range(n):
-            t, cache = decode_step(params, t, cache)
-        float(np.asarray(jax.device_get(t))[0, 0])  # sync
-        return cache
-
-    t0 = time.perf_counter()
-    cache = run(2, cache)
-    print(f"[bench] compile+warm {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    cache = run(1, cache)
-    t1 = time.perf_counter() - t0
-    iters = 100
-    t0 = time.perf_counter()
-    cache = run(iters + 1, cache)
-    tN = time.perf_counter() - t0
-    dt = max(tN - t1, 1e-9) / iters
-    print(f"[bench] t1={t1:.2f}s tN={tN:.2f}s per-step={dt*1e3:.2f}ms",
-          file=sys.stderr)
-
-    detail = {"ms_per_step": round(dt * 1e3, 2),
-              "batch": B, "context": CTX,
-              "prefill_s": round(prefill_s, 3),
-              "prefill_tokens_per_s": round(B * CTX / prefill_s, 1),
-              "backend": jax.default_backend()}
-
-    # secondary: flagship ViT-H/14 + ToMe visual encode (8 frames @378,
-    # ratio 0.1) — params free first so the 7B weights don't pin HBM
+    detail = {}
+    embeds, t_vit = _vit_stage(jax, jnp, detail)
     try:
-        del params, cache
-        detail.update(_vit_encode_bench(jax, jnp))
+        _kernel_stage(detail)
     except Exception as e:  # noqa: BLE001
-        detail["vit_encode_error"] = str(e)[:200]
+        detail["paged_attn_error"] = str(e)[:200]
+    t_llm = _llm_stage(jax, jnp, embeds, detail)
 
+    videos_per_s = E2E_VIDEOS / (t_vit + t_llm)
     print(json.dumps({
-        "metric": "auroracap7b_decode_throughput_b8_bf16",
-        "value": round(B / dt, 1),
-        "unit": "tokens/s (batched serving decode, 1x v5e chip)",
+        "metric": "auroracap7b_e2e_videos_per_s",
+        "value": round(videos_per_s, 3),
+        "unit": ("videos/s e2e (8f@378 ViT+ToMe r0.2 -> fuse -> prefill "
+                 "-> 256-tok caption via serve engine, 1x v5e chip)"),
         "vs_baseline": None,
         "detail": detail,
     }))
-
-
-def _vit_encode_bench(jax, jnp, frames=8, kept_ratio=0.1, iters=50):
-    from aurora_tpu.models.vit import (ViTConfig, init_vit_params,
-                                       vit_encode)
-    from aurora_tpu.models.projector import (ProjectorConfig,
-                                             apply_projector,
-                                             init_projector_params)
-    cfg = ViTConfig.dfn5b_vit_h_378()
-    pj_cfg = ProjectorConfig(visual_hidden_size=cfg.hidden_size,
-                             llm_hidden_size=4096, depth=2)
-    rng = jax.random.PRNGKey(0)
-    params = init_vit_params(rng, cfg, dtype=jnp.bfloat16)
-    pj = init_projector_params(rng, pj_cfg, dtype=jnp.bfloat16)
-    px = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (frames, 3, 378, 378)), jnp.bfloat16)
-
-    @jax.jit
-    def enc(params, pj, px):
-        feats = vit_encode(params, px, cfg, kept_ratio=kept_ratio,
-                           select_layer=-2)
-        return jnp.sum(apply_projector(pj, feats, pj_cfg)
-                       .astype(jnp.float32))
-
-    def run(n):
-        out = None
-        for _ in range(n):
-            out = enc(params, pj, px)
-        return float(np.asarray(jax.device_get(out)))
-
-    t0 = time.perf_counter()
-    run(2)
-    print(f"[bench] vit compile+warm {time.perf_counter()-t0:.1f}s",
-          file=sys.stderr)
-    t0 = time.perf_counter()
-    run(1)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    run(iters + 1)
-    tN = time.perf_counter() - t0
-    dt = max(tN - t1, 1e-9) / iters
-    print(f"[bench] vit per-clip={dt*1e3:.2f}ms", file=sys.stderr)
-    return {"vit_encode_ms_per_8f_clip_r0.1": round(dt * 1e3, 2),
-            "vit_encode_clips_per_s": round(1.0 / dt, 1)}
 
 
 def main_with_retries(attempts: int = 3):

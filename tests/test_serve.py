@@ -336,3 +336,26 @@ def test_engine_logprobs_returned(tiny_engine, rng):
     for tok, top in zip(r.output_ids, r.output_top_logprobs):
         assert top[0][0] == tok
         assert len(top) == 5
+
+
+def test_engine_multi_step_decode_matches_single(tiny_engine, rng):
+    """decode_steps>1 (on-device token feedback, host sync every K steps)
+    must be output-identical to single-step decode, including mid-block
+    eos finishes."""
+    import dataclasses as dc
+    params, cfg, ecfg = tiny_engine
+    reqs = []
+    for i in range(3):
+        ids = [int(x) for x in rng.integers(3, 128, size=6 + i)]
+        reqs.append((ids, 9))
+    single = ServeEngine(params, cfg, ecfg)
+    got1 = _run_engine(single, [Request(rid=str(i), input_ids=list(p),
+                                        max_new_tokens=n)
+                                for i, (p, n) in enumerate(reqs)])
+    multi = ServeEngine(params, cfg, dc.replace(ecfg, decode_steps=4))
+    got4 = _run_engine(multi, [Request(rid=str(i), input_ids=list(p),
+                                       max_new_tokens=n)
+                               for i, (p, n) in enumerate(reqs)])
+    for i in range(3):
+        assert got4[str(i)].output_ids == got1[str(i)].output_ids, i
+    assert multi.check_memory()["leaked"] == 0
