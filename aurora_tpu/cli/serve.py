@@ -30,7 +30,7 @@ def main():
                    help="decode steps per host sync (hides dispatch "
                         "latency; sglang --num-continuous-decode-steps)")
     p.add_argument("--schedule-policy", default="lpm",
-                   choices=["lpm", "fcfs", "lof", "random"])
+                   choices=["lpm", "fcfs", "lof", "random", "dfs-weight"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     p.add_argument("--aurora", action="store_true",

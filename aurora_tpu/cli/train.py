@@ -49,6 +49,8 @@ def main():
     p.add_argument("--mesh", default="", help="e.g. dp=2,fsdp=2,sp=1,tp=2")
     p.add_argument("--checkpoint_interval", type=int, default=500)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--wandb_project", default=None,
+                   help="mirror metrics to Weights & Biases (optional)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--float32", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -120,7 +122,12 @@ def main():
                      intermediate=acfg.llm.intermediate_size)
 
     os.makedirs(args.work_dir, exist_ok=True)
-    log_path = os.path.join(args.work_dir, "train_log.jsonl")
+    from aurora_tpu.utils.loggers import MetricsLogger
+    logger = MetricsLogger(
+        jsonl_path=os.path.join(args.work_dir, "train_log.jsonl"),
+        wandb_project=args.wandb_project,
+        run_name=f"{args.stage}-{os.path.basename(args.work_dir)}",
+        config=vars(args))
     it = iter(batched(iter(sampler), batch_size))
     for step_i in range(start, tcfg.max_steps):
         try:
@@ -151,11 +158,11 @@ def main():
                    "tflops": round(m["tflops"], 2),
                    "eta_s": int(m["eta_s"])}
             print(json.dumps(rec))
-            with open(log_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
+            logger.log(rec, step=step_i + 1)
         if (step_i + 1) % args.checkpoint_interval == 0:
             save_checkpoint(ckpt_dir, state, step_i + 1)
     save_checkpoint(ckpt_dir, state, tcfg.max_steps)
+    logger.finish()
     print(f"done; checkpoints at {ckpt_dir}")
 
 

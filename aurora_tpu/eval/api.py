@@ -71,6 +71,9 @@ def _load_docs(path: str) -> List[dict]:
     if os.path.isdir(path):
         import datasets
         return list(datasets.load_from_disk(path))
+    if path.endswith(".tsv"):  # MMBench-style tables
+        from aurora_tpu.eval.tasks.mmbench import load_mmbench_tsv
+        return load_mmbench_tsv(path)
     with open(path) as f:
         if path.endswith(".jsonl"):
             return [json.loads(ln) for ln in f if ln.strip()]

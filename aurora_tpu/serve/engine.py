@@ -184,7 +184,8 @@ def _lm_head(params, cfg, x):
 # Sampling core (full surface, fused on device)
 # ---------------------------------------------------------------------------
 
-def _sample_core(logits, counts, seen, samp, allowed, key):
+def _sample_core(logits, counts, seen, samp, allowed, key,
+                 all_greedy=False):
     """logits [N, V] fp32 → (sampled [N], tok_logprob [N], top-k ids/lps).
 
     Applies, per row: repetition penalty (prompt+output presence `seen`),
@@ -192,7 +193,8 @@ def _sample_core(logits, counts, seen, samp, allowed, key):
     mask, temperature, top-k, top-p, min-p — srt/layers/sampler.py:1-181 +
     srt/sampling/penaltylib parity. Logprobs are reported from the RAW
     model distribution (pre-penalty), as the reference's logits processor
-    does.
+    does. all_greedy (static) skips the vocab sort — the full [N, V] sort
+    costs several ms/step on TPU and greedy never needs it.
     """
     N, V = logits.shape
     raw_lp = jax.nn.log_softmax(logits, axis=-1)
@@ -207,6 +209,8 @@ def _sample_core(logits, counts, seen, samp, allowed, key):
         logits = jnp.where(allowed, logits, -jnp.inf)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if all_greedy:
+        return greedy, raw_lp
     lt = logits / jnp.maximum(samp["temp"][:, None], 1e-6)
     sl = jnp.sort(lt, axis=-1)[:, ::-1]
     # top-k: mask below the k-th largest (k == 0 → disabled)
@@ -234,9 +238,7 @@ def _sample_core(logits, counts, seen, samp, allowed, key):
 
     sampled = jax.random.categorical(key, lt, axis=-1).astype(jnp.int32)
     sampled = jnp.where(samp["temp"] <= 0.0, greedy, sampled)
-    tok_lp = jnp.take_along_axis(raw_lp, sampled[:, None], axis=-1)[:, 0]
-    top_lp, top_ids = jax.lax.top_k(raw_lp, _TOPK_LOGPROBS)
-    return sampled, tok_lp, top_lp, top_ids
+    return sampled, raw_lp
 
 
 def _samp_arrays(reqs, n, rows=None):
@@ -275,10 +277,25 @@ def _extend_step(params, rows_k, rows_v, embeds, row_ids, q_offsets,
     return _lm_head(params, cfg, x), rows_k, rows_v
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk"),
+def _logprob_outputs(raw_lp, sampled, want_logprobs):
+    """Per-token logprob + top-k alternatives; the top-k (a vocab sort on
+    TPU) only runs when a request asked for logprobs."""
+    tok_lp = jnp.take_along_axis(raw_lp, sampled[:, None], axis=-1)[:, 0]
+    if want_logprobs:
+        top_lp, top_ids = jax.lax.top_k(raw_lp, _TOPK_LOGPROBS)
+    else:
+        N = raw_lp.shape[0]
+        top_lp = jnp.zeros((N, _TOPK_LOGPROBS), raw_lp.dtype)
+        top_ids = jnp.zeros((N, _TOPK_LOGPROBS), jnp.int32)
+    return tok_lp, top_lp, top_ids
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk", "all_greedy",
+                                             "want_logprobs"),
                    donate_argnums=(1, 2, 3, 4))
 def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
-                 active, samp, allowed, key, cfg, chunk):
+                 active, samp, allowed, key, cfg, chunk,
+                 all_greedy=False, want_logprobs=True):
     """One token for every active row, sampling fused in.
     tokens [B] last sampled ids; positions [B] their write positions;
     active [B] bool. Returns sampled ids + logprobs + updated buffers."""
@@ -290,8 +307,11 @@ def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
     x, rows_k, rows_v = _forward_rows(params, cfg, embeds, rows_k, rows_v,
                                       row_ids, positions, kv_lens, chunk)
     logits = _lm_head(params, cfg, x)
-    sampled, tok_lp, top_lp, top_ids = _sample_core(
-        logits, counts.astype(jnp.float32), seen, samp, allowed, key)
+    sampled, raw_lp = _sample_core(
+        logits, counts.astype(jnp.float32), seen, samp, allowed, key,
+        all_greedy=all_greedy)
+    tok_lp, top_lp, top_ids = _logprob_outputs(raw_lp, sampled,
+                                               want_logprobs)
     upd = active.astype(counts.dtype)
     counts = counts.at[row_ids, sampled].add(upd)
     seen = seen.at[row_ids, sampled].max(active)
@@ -299,13 +319,16 @@ def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
             rows_k, rows_v)
 
 
-@functools.partial(jax.jit, donate_argnums=(1, 2))
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("all_greedy", "want_logprobs"))
 def _sample_after_extend(logits, counts, seen, row_ids, samp, allowed,
-                         key):
+                         key, all_greedy=False, want_logprobs=True):
     """First token for freshly extended lanes (logits [Bk, V])."""
-    sampled, tok_lp, top_lp, top_ids = _sample_core(
+    sampled, raw_lp = _sample_core(
         logits, counts[row_ids].astype(jnp.float32), seen[row_ids], samp,
-        allowed, key)
+        allowed, key, all_greedy=all_greedy)
+    tok_lp, top_lp, top_ids = _logprob_outputs(raw_lp, sampled,
+                                               want_logprobs)
     counts = counts.at[row_ids, sampled].add(1)
     seen = seen.at[row_ids, sampled].max(True)
     return sampled, tok_lp, top_lp, top_ids, counts, seen
@@ -652,9 +675,12 @@ class ServeEngine:
         samp = _samp_arrays(reqs, len(reqs))
         allowed = self._allowed_mask(reqs, range(len(reqs)), len(reqs))
         sampled, tok_lp, top_lp, top_ids, self.counts, self.seen = \
-            _sample_after_extend(logits, self.counts, self.seen,
-                                 jnp.asarray(row_ids, np.int32), samp,
-                                 allowed, key)
+            _sample_after_extend(
+                logits, self.counts, self.seen,
+                jnp.asarray(row_ids, np.int32), samp, allowed, key,
+                all_greedy=all(r.sampling.temperature <= 0.0
+                               for r in reqs),
+                want_logprobs=any(r.logprobs for r in reqs))
         out = jax.device_get((sampled, tok_lp, top_lp, top_ids))
         for i, req in enumerate(reqs):
             self._accept_token(req, int(out[0][i]), float(out[1][i]),
@@ -751,6 +777,8 @@ class ServeEngine:
 
         samp = _samp_arrays(rows, B, [r.batch_row for r in rows])
         allowed = self._allowed_mask(rows, [r.batch_row for r in rows], B)
+        all_greedy = all(r.sampling.temperature <= 0.0 for r in rows)
+        want_lp = any(r.logprobs for r in rows)
         K = self.ecfg.decode_steps
         if allowed is not None:
             K = 1  # per-step masks can't lag
@@ -768,7 +796,8 @@ class ServeEngine:
              self.rows_k, self.rows_v) = _decode_step(
                 self.params, self.rows_k, self.rows_v, self.counts,
                 self.seen, tok_dev, pos_j, act_dev, samp, allowed, key,
-                self.cfg, self.chunk)
+                self.cfg, self.chunk, all_greedy=all_greedy,
+                want_logprobs=want_lp)
             tok_dev = sampled  # feedback stays on device
             outs.append((sampled, tok_lp, top_lp, top_ids))
         fetched = jax.device_get(outs)

@@ -28,6 +28,7 @@ class SchedulePolicy(str, enum.Enum):
     LPM = "lpm"
     LOF = "lof"
     RANDOM = "random"
+    DFS_WEIGHT = "dfs-weight"
 
 
 class FinishReason(str, enum.Enum):
@@ -133,6 +134,19 @@ class Scheduler:
             self.waiting.sort(key=lambda r: -r.max_new_tokens)
         elif self.policy == SchedulePolicy.RANDOM:
             random.shuffle(self.waiting)
+        elif self.policy == SchedulePolicy.DFS_WEIGHT:
+            # sglang dfs-weight (policy_scheduler.py:66-105): DFS the
+            # prefix tree visiting heavier subtrees first, so requests
+            # sharing prefixes are admitted adjacently and popular
+            # prefixes go first. Equivalent formulation without walking
+            # radix internals: lexicographic prefix adjacency + group
+            # weight ordering.
+            from collections import Counter
+
+            def key(r):
+                return tuple(r.input_ids[:64])
+            sizes = Counter(key(r) for r in self.waiting)
+            self.waiting.sort(key=lambda r: (-sizes[key(r)], key(r)))
 
     def tokens_in_flight(self) -> int:
         return sum(r.seq_len + r.max_new_tokens - len(r.output_ids)

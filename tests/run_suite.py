@@ -1,0 +1,79 @@
+"""Curated test-suite runner with per-file timeouts.
+
+Parity: sglang's run_suite (src/sglang/test/srt/run_suite.py:6-28) — the
+full suite takes ~20 min on a 1-core host, so CI-style loops run the
+`minimal` suite (<5 min) and nightly runs `full`.
+
+  python tests/run_suite.py --suite minimal
+  python tests/run_suite.py --suite full --range 0 10   # shard for CI
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import subprocess
+import sys
+import time
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# (file, timeout_s) — minimal covers one fast representative per subsystem
+SUITES = {
+    "minimal": [
+        ("test_tome.py", 120),           # ToMe kernel oracle
+        ("test_metrics.py", 120),        # eval metrics
+        ("test_data.py", 180),           # data plane
+        ("test_fsm.py", 180),            # constrained decode + engine
+        ("test_native_radix.py", 120),   # C++ radix twin
+        ("test_generate.py", 240),       # sampling/generation
+    ],
+}
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--suite", default="minimal",
+                   choices=[*SUITES, "full"])
+    p.add_argument("--range", nargs=2, type=int, default=None,
+                   metavar=("BEGIN", "END"),
+                   help="run a slice of the suite (CI sharding)")
+    p.add_argument("--timeout", type=int, default=1200,
+                   help="per-file timeout for --suite full")
+    args = p.parse_args()
+
+    if args.suite == "full":
+        files = [(os.path.basename(f), args.timeout) for f in
+                 sorted(glob.glob(os.path.join(HERE, "test_*.py")))]
+    else:
+        files = SUITES[args.suite]
+    if args.range:
+        files = files[args.range[0]:args.range[1]]
+
+    failed = []
+    t_all = time.time()
+    for name, timeout in files:
+        t0 = time.time()
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-m", "pytest", os.path.join(HERE, name),
+                 "-x", "-q"], timeout=timeout,
+                cwd=os.path.dirname(HERE))
+            ok = proc.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+            print(f"TIMEOUT after {timeout}s: {name}")
+        status = "ok" if ok else "FAIL"
+        print(f"[suite] {name:32s} {status} ({time.time() - t0:.0f}s)")
+        if not ok:
+            failed.append(name)
+    print(f"[suite] {len(files) - len(failed)}/{len(files)} files passed "
+          f"in {time.time() - t_all:.0f}s")
+    if failed:
+        print("[suite] failed:", ", ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -235,3 +235,66 @@ def test_multimodal_loglikelihood_matches_torch(tmp_path, rng):
                    for i, c in enumerate(cont))
     assert np.isfinite(got)
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_mmbench_task_end_to_end(tmp_path, rng):
+    """MMBench TSV → MC prompting → letter extraction → accuracy +
+    CircularEval (xtuner tools/mmbench.py parity)."""
+    import base64
+    import csv
+    import io
+    from PIL import Image
+    from aurora_tpu.eval.tasks import mmbench
+
+    # fake 4-row TSV (2 circular rotations of one base question)
+    rows = []
+    for i, (ans, opts) in enumerate([
+            ("A", ("cat", "dog", "fish", "bird")),
+            ("B", ("dog", "cat", "fish", "bird"))]):
+        img = Image.fromarray(
+            rng.integers(0, 255, (32, 32, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append({
+            "index": i * 1_000_000 + 7,
+            "image": base64.b64encode(buf.getvalue()).decode(),
+            "question": "What animal is shown?", "hint": "",
+            "A": opts[0], "B": opts[1], "C": opts[2], "D": opts[3],
+            "answer": ans})
+    tsv = tmp_path / "dev.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+        w.writeheader()
+        w.writerows(rows)
+
+    docs = mmbench.load_mmbench_tsv(str(tsv))
+    assert len(docs) == 2
+    text = mmbench.doc_to_text(docs[0])
+    assert "A. cat" in text and "Options:" in text
+    frames = mmbench.doc_to_visual(docs[0])[0]
+    assert frames.shape == (1, 32, 32, 3)
+
+    # letter extraction: direct letter, letter+punct, option text
+    assert mmbench.extract_choice("A", docs[0]) == "A"
+    assert mmbench.extract_choice(" B.", docs[0]) == "B"
+    assert mmbench.extract_choice("it is a fish", docs[0]) == "C"
+    assert mmbench.extract_choice("unknown", docs[0]) == ""
+
+    # CircularEval: both rotations right → 1; one wrong → 0
+    res = [{"index": 7, "acc": 1.0}, {"index": 1_000_007, "acc": 1.0}]
+    assert mmbench.circular_aggregate(res) == 1.0
+    res[1]["acc"] = 0.0
+    assert mmbench.circular_aggregate(res) == 0.0
+
+    # registry round trip through the generic evaluator loader
+    cfg = mmbench.register(str(tsv), name="mmbench_tiny")
+    from aurora_tpu.eval.api import get_task
+    task = get_task("mmbench_tiny")
+    loaded = task.docs()
+    assert len(loaded) == 2
+
+
+def test_eval_registry_includes_mmbench_module():
+    import aurora_tpu.eval.tasks  # noqa: F401 — module import side effect
+    from aurora_tpu.eval.tasks.mmbench import OPTION_KEYS
+    assert OPTION_KEYS == ("A", "B", "C", "D")
