@@ -26,6 +26,11 @@ def main():
     p.add_argument("--num-slots", type=int, default=0,
                    help="KV slots; 0 → sized from --mem-fraction")
     p.add_argument("--mem-fraction", type=float, default=0.8)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel replicas, one per local device "
+                        "(sglang --dp / ControllerMulti parity)")
+    p.add_argument("--dispatch", default="shortest_queue",
+                   choices=["shortest_queue", "round_robin"])
     p.add_argument("--decode-steps", type=int, default=1,
                    help="decode steps per host sync (hides dispatch "
                         "latency; sglang --num-continuous-decode-steps)")
@@ -90,7 +95,8 @@ def main():
                         kv_dtype=dtype,
                         decode_steps=args.decode_steps)
     launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
-                  engine_cfg=ecfg, mm=mm)
+                  engine_cfg=ecfg, mm=mm, dp=args.dp,
+                  dispatch=args.dispatch)
 
 
 if __name__ == "__main__":

@@ -56,6 +56,9 @@ def main():
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
+    from aurora_tpu.parallel.distributed import init_distributed
+    init_distributed()  # no-op single-host; MASTER_ADDR/TPU-pod autodetect
+
     from aurora_tpu.data.collate import default_collate_fn
     from aurora_tpu.data.dataset import AuroraDataset, aurora_map_fn
     from aurora_tpu.data.sampler import LengthGroupedSampler, batched

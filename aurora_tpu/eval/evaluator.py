@@ -36,9 +36,15 @@ def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
             docs = docs[:limit]
         metrics = defaultdict(list)
         samples = []
+        # batched adapters (generate_batch) run ALL docs through the
+        # serving engine's continuous batching — the round-1 harness was
+        # serial one-doc-at-a-time (lmms-eval accelerate-DP analog)
+        preds = (model.generate_batch(docs, task)
+                 if hasattr(model, "generate_batch") else None)
         for i, doc in enumerate(docs):
             t0 = time.monotonic()
-            pred = model.generate_until(doc, task)
+            pred = (preds[i] if preds is not None
+                    else model.generate_until(doc, task))
             per_doc = task.process_results(doc, [pred])
             for k, v in per_doc.items():
                 metrics[k].append(v)

@@ -53,6 +53,57 @@ class AuroraCapEval:
                                       self.max_new_tokens)),
             image_size=self.image_size)
 
+    def generate_batch(self, docs, task) -> list:
+        """ALL docs through the serve engine's continuous batching — the
+        harness-level throughput fix for the round-1 serial loop (the
+        reference parallelizes with accelerate DP, auroracap.py:118-142;
+        here one chip batches instead)."""
+        from aurora_tpu.data.text import build_video_prompt
+        from aurora_tpu.generate.sampler import SamplingParams
+        from aurora_tpu.serve.engine import EngineConfig, ServeEngine
+        from aurora_tpu.serve.multimodal import AuroraCapServing
+        from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+
+        gk = task.cfg.generation_kwargs
+        max_new = int(gk.get("max_new_tokens", self.max_new_tokens))
+        sampling = SamplingParams(
+            temperature=float(gk.get("temperature", 0.0)),
+            top_p=float(gk.get("top_p", 1.0)))
+        eos = tuple({self.tokenizer.eos_token_id} - {None}) or (2,)
+
+        mm = AuroraCapServing(self.params, self.cfg, self.tokenizer,
+                              kept_ratio=self.token_merge_ratio,
+                              image_size=self.image_size)
+        reqs = []
+        for i, doc in enumerate(docs):
+            px = self._frames(task.doc_to_visual(doc)[0])
+            prompt_text = build_video_prompt(task.doc_to_text(doc),
+                                             px.shape[0],
+                                             PROMPT_TEMPLATE.vicuna)
+            reqs.append(mm.build_request(
+                f"doc{i}", prompt_text, px, sampling=sampling,
+                max_new_tokens=max_new, eos_ids=eos))
+        prompt_max = max(len(r.input_ids) for r in reqs)
+        ecfg = EngineConfig(
+            max_batch=min(8, len(reqs)),
+            max_seq_len=prompt_max + max_new,
+            num_slots=max(1024, prompt_max * 2),
+            prefill_buckets=(-(-prompt_max // 128) * 128,),
+            kv_chunk=512, kv_dtype=self.params["llm"][
+                "embed_tokens"].dtype)
+        engine = ServeEngine(self.params["llm"], self.cfg.llm, ecfg,
+                             embed_fn=mm.embed_fn,
+                             tokenizer=self.tokenizer)
+        for r in reqs:
+            engine.add_request(r)
+        done = {}
+        while engine.has_work():
+            for r in engine.step():
+                done[r.rid] = r
+        return [self.tokenizer.decode(done[f"doc{i}"].output_ids,
+                                      skip_special_tokens=True)
+                for i in range(len(docs))]
+
     def loglikelihood(self, context_ids, continuation_ids,
                       pixel_values: Optional[np.ndarray] = None) -> float:
         """Σ log p(continuation | context) (auroracap.py:232-297).

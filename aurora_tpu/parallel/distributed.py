@@ -1,0 +1,64 @@
+"""Multi-host (multi-slice) runtime initialization.
+
+Parity: the reference's torch.distributed/NCCL bring-up — mmengine
+init_dist (env_cfg dist_cfg backend='nccl'), xtuner_lite init_dist +
+device-mesh setup (parallel/setup.py:15-70), and sglang's multi-node
+launch_tp_servers (server.py:313-334). On TPU the analog is ONE call:
+`jax.distributed.initialize` connects every host's runtime, after which
+`jax.devices()` spans the whole slice/pod and meshes built from it carry
+DCN traffic between slices and ICI within them.
+
+Environment contracts supported (first match wins):
+  * TPU pods / GKE: no args — jax.distributed.initialize() autodetects.
+  * torchrun-style: MASTER_ADDR/MASTER_PORT/RANK/WORLD_SIZE
+    (the reference's launchers export exactly these).
+  * explicit kwargs.
+
+Single-process runs are a no-op (returns False) so every entry point can
+call this unconditionally.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None,
+                     log=print) -> bool:
+    """Initialize jax.distributed when a multi-process env is detected.
+    Returns True if distributed mode was initialized."""
+    import jax
+
+    if jax.process_count() > 1:
+        return True  # already initialized
+
+    if coordinator_address is None and "MASTER_ADDR" in os.environ \
+            and "WORLD_SIZE" in os.environ:
+        world = int(os.environ["WORLD_SIZE"])
+        if world > 1:
+            coordinator_address = (f"{os.environ['MASTER_ADDR']}:"
+                                   f"{os.environ.get('MASTER_PORT', 8476)}")
+            num_processes = world
+            process_id = int(os.environ.get("RANK", 0))
+
+    in_pod = any(k in os.environ for k in
+                 ("MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    if coordinator_address is None and not in_pod:
+        return False  # single host, single process
+
+    try:
+        if coordinator_address is not None:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address,
+                num_processes=num_processes, process_id=process_id)
+        else:
+            jax.distributed.initialize()  # TPU pod autodetect
+        log(f"[distributed] process {jax.process_index()}/"
+            f"{jax.process_count()}, {jax.device_count()} global devices")
+        return True
+    except Exception as e:  # noqa: BLE001
+        log(f"[distributed] initialize failed ({e}); running single-host")
+        return False

@@ -379,15 +379,24 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
 
 def launch_server(params, cfg, tokenizer, *, host="0.0.0.0",
                   port=30000, engine_cfg=None, model_name="auroracap",
-                  mm=None):
+                  mm=None, dp=1, dispatch="shortest_queue"):
     """Blocking server entry (launch_server parity, srt/server.py:282).
-    Pass mm=AuroraCapServing(...) for multimodal deployments."""
+    Pass mm=AuroraCapServing(...) for multimodal deployments; dp>1 runs
+    one engine replica per local device (ControllerMulti parity)."""
     from aiohttp import web
     from aurora_tpu.serve.engine import EngineConfig
 
-    engine = ServeEngine(params, cfg, engine_cfg or EngineConfig(),
-                         embed_fn=mm.embed_fn if mm else None,
-                         tokenizer=tokenizer)
+    if dp > 1:
+        import jax
+        from aurora_tpu.serve.controller import MultiReplicaController
+        engine = MultiReplicaController(
+            params, cfg, engine_cfg or EngineConfig(),
+            devices=jax.local_devices()[:dp], dispatch=dispatch,
+            embed_fn=mm.embed_fn if mm else None, tokenizer=tokenizer)
+    else:
+        engine = ServeEngine(params, cfg, engine_cfg or EngineConfig(),
+                             embed_fn=mm.embed_fn if mm else None,
+                             tokenizer=tokenizer)
     loop_ = ServingLoop(engine, tokenizer, mm=mm)
     app = build_app(loop_, model_name)
 

@@ -1,0 +1,133 @@
+"""Multi-replica serving: data-parallel engines over multiple devices.
+
+Parity: sglang's ControllerMulti (src/sglang/python/sglang/srt/managers/
+controller_multi.py:1-206 — one ControllerSingle + TP group per DP
+replica, round-robin / shortest-queue dispatch) and the multi-node
+launch_tp_servers path (srt/server.py:313-334).
+
+TPU-native redesign: no process tree, no ZMQ. Each replica is a ServeEngine
+whose params and KV buffers are pinned to ONE device (jax.device_put);
+XLA dispatch is async, so a single host thread stepping the replicas in
+turn keeps every chip busy — replica i's step launches and returns while
+replica j's previous step is still running on its chip. Dispatch policies
+match the reference: round_robin | shortest_queue.
+
+Multi-host deployments initialize `jax.distributed` first
+(aurora_tpu.parallel.distributed.init_distributed) and run one controller
+per host over its local devices; a front-end balancer spreads HTTP across
+hosts (the reference's multi-node story is the same shape:
+tp_worker.py:917-934).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+
+from aurora_tpu.models.llama import LlamaConfig
+from aurora_tpu.serve.engine import EngineConfig, ServeEngine
+from aurora_tpu.serve.scheduler import Request
+
+
+class MultiReplicaController:
+    """N data-parallel ServeEngine replicas, one per device."""
+
+    def __init__(self, params, cfg: LlamaConfig,
+                 ecfg: EngineConfig = EngineConfig(), *,
+                 devices: Optional[List[Any]] = None,
+                 dispatch: str = "shortest_queue",
+                 embed_fn=None, tokenizer=None):
+        devices = devices or jax.local_devices()
+        assert dispatch in ("round_robin", "shortest_queue")
+        self.dispatch = dispatch
+        self.engines: List[ServeEngine] = []
+        for dev in devices:
+            dev_params = jax.device_put(params, dev)
+            self.engines.append(
+                ServeEngine(dev_params, cfg, ecfg, embed_fn=embed_fn,
+                            tokenizer=tokenizer))
+        self._rr = 0
+        self._where: Dict[str, int] = {}
+
+    # -- dispatch (controller_multi.py round_robin_scheduler /
+    #    shortest_queue_scheduler parity) --------------------------------
+
+    def _pick(self) -> int:
+        if self.dispatch == "round_robin":
+            i = self._rr
+            self._rr = (self._rr + 1) % len(self.engines)
+            return i
+        loads = [len(e.sched.waiting) + len(e.sched.running)
+                 for e in self.engines]
+        return int(min(range(len(loads)), key=loads.__getitem__))
+
+    def add_request(self, req: Request) -> None:
+        i = self._pick()
+        self._where[req.rid] = i
+        self.engines[i].add_request(req)
+
+    def abort(self, rid: str) -> bool:
+        i = self._where.get(rid)
+        if i is not None:
+            return self.engines[i].abort(rid)
+        return any(e.abort(rid) for e in self.engines)
+
+    def has_work(self) -> bool:
+        return any(e.has_work() for e in self.engines)
+
+    def step(self) -> List[Request]:
+        """One controller iteration: step every busy replica. Steps are
+        asynchronous XLA dispatches per device, so replicas overlap."""
+        done: List[Request] = []
+        for e in self.engines:
+            if e.has_work():
+                done.extend(e.step())
+        for req in done:
+            self._where.pop(req.rid, None)
+        return done
+
+    def fail_running(self) -> List[Request]:
+        out = []
+        for e in self.engines:
+            out.extend(e.fail_running())
+        return out
+
+    def flush_cache(self) -> int:
+        return sum(e.flush_cache() for e in self.engines)
+
+    def update_weights(self, new_params):
+        """Swap weights on every replica; all-or-nothing per replica with
+        rollback inside each engine."""
+        results = [e.update_weights(jax.device_put(
+            new_params, e.params["embed_tokens"].devices().pop()))
+            for e in self.engines]
+        ok = all(r[0] for r in results)
+        return ok, "; ".join(r[1] for r in results)
+
+    def check_memory(self) -> Dict[str, int]:
+        mems = [e.check_memory() for e in self.engines]
+        return {k: sum(m[k] for m in mems) for k in mems[0]}
+
+    @property
+    def sched(self):
+        """API-layer compatibility (streaming scans running requests)."""
+        class _Agg:
+            def __init__(self, engines):
+                self.engines = engines
+
+            @property
+            def running(self):
+                out = []
+                for e in self.engines:
+                    out.extend(e.sched.running)
+                return out
+        return _Agg(self.engines)
+
+    @property
+    def ecfg(self) -> EngineConfig:
+        return self.engines[0].ecfg
+
+    @property
+    def cfg(self) -> LlamaConfig:
+        return self.engines[0].cfg

@@ -359,3 +359,42 @@ def test_engine_multi_step_decode_matches_single(tiny_engine, rng):
     for i in range(3):
         assert got4[str(i)].output_ids == got1[str(i)].output_ids, i
     assert multi.check_memory()["leaked"] == 0
+
+
+def test_multi_replica_controller(tiny_engine, rng):
+    """DP serving over multiple devices (ControllerMulti parity):
+    dispatch spreads requests, outputs match single-engine greedy, and
+    every replica's memory accounting stays clean."""
+    import jax
+    from aurora_tpu.serve.controller import MultiReplicaController
+    params, cfg, ecfg = tiny_engine
+    devs = jax.devices()[:2] if len(jax.devices()) >= 2 \
+        else [jax.devices()[0]] * 2
+    ctl = MultiReplicaController(params, cfg, ecfg, devices=devs,
+                                 dispatch="shortest_queue")
+    reqs, want = [], {}
+    for i in range(6):
+        ids = [int(x) for x in rng.integers(3, 128, size=5 + i)]
+        want[str(i)] = _offline_greedy(params, cfg, ids, 4)
+        reqs.append(Request(rid=str(i), input_ids=ids, max_new_tokens=4))
+    for r in reqs:
+        ctl.add_request(r)
+    # both replicas must have received work
+    assert all(e.has_work() for e in ctl.engines)
+    done = {}
+    for _ in range(200):
+        for r in ctl.step():
+            done[r.rid] = r
+        if not ctl.has_work():
+            break
+    assert len(done) == 6
+    for i in range(6):
+        assert done[str(i)].output_ids == want[str(i)], i
+    mem = ctl.check_memory()
+    assert mem["leaked"] == 0
+    assert ctl.flush_cache() == 0
+
+
+def test_distributed_init_noop_single_host():
+    from aurora_tpu.parallel.distributed import init_distributed
+    assert init_distributed() is False
