@@ -78,7 +78,7 @@ def main():
     t0 = time.perf_counter()
     engine._admit()
     # force completion of all extends before timing decode
-    jax.block_until_ready(engine.rows_k)
+    jax.block_until_ready(engine.rows["k"])
     t_prefill = time.perf_counter() - t0
 
     steps = 0
@@ -86,7 +86,7 @@ def main():
     while engine.has_work():
         engine.step()
         steps += 1
-    jax.block_until_ready(engine.rows_k)
+    jax.block_until_ready(engine.rows["k"])
     t_decode = time.perf_counter() - t0
 
     decode_tokens = args.batch * args.decode_steps

@@ -38,6 +38,9 @@ def main():
                    choices=["lpm", "fcfs", "lof", "random", "dfs-weight"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
+    p.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+                   help="int8 KV + per-token scales: ~half the decode "
+                        "HBM traffic, ~2x batch*context per chip")
     p.add_argument("--aurora", action="store_true",
                    help="model_path is an xtuner-format AuroraCap dir; "
                         "enable multimodal /generate "
@@ -93,6 +96,7 @@ def main():
                         num_slots=num_slots,
                         policy=SchedulePolicy(args.schedule_policy),
                         kv_dtype=dtype,
+                        kv_quant=args.kv_quant,
                         decode_steps=args.decode_steps)
     launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
                   engine_cfg=ecfg, mm=mm, dp=args.dp,

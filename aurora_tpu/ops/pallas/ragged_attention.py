@@ -47,8 +47,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, o_ref,
-            acc_ref, m_ref, l_ref, *, scale, chunk, t_q, qr):
+def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
+            scale, chunk, t_q, qr, quant):
+    if quant:
+        ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
+    else:
+        o_ref, acc_ref, m_ref, l_ref = rest
     i = pl.program_id(0)          # batch lane (indexes lens/offs/rows)
     c = pl.program_id(2)          # kv chunk
     nc = pl.num_programs(2)
@@ -65,6 +69,8 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, o_ref,
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)        # [QR, hd]
         k = k_ref[0, 0].astype(jnp.float32)        # [chunk, hd]
+        if quant:  # int8 KV: dequantize with per-token scales
+            k = k * ks_ref[0, 0][:, None]
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         # query row qr = g * t_q + t → global query position off + t
@@ -81,6 +87,8 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, o_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         v = v_ref[0, 0].astype(jnp.float32)
+        if quant:
+            v = v * vs_ref[0, 0][:, None]
         acc_ref[:] = (acc_ref[:] * alpha[:, None]
                       + jax.lax.dot_general(
                           p, v, (((1,), (0,)), ((), ())),
@@ -94,7 +102,8 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, o_ref,
 
 
 def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
-                     scale=None, chunk: int = DEFAULT_CHUNK):
+                     scale=None, chunk: int = DEFAULT_CHUNK,
+                     k_scales=None, v_scales=None):
     """Causal attention of new tokens against row-contiguous KV.
 
     q:        [Bk, T, Hq, hd] — new-token queries for Bk batch lanes
@@ -104,12 +113,15 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
                           0 for padded lanes (output is then zeros)
     q_offsets:[Bk] int32 — global position of q[:, 0] per lane
     row_ids:  [Bk] int32 — which KV row each lane reads
+    k_scales/v_scales: [B, Hkv, S] — per-token dequant scales for int8 KV
+              (halves decode HBM traffic; scales add hd/4 overhead)
 
     Returns [Bk, T, Hq, hd].
     """
     Bk, T, Hq, hd = q.shape
     _, Hkv, S, _ = k_rows.shape
     G = Hq // Hkv
+    quant = k_scales is not None
     if scale is None:
         scale = hd ** -0.5
     chunk = min(chunk, S)
@@ -134,18 +146,30 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
         return (rows[i], h, jnp.minimum(c, last), 0)
 
+    def scale_map(i, h, c, lens, offs, rows):
+        last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
+        return (rows[i], h, jnp.minimum(c, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, qr_pad, hd),
+                     lambda i, h, c, lens, offs, rows: (i, h, 0, 0)),
+        pl.BlockSpec((1, 1, chunk, hd), kv_map),
+        pl.BlockSpec((1, 1, chunk, hd), kv_map),
+    ]
+    operands = [qh, k_rows, v_rows]
+    if quant:
+        in_specs += [pl.BlockSpec((1, 1, chunk), scale_map),
+                     pl.BlockSpec((1, 1, chunk), scale_map)]
+        operands += [k_scales.astype(jnp.float32),
+                     v_scales.astype(jnp.float32)]
+
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
-                          t_q=T, qr=qr_pad),
+                          t_q=T, qr=qr_pad, quant=quant),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec((1, 1, qr_pad, hd),
-                             lambda i, h, c, lens, offs, rows: (i, h, 0, 0)),
-                pl.BlockSpec((1, 1, chunk, hd), kv_map),
-                pl.BlockSpec((1, 1, chunk, hd), kv_map),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, qr_pad, hd),
                 lambda i, h, c, lens, offs, rows: (i, h, 0, 0)),
@@ -157,7 +181,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         ),
         out_shape=jax.ShapeDtypeStruct((Bk, Hkv, qr_pad, hd), q.dtype),
         interpret=_interpret(),
-    )(kv_lens, q_offsets, row_ids, qh, k_rows, v_rows)
+    )(kv_lens, q_offsets, row_ids, *operands)
 
     out = out[:, :, :qr]                          # drop query-row padding
     out = out.reshape(Bk, Hkv, G, T, hd).transpose(0, 3, 1, 2, 4)

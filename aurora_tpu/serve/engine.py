@@ -88,6 +88,10 @@ class EngineConfig:
     # link has latency). Finish checks lag by <K steps (the extra compute
     # is discarded); constrained requests force K=1.
     decode_steps: int = 1
+    # "int8" stores KV as int8 + per-token fp32 scales (≈ halves decode
+    # HBM traffic and doubles batch×context per chip; the bnb/QLoRA
+    # quantization-surface analog on the serving side)
+    kv_quant: str = "none"
 
     @property
     def s_row(self) -> int:
@@ -126,21 +130,31 @@ def _mlp(cfg: LlamaConfig, lp, x):
                        preferred_element_type=jnp.float32).astype(x.dtype)
 
 
-def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows_k, rows_v,
+def _kv_quantize(x):
+    """[..., hd] → (int8 values, per-token fp32 scales [...])."""
+    xf = x.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127)
+    return q.astype(jnp.int8), s
+
+
+def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
                   row_ids, q_offsets, kv_lens, chunk):
     """Shared EXTEND/DECODE forward over row-contiguous KV.
 
     embeds    [Bk, T, D] — new-token embeddings per lane
-    rows_k/v  [L, B, Hkv, S_row, hd]
+    rows      {"k","v": [L, B, Hkv, S_row, hd]} (+"ks","vs" per-token
+              fp32 scales [L, B, Hkv, S_row] when KV is int8-quantized)
     row_ids   [Bk] — KV row per lane
     q_offsets [Bk] — global position of embeds[:, 0]
     kv_lens   [Bk] — row length AFTER the new tokens (0 = padded lane)
-    Returns (last hidden [Bk, D], rows_k, rows_v). Write positions past a
-    lane's valid length (query padding) go out of bounds and are dropped.
+    Returns (last hidden [Bk, D], rows). Write positions past a lane's
+    valid length (query padding) go out of bounds and are dropped.
     """
     x = embeds
     Bk, T, _ = x.shape
-    S_row = rows_k.shape[3]
+    S_row = rows["k"].shape[3]
+    quant = "ks" in rows
     positions = q_offsets[:, None] + jnp.arange(T)[None, :]       # [Bk, T]
     wpos = jnp.where(positions < kv_lens[:, None], positions, S_row)
     cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
@@ -148,30 +162,38 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows_k, rows_v,
     ridx = row_ids[:, None]
 
     def layer(x, xs):
-        lp, rk_l, rv_l = xs
+        lp, r = xs
         h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
         q, k, v = _qkv(cfg, lp, h)
         q, k = apply_rope(q, k, cos, sin)
+        if quant:
+            k, ksc = _kv_quantize(k)
+            v, vsc = _kv_quantize(v)
+            # scale layout [B, Hkv, S]: advanced idx (ridx, wpos) around
+            # the head slice → [Bk, T, Hkv] == ksc
+            r["ks"] = r["ks"].at[ridx, :, wpos].set(ksc, mode="drop")
+            r["vs"] = r["vs"].at[ridx, :, wpos].set(vsc, mode="drop")
         # advanced indices around the head slice move to the front:
-        # rk_l[ridx, :, wpos] has shape [Bk, T, Hkv, hd] == k
-        rk_l = rk_l.at[ridx, :, wpos].set(k.astype(rk_l.dtype),
-                                          mode="drop")
-        rv_l = rv_l.at[ridx, :, wpos].set(v.astype(rv_l.dtype),
-                                          mode="drop")
-        attn = ragged_attention(q, rk_l, rv_l, kv_lens, q_offsets,
-                                row_ids, chunk=chunk)
+        # r["k"][ridx, :, wpos] has shape [Bk, T, Hkv, hd] == k
+        r["k"] = r["k"].at[ridx, :, wpos].set(k.astype(r["k"].dtype),
+                                              mode="drop")
+        r["v"] = r["v"].at[ridx, :, wpos].set(v.astype(r["v"].dtype),
+                                              mode="drop")
+        attn = ragged_attention(q, r["k"], r["v"], kv_lens, q_offsets,
+                                row_ids, chunk=chunk,
+                                k_scales=r.get("ks"),
+                                v_scales=r.get("vs"))
         attn = jnp.dot(attn.reshape(Bk, T, -1).astype(x.dtype), lp["o"],
                        preferred_element_type=jnp.float32).astype(x.dtype)
         x = x + attn
-        return _mlp(cfg, lp, x), (rk_l, rv_l)
+        return _mlp(cfg, lp, x), r
 
-    x, (rows_k, rows_v) = jax.lax.scan(layer, x, (params["layers"],
-                                                  rows_k, rows_v))
+    x, rows = jax.lax.scan(layer, x, (params["layers"], rows))
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
     # last valid token per lane (lanes may be partially padded)
     last = jnp.clip(kv_lens - q_offsets - 1, 0, T - 1)
     x = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
-    return x, rows_k, rows_v
+    return x, rows
 
 
 def _lm_head(params, cfg, x):
@@ -269,12 +291,12 @@ def _samp_arrays(reqs, n, rows=None):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk"),
-                   donate_argnums=(1, 2))
-def _extend_step(params, rows_k, rows_v, embeds, row_ids, q_offsets,
+                   donate_argnums=(1,))
+def _extend_step(params, rows, embeds, row_ids, q_offsets,
                  kv_lens, cfg, chunk):
-    x, rows_k, rows_v = _forward_rows(params, cfg, embeds, rows_k, rows_v,
-                                      row_ids, q_offsets, kv_lens, chunk)
-    return _lm_head(params, cfg, x), rows_k, rows_v
+    x, rows = _forward_rows(params, cfg, embeds, rows,
+                            row_ids, q_offsets, kv_lens, chunk)
+    return _lm_head(params, cfg, x), rows
 
 
 def _logprob_outputs(raw_lp, sampled, want_logprobs):
@@ -292,8 +314,8 @@ def _logprob_outputs(raw_lp, sampled, want_logprobs):
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "all_greedy",
                                              "want_logprobs"),
-                   donate_argnums=(1, 2, 3, 4))
-def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
+                   donate_argnums=(1, 2, 3))
+def _decode_step(params, rows, counts, seen, tokens, positions,
                  active, samp, allowed, key, cfg, chunk,
                  all_greedy=False, want_logprobs=True):
     """One token for every active row, sampling fused in.
@@ -301,11 +323,10 @@ def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
     active [B] bool. Returns sampled ids + logprobs + updated buffers."""
     B = tokens.shape[0]
     embeds = jnp.take(params["embed_tokens"], tokens, axis=0)[:, None]
-    embeds = embeds.astype(rows_k.dtype)
     row_ids = jnp.arange(B, dtype=jnp.int32)
     kv_lens = jnp.where(active, positions + 1, 0)
-    x, rows_k, rows_v = _forward_rows(params, cfg, embeds, rows_k, rows_v,
-                                      row_ids, positions, kv_lens, chunk)
+    x, rows = _forward_rows(params, cfg, embeds, rows,
+                            row_ids, positions, kv_lens, chunk)
     logits = _lm_head(params, cfg, x)
     sampled, raw_lp = _sample_core(
         logits, counts.astype(jnp.float32), seen, samp, allowed, key,
@@ -315,8 +336,7 @@ def _decode_step(params, rows_k, rows_v, counts, seen, tokens, positions,
     upd = active.astype(counts.dtype)
     counts = counts.at[row_ids, sampled].add(upd)
     seen = seen.at[row_ids, sampled].max(active)
-    return (sampled, tok_lp, top_lp, top_ids, counts, seen,
-            rows_k, rows_v)
+    return (sampled, tok_lp, top_lp, top_ids, counts, seen, rows)
 
 
 @functools.partial(jax.jit, donate_argnums=(1, 2),
@@ -334,41 +354,39 @@ def _sample_after_extend(logits, counts, seen, row_ids, samp, allowed,
     return sampled, tok_lp, top_lp, top_ids, counts, seen
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _load_prefix(rows_k, rows_v, cache_k, cache_v, slots, row, start,
-                 n_valid):
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _load_prefix(rows, cache, slots, row, start, n_valid):
     """Copy a radix-cached prefix chunk (pool slots) into row positions
     [start, start+n_valid). Padded slot entries (i >= n_valid) are routed
     to an out-of-bounds position and dropped."""
     nb = slots.shape[0]
-    S_row = rows_k.shape[3]
-    k = jnp.take(cache_k, slots, axis=1)         # [L, nb, Hkv, hd]
-    v = jnp.take(cache_v, slots, axis=1)
+    S_row = rows["k"].shape[3]
     i = jnp.arange(nb)
     pos = jnp.where(i < n_valid, start + i, S_row)
-    # advanced indices (row scalar, pos [nb]) around slices move to front:
-    # target shape [nb, L, Hkv, hd]
-    rows_k = rows_k.at[:, row, :, pos].set(
-        k.transpose(1, 0, 2, 3).astype(rows_k.dtype), mode="drop")
-    rows_v = rows_v.at[:, row, :, pos].set(
-        v.transpose(1, 0, 2, 3).astype(rows_v.dtype), mode="drop")
-    return rows_k, rows_v
+    for name in rows:
+        c = jnp.take(cache[name], slots, axis=1)  # [L, nb, Hkv, (hd)]
+        # advanced indices (row scalar, pos [nb]) around slices move to
+        # the front: target shape [nb, L, Hkv, (hd)]
+        perm = (1, 0, 2, 3) if c.ndim == 4 else (1, 0, 2)
+        rows[name] = rows[name].at[:, row, :, pos].set(
+            c.transpose(perm).astype(rows[name].dtype), mode="drop")
+    return rows
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1))
-def _store_prompt(cache_k, cache_v, rows_k, rows_v, row, start, slots):
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _store_prompt(cache, rows, row, start, slots):
     """Copy row KV positions [start, start+nb) into pool slots (release-
     time radix insert). slots entries == num_slots are dropped (padding)."""
-    S_row = rows_k.shape[3]
+    S_row = rows["k"].shape[3]
     nb = slots.shape[0]
     pos = jnp.clip(start + jnp.arange(nb), 0, S_row - 1)
-    k = rows_k[:, row][:, :, pos].transpose(0, 2, 1, 3)  # [L, nb, Hkv, hd]
-    v = rows_v[:, row][:, :, pos].transpose(0, 2, 1, 3)
-    cache_k = cache_k.at[:, slots].set(k.astype(cache_k.dtype),
-                                       mode="drop")
-    cache_v = cache_v.at[:, slots].set(v.astype(cache_v.dtype),
-                                       mode="drop")
-    return cache_k, cache_v
+    for name in rows:
+        r = rows[name][:, row]
+        x = (r[:, :, pos].transpose(0, 2, 1, 3) if r.ndim == 4
+             else r[:, :, pos].transpose(0, 2, 1))  # [L, nb, Hkv, (hd)]
+        cache[name] = cache[name].at[:, slots].set(
+            x.astype(cache[name].dtype), mode="drop")
+    return cache
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -392,7 +410,9 @@ class ServeEngine:
         self.cfg = cfg
         self.ecfg = ecfg
         self.tokenizer = tokenizer  # needed only for stop_strs matching
-        self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype)
+        quant = ecfg.kv_quant == "int8"
+        self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
+                           quant=quant)
         self.alloc = SlotAllocator(ecfg.num_slots)
         self.radix = _make_radix(self.alloc.free)
         self.sched = Scheduler(ecfg.max_batch,
@@ -402,12 +422,16 @@ class ServeEngine:
         B, S = ecfg.max_batch, ecfg.s_row
         L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                       cfg.head_dim)
-        self.rows_k = jnp.zeros((L, B, Hkv, S, hd), ecfg.kv_dtype)
-        self.rows_v = jnp.zeros((L, B, Hkv, S, hd), ecfg.kv_dtype)
+        store_dt = jnp.int8 if quant else ecfg.kv_dtype
+        self.rows = {"k": jnp.zeros((L, B, Hkv, S, hd), store_dt),
+                     "v": jnp.zeros((L, B, Hkv, S, hd), store_dt)}
+        if quant:
+            self.rows["ks"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
+            self.rows["vs"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
         self.counts = jnp.zeros((B, cfg.vocab_size), jnp.int32)
         self.seen = jnp.zeros((B, cfg.vocab_size), bool)
         self.chunk = min(ecfg.kv_chunk, S)
-        self.rows: List[Optional[Request]] = [None] * B
+        self.row_reqs: List[Optional[Request]] = [None] * B
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
 
@@ -427,9 +451,9 @@ class ServeEngine:
         for req in list(self.sched.running):
             self.sched.running.remove(req)
             req.finished = FinishReason.ABORT
-            if 0 <= req.batch_row < len(self.rows) and \
-                    self.rows[req.batch_row] is req:
-                self.rows[req.batch_row] = None
+            if 0 <= req.batch_row < len(self.row_reqs) and \
+                    self.row_reqs[req.batch_row] is req:
+                self.row_reqs[req.batch_row] = None
             if req.prefix_node is not None:
                 self.radix.lock(req.prefix_node, -1)
                 req.prefix_node = None
@@ -489,7 +513,7 @@ class ServeEngine:
     # -- internals -----------------------------------------------------------
 
     def _free_row(self) -> int:
-        for i, r in enumerate(self.rows):
+        for i, r in enumerate(self.row_reqs):
             if r is None:
                 return i
         return -1
@@ -508,7 +532,7 @@ class ServeEngine:
         return b
 
     def _admit(self) -> None:
-        free_rows = sum(r is None for r in self.rows)
+        free_rows = sum(r is None for r in self.row_reqs)
         admitted = self.sched.get_prefill_batch(
             free_rows * self.ecfg.max_seq_len)
         wave: List[Request] = []
@@ -545,8 +569,8 @@ class ServeEngine:
     def _abort_admission(self, req: Request, row: int, e: Exception):
         req.finished = FinishReason.ABORT
         req.error = str(e)
-        if 0 <= row < len(self.rows) and self.rows[row] is req:
-            self.rows[row] = None
+        if 0 <= row < len(self.row_reqs) and self.row_reqs[row] is req:
+            self.row_reqs[row] = None
         if req.prefix_node is not None:
             self.radix.lock(req.prefix_node, -1)
             req.prefix_node = None
@@ -575,7 +599,7 @@ class ServeEngine:
         req.batch_row = row
         req.n_cached = n_cached
         req.extend_len_pending = len(ids) - n_cached
-        self.rows[row] = req
+        self.row_reqs[row] = req
 
         max_bucket = max(self.ecfg.prefill_buckets)
         for start in range(0, n_cached, max_bucket):
@@ -583,10 +607,10 @@ class ServeEngine:
             nb = self._bucket(n)
             slots = np.zeros((nb,), np.int32)
             slots[:n] = req.prefix_slots[start:start + n]
-            self.rows_k, self.rows_v = _load_prefix(
-                self.rows_k, self.rows_v, self.pool.k, self.pool.v,
-                jnp.asarray(slots), jnp.asarray(row, np.int32),
-                jnp.asarray(start, np.int32), jnp.asarray(n, np.int32))
+            self.rows = _load_prefix(
+                self.rows, self.pool.as_dict(), jnp.asarray(slots),
+                jnp.asarray(row, np.int32), jnp.asarray(start, np.int32),
+                jnp.asarray(n, np.int32))
         prompt_seen = np.zeros((self.cfg.vocab_size,), bool)
         valid = np.asarray([t for t in ids if 0 <= t < self.cfg.vocab_size],
                            np.int64)
@@ -621,8 +645,8 @@ class ServeEngine:
             row_ids[i] = req.batch_row
             offs[i] = req.n_cached
             lens[i] = req.n_cached + n_new
-        logits, self.rows_k, self.rows_v = _extend_step(
-            self.params, self.rows_k, self.rows_v,
+        logits, self.rows = _extend_step(
+            self.params, self.rows,
             jnp.asarray(embeds, self.ecfg.kv_dtype), jnp.asarray(row_ids),
             jnp.asarray(offs), jnp.asarray(lens), self.cfg, self.chunk)
         self._emit(wave, logits[:len(wave)], row_ids[:len(wave)])
@@ -642,8 +666,8 @@ class ServeEngine:
             pad = np.zeros((1, cb, D), np.float32)
             pad[0, :chunk_n] = embeds[start:start + chunk_n]
             base = n_cached + start
-            logits, self.rows_k, self.rows_v = _extend_step(
-                self.params, self.rows_k, self.rows_v,
+            logits, self.rows = _extend_step(
+                self.params, self.rows,
                 jnp.asarray(pad, self.ecfg.kv_dtype),
                 jnp.asarray([row], np.int32),
                 jnp.asarray([base], np.int32),
@@ -708,7 +732,7 @@ class ServeEngine:
         token sampled after a jump can enter another forced stretch."""
         while True:
             fired = False
-            for req in self.rows:
+            for req in self.row_reqs:
                 if (req is None or req.finished is not None
                         or req.constraint is None or req.logprobs
                         or not hasattr(req.constraint, "forced_run")
@@ -744,8 +768,8 @@ class ServeEngine:
                           jnp.asarray(np.clip(ids, 0,
                                               self.cfg.vocab_size - 1)),
                           axis=0)[None].astype(self.ecfg.kv_dtype)
-        logits, self.rows_k, self.rows_v = _extend_step(
-            self.params, self.rows_k, self.rows_v, embeds,
+        logits, self.rows = _extend_step(
+            self.params, self.rows, embeds,
             jnp.asarray([row], np.int32), jnp.asarray([off], np.int32),
             jnp.asarray([off + len(toks)], np.int32), self.cfg,
             self.chunk)
@@ -753,7 +777,7 @@ class ServeEngine:
         return True
 
     def _decode(self) -> None:
-        active = [r for r in self.rows if r is not None
+        active = [r for r in self.row_reqs if r is not None
                   and r.finished is None and r.output_ids]
         if not active:
             return
@@ -793,8 +817,8 @@ class ServeEngine:
             pos_j = jnp.asarray(np.minimum(positions + j,
                                            self.ecfg.s_row - 1))
             (sampled, tok_lp, top_lp, top_ids, self.counts, self.seen,
-             self.rows_k, self.rows_v) = _decode_step(
-                self.params, self.rows_k, self.rows_v, self.counts,
+             self.rows) = _decode_step(
+                self.params, self.rows, self.counts,
                 self.seen, tok_dev, pos_j, act_dev, samp, allowed, key,
                 self.cfg, self.chunk, all_greedy=all_greedy,
                 want_logprobs=want_lp)
@@ -829,8 +853,8 @@ class ServeEngine:
         """Finished request → cache its prompt KV (best-effort), free the
         row. Decode-token KV lives only in the row and needs no freeing."""
         row = req.batch_row
-        if 0 <= row < len(self.rows) and self.rows[row] is req:
-            self.rows[row] = None
+        if 0 <= row < len(self.row_reqs) and self.row_reqs[row] is req:
+            self.row_reqs[row] = None
         if req.prefix_node is None:
             return
         self.radix.lock(req.prefix_node, -1)
@@ -850,11 +874,11 @@ class ServeEngine:
             nb = self._bucket(n)
             padded = np.full((nb,), self.ecfg.num_slots, np.int32)  # drop
             padded[:n] = slots[start:start + n]
-            self.pool.k, self.pool.v = _store_prompt(
-                self.pool.k, self.pool.v, self.rows_k, self.rows_v,
+            self.pool.set_dict(_store_prompt(
+                self.pool.as_dict(), self.rows,
                 jnp.asarray(row, np.int32),
                 jnp.asarray(n_cached + start, np.int32),
-                jnp.asarray(padded))
+                jnp.asarray(padded)))
         full = np.concatenate([
             np.asarray(req.prefix_slots[:n_cached], np.int32), slots])
         dup = self.radix.insert(prompt_ids, full)
@@ -865,7 +889,7 @@ class ServeEngine:
 
     def check_memory(self) -> Dict[str, int]:
         cached = self.radix.total_cached_tokens()
-        in_flight = sum(r.seq_len for r in self.rows if r is not None)
+        in_flight = sum(r.seq_len for r in self.row_reqs if r is not None)
         free = self.alloc.available()
         leaked = self.ecfg.num_slots - free - cached
         return {"free": free, "cached": cached, "in_flight": in_flight,

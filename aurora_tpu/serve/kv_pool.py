@@ -46,16 +46,32 @@ class SlotAllocator:
 
 
 class KVPool:
-    """Device KV buffers + slot write/gather helpers."""
+    """Device KV buffers + slot write/gather helpers. quant=True stores
+    int8 values with per-token fp32 scales (ks/vs)."""
 
     def __init__(self, cfg: LlamaConfig, num_slots: int,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, quant: bool = False):
         self.cfg = cfg
         self.num_slots = num_slots
+        self.quant = quant
         shape = (cfg.num_hidden_layers, num_slots,
                  cfg.num_key_value_heads, cfg.head_dim)
-        self.k = jnp.zeros(shape, dtype)
-        self.v = jnp.zeros(shape, dtype)
+        store = jnp.int8 if quant else dtype
+        self.k = jnp.zeros(shape, store)
+        self.v = jnp.zeros(shape, store)
+        self.ks = jnp.zeros(shape[:3], jnp.float32) if quant else None
+        self.vs = jnp.zeros(shape[:3], jnp.float32) if quant else None
+
+    def as_dict(self):
+        d = {"k": self.k, "v": self.v}
+        if self.quant:
+            d["ks"], d["vs"] = self.ks, self.vs
+        return d
+
+    def set_dict(self, d) -> None:
+        self.k, self.v = d["k"], d["v"]
+        if self.quant:
+            self.ks, self.vs = d["ks"], d["vs"]
 
     def write(self, slots: jnp.ndarray, k_new: jnp.ndarray,
               v_new: jnp.ndarray) -> None:

@@ -84,3 +84,37 @@ def test_masking_ignores_garbage_beyond_length():
     poisoned = ragged_attention(q, k2, v2, lens, offs, rows, chunk=128)
     np.testing.assert_allclose(np.asarray(base), np.asarray(poisoned),
                                atol=1e-6)
+
+
+def test_ragged_attention_int8_kv(rng):
+    """int8 KV + per-token scales dequantizes in-kernel and tracks the
+    fp reference within quantization error."""
+    from aurora_tpu.ops.pallas.ragged_attention import (
+        ragged_attention, ragged_attention_reference)
+    B, Hq, Hkv, S, hd = 3, 4, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, hd)), jnp.float32)
+    k = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, S, hd)).astype(np.float32)
+    ks = np.maximum(np.abs(k).max(-1), 1e-8) / 127.0
+    vs = np.maximum(np.abs(v).max(-1), 1e-8) / 127.0
+    k8 = np.clip(np.round(k / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(v / vs[..., None]), -127, 127).astype(np.int8)
+    lens = jnp.asarray([S, 100, 1], jnp.int32)
+    offs = lens - 1
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    got = ragged_attention(q, jnp.asarray(k8), jnp.asarray(v8), lens,
+                           offs, rows, chunk=128,
+                           k_scales=jnp.asarray(ks),
+                           v_scales=jnp.asarray(vs))
+    # oracle on the DEQUANTIZED kv: isolates kernel error from quant error
+    kd = jnp.asarray(k8.astype(np.float32) * ks[..., None])
+    vd = jnp.asarray(v8.astype(np.float32) * vs[..., None])
+    want = ragged_attention_reference(q, kd, vd, lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+    # and against the unquantized truth within int8 error
+    truth = ragged_attention_reference(q, jnp.asarray(k), jnp.asarray(v),
+                                       lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(truth),
+                               rtol=0.1, atol=0.05)

@@ -398,3 +398,26 @@ def test_multi_replica_controller(tiny_engine, rng):
 def test_distributed_init_noop_single_host():
     from aurora_tpu.parallel.distributed import init_distributed
     assert init_distributed() is False
+
+
+def test_engine_int8_kv_quant_matches_greedy(tiny_engine, rng):
+    """kv_quant='int8' (int8 KV + per-token scales, half the decode HBM
+    traffic) must reproduce the fp greedy outputs on the tiny model,
+    including radix-cached prefix reuse through the quantized pool."""
+    import dataclasses as dc
+    params, cfg, ecfg = tiny_engine
+    qcfg = dc.replace(ecfg, kv_quant="int8")
+    base = [int(x) for x in rng.integers(3, 128, size=10)]
+    p1 = base + [int(x) for x in rng.integers(3, 128, size=4)]
+    want = _offline_greedy(params, cfg, p1, 6)
+    engine = ServeEngine(params, cfg, qcfg)
+    done = _run_engine(engine, [Request(rid="q", input_ids=list(p1),
+                                        max_new_tokens=6)])
+    assert done["q"].output_ids == want
+    # prefix reuse through the int8 cache pool
+    done2 = _run_engine(engine, [Request(rid="q2", input_ids=list(p1),
+                                         max_new_tokens=6)])
+    assert done2["q2"].prefix_slots is not None
+    assert len(done2["q2"].prefix_slots) >= len(base)
+    assert done2["q2"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0
