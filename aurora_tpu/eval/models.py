@@ -33,8 +33,11 @@ class AuroraCapEval:
         self.image_size = image_size
         self.max_new_tokens = max_new_tokens
 
-    def _frames(self, visual_path: str) -> np.ndarray:
-        raw = read_video(visual_path, self.num_frames)
+    def _frames(self, visual) -> np.ndarray:
+        """visual: video path OR pre-decoded [F, H, W, 3] frame array
+        (image tasks like MMBench hand arrays straight through)."""
+        raw = (visual if isinstance(visual, np.ndarray)
+               else read_video(visual, self.num_frames))
         return clip_preprocess(list(raw), size=self.image_size,
                                crop=self.image_size)
 

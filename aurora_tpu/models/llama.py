@@ -211,8 +211,11 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
                 remat: bool = False,
                 use_flash: Optional[bool] = None,
                 sp_attn=None,
+                return_hidden: bool = False,
                 ) -> Tuple[jnp.ndarray, Optional[Params]]:
     """Forward pass → (logits [B,T,V] fp32, updated kv_cache or None).
+    return_hidden=True skips the LM head and returns the final-norm
+    hidden states [B,T,D] instead (embedding endpoints).
 
     attention_mask: [B, S_kv] bool key-side padding mask (S_kv = cache size
     when kv_cache is given, else T). segment_ids: [B, T] varlen packing.
@@ -247,9 +250,12 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
     x, caches = jax.lax.scan(body, x, xs)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
-    head = (params["embed_tokens"].T if cfg.tie_word_embeddings
-            else params["lm_head"])
-    logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if return_hidden:
+        logits = x
+    else:
+        head = (params["embed_tokens"].T if cfg.tie_word_embeddings
+                else params["lm_head"])
+        logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
 
     new_cache = None
     if kv_cache is not None:

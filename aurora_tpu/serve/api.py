@@ -335,6 +335,53 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         ok = loop_.engine.abort(body.get("rid", ""))
         return web.json_response({"aborted": ok})
 
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("cfg",))
+    def _embed_fwd(params, ids, mask, cfg):
+        from aurora_tpu.models.llama import llama_apply
+        hidden, _ = llama_apply(params, cfg, input_ids=ids,
+                                attention_mask=mask, return_hidden=True)
+        # last valid token's hidden state (e5-mistral convention, the
+        # reference's embedding-model serving path)
+        last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)
+        return jnp.take_along_axis(
+            hidden, last[:, None, None], axis=1)[:, 0].astype(jnp.float32)
+
+    async def h_embeddings(request):
+        """OpenAI /v1/embeddings (srt embedding-request parity): last
+        hidden state of the final prompt token, length-bucketed."""
+        body = await request.json()
+        inputs = body.get("input", [])
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        eng = loop_.engine
+        params = (eng.engines[0].params if hasattr(eng, "engines")
+                  else eng.params)
+        data = []
+        for i, text in enumerate(inputs):
+            ids = loop_.tokenizer.encode(text)
+            n = len(ids)
+            bucket = max(16, 1 << (n - 1).bit_length())
+            import numpy as _np
+            pad = _np.zeros((1, bucket), _np.int32)
+            pad[0, :n] = ids
+            mask = _np.zeros((1, bucket), bool)
+            mask[0, :n] = True
+            emb = await asyncio.to_thread(
+                lambda: jax.device_get(_embed_fwd(
+                    params, jnp.asarray(pad), jnp.asarray(mask),
+                    eng.cfg))[0])
+            data.append({"object": "embedding", "index": i,
+                         "embedding": [float(x) for x in emb]})
+        return web.json_response({
+            "object": "list", "data": data, "model": model_name,
+            "usage": {"prompt_tokens": sum(len(loop_.tokenizer.encode(t))
+                                           for t in inputs)}})
+
     async def h_flush_cache(request):
         remaining = loop_.engine.flush_cache()
         return web.json_response({"flushed": True,
@@ -374,6 +421,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
     app.router.add_post("/abort_request", h_abort)
     app.router.add_post("/flush_cache", h_flush_cache)
     app.router.add_post("/update_weights", h_update_weights)
+    app.router.add_post("/v1/embeddings", h_embeddings)
     return app
 
 

@@ -298,3 +298,39 @@ def test_eval_registry_includes_mmbench_module():
     import aurora_tpu.eval.tasks  # noqa: F401 — module import side effect
     from aurora_tpu.eval.tasks.mmbench import OPTION_KEYS
     assert OPTION_KEYS == ("A", "B", "C", "D")
+
+
+def test_mmbench_evaluator_with_tiny_model(tmp_path, rng):
+    """MMBench through the full evaluator with the tiny AuroraCap model
+    (image task path: pre-decoded frames, B=1 option prompting)."""
+    import base64
+    import csv
+    import io
+    from PIL import Image
+    from aurora_tpu.eval.models import AuroraCapEval
+    from aurora_tpu.eval.tasks import mmbench
+
+    root, *_ = make_tiny_xtuner_dir(tmp_path / "model")
+    rows = []
+    for i in range(2):
+        img = Image.fromarray(
+            rng.integers(0, 255, (56, 56, 3)).astype(np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, format="PNG")
+        rows.append({"index": i, "image":
+                     base64.b64encode(buf.getvalue()).decode(),
+                     "question": "what is this?", "hint": "",
+                     "A": "a", "B": "b", "C": "c", "D": "d",
+                     "answer": "A"})
+    tsv = tmp_path / "mm.tsv"
+    with open(tsv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0]), delimiter="\t")
+        w.writeheader()
+        w.writerows(rows)
+    mmbench.register(str(tsv), name="mmbench_tiny_e2e")
+    model = AuroraCapEval(pretrained=root, token_merge_ratio=1.0,
+                          num_frames=1, image_size=56, max_new_tokens=4,
+                          dtype=jnp.float32)
+    res = simple_evaluate(model, ["mmbench_tiny_e2e"], log_samples=True)
+    assert res["results"]["mmbench_tiny_e2e"]["_n"] == 2
+    assert "acc" in res["results"]["mmbench_tiny_e2e"]

@@ -231,3 +231,27 @@ def test_chat_multi_round_template(served):
         assert body["choices"][0]["message"]["role"] == "assistant"
 
     _with_app(served, go)
+
+
+def test_embeddings_endpoint(served):
+    """OpenAI /v1/embeddings: last-token hidden state per input."""
+    params, cfg, tok, ecfg = served
+
+    async def go(client):
+        r = await client.post("/v1/embeddings", json={
+            "input": ["hello world", "something else entirely"]})
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "list"
+        assert len(body["data"]) == 2
+        d0 = np.asarray(body["data"][0]["embedding"])
+        d1 = np.asarray(body["data"][1]["embedding"])
+        assert d0.shape == (cfg.hidden_size,)
+        assert not np.allclose(d0, d1)
+        # deterministic
+        r2 = await client.post("/v1/embeddings", json={
+            "input": "hello world"})
+        e2 = np.asarray((await r2.json())["data"][0]["embedding"])
+        np.testing.assert_allclose(e2, d0, rtol=1e-5, atol=1e-5)
+
+    _with_app(served, go)
