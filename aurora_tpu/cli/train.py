@@ -49,6 +49,9 @@ def main():
     p.add_argument("--mesh", default="", help="e.g. dp=2,fsdp=2,sp=1,tp=2")
     p.add_argument("--checkpoint_interval", type=int, default=500)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--cache_dir", default=None,
+                   help="cache tokenized datasets here (skips re-"
+                        "tokenization across runs)")
     p.add_argument("--wandb_project", default=None,
                    help="mirror metrics to Weights & Biases (optional)")
     p.add_argument("--resume", action="store_true")
@@ -101,7 +104,8 @@ def main():
                        image_folder=args.image_folder,
                        map_fn=aurora_map_fn,
                        template=PROMPT_TEMPLATE.vicuna,
-                       max_length=max_length, image_size=image_size)
+                       max_length=max_length, image_size=image_size,
+                       cache_dir=args.cache_dir)
     sampler = LengthGroupedSampler(ds.modality_length(), batch_size,
                                    seed=args.seed)
 

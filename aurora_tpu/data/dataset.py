@@ -142,7 +142,8 @@ class AuroraDataset:
                  max_length: int = 4096,
                  image_size: int = 378,
                  pad_image_to_square: bool = False,
-                 keep_aspect_ratio: bool = False):
+                 keep_aspect_ratio: bool = False,
+                 cache_dir: Optional[str] = None):
         self.image_folder = image_folder
         self.image_size = image_size
         self.pad_image_to_square = pad_image_to_square
@@ -151,17 +152,42 @@ class AuroraDataset:
         if os.path.isdir(data_path):  # offline pre-tokenized
             import datasets
             self.text_data = list(datasets.load_from_disk(data_path))
-        else:
-            records = _read_json_or_jsonl(data_path)
-            assert tokenizer is not None
-            self.text_data = []
-            for rec in records:
-                ex = map_fn(rec)
-                if template is not None:
-                    ex = template_map_fn(ex, template)
-                enc = encode_conversation(ex, tokenizer, max_length)
-                enc["image"] = rec.get("image")
-                self.text_data.append(enc)
+            return
+        # cached tokenization (xtuner_lite load_datasets cache_dir parity,
+        # _lite/datasets/load.py): key = source file identity + every
+        # knob that changes the encoding
+        cache_file = None
+        if cache_dir:
+            import hashlib
+            st = os.stat(data_path)
+            tpl_id = "" if template is None else template.get(
+                "INSTRUCTION", "")
+            key = hashlib.sha1(":".join([
+                os.path.abspath(data_path), str(st.st_mtime_ns),
+                str(st.st_size), str(max_length), map_fn.__name__,
+                tpl_id, getattr(tokenizer, "name_or_path", "")]
+            ).encode()).hexdigest()[:16]
+            cache_file = os.path.join(cache_dir, f"tok_{key}.json")
+            if os.path.exists(cache_file):
+                with open(cache_file) as f:
+                    self.text_data = json.load(f)
+                return
+        records = _read_json_or_jsonl(data_path)
+        assert tokenizer is not None
+        self.text_data = []
+        for rec in records:
+            ex = map_fn(rec)
+            if template is not None:
+                ex = template_map_fn(ex, template)
+            enc = encode_conversation(ex, tokenizer, max_length)
+            enc["image"] = rec.get("image")
+            self.text_data.append(enc)
+        if cache_file:
+            os.makedirs(cache_dir, exist_ok=True)
+            tmp = cache_file + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.text_data, f)
+            os.replace(tmp, cache_file)
 
     def modality_length(self) -> List[int]:
         """+len for multimodal, −len for text-only

@@ -62,3 +62,86 @@ def anls(pred: str, target: str) -> float:
             prev = cur
     dist = dp[n] / max(m, n, 1)
     return 1.0 - dist if dist < 0.5 else 0.0
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D (caption benchmarks: coco_cap / flickr30k / nocaps — the
+# token-ratio sweep metrics in BASELINE.md §6 / figure_in_paper.ipynb)
+# ---------------------------------------------------------------------------
+
+def _caption_tokens(text: str):
+    """Lowercase word tokenization (approximates the PTB tokenizer the
+    pycocoevalcap pipeline uses; scores track within ~1 point)."""
+    import re
+    return re.findall(r"[a-z0-9]+(?:'[a-z]+)?", text.lower())
+
+
+def _ngram_counts(tokens, n_max=4):
+    from collections import Counter
+    out = []
+    for n in range(1, n_max + 1):
+        out.append(Counter(tuple(tokens[i:i + n])
+                           for i in range(len(tokens) - n + 1)))
+    return out
+
+
+def cider_d(candidates, references, *, n_max: int = 4,
+            sigma: float = 6.0):
+    """CIDEr-D over a corpus (pycocoevalcap cider_scorer.py semantics):
+    tf-idf n-gram vectors (idf from the reference corpus), candidate
+    counts clipped to reference counts, gaussian length penalty,
+    10 × mean over n of mean-over-refs cosine similarity.
+
+    candidates: List[str]; references: List[List[str]].
+    Returns (corpus_score, per_sample_scores)."""
+    import math
+    from collections import Counter
+
+    assert len(candidates) == len(references)
+    N = len(candidates)
+    ref_counts = [[_ngram_counts(_caption_tokens(r), n_max) for r in refs]
+                  for refs in references]
+    cand_counts = [_ngram_counts(_caption_tokens(c), n_max)
+                   for c in candidates]
+
+    # document frequency over reference sets (one doc per image)
+    df = [Counter() for _ in range(n_max)]
+    for refs in ref_counts:
+        seen = [set() for _ in range(n_max)]
+        for r in refs:
+            for n in range(n_max):
+                seen[n] |= set(r[n])
+        for n in range(n_max):
+            for g in seen[n]:
+                df[n][g] += 1
+    log_n = math.log(max(N, 1))
+
+    def tfidf(counts):
+        vecs, norms = [], []
+        for n in range(n_max):
+            vec = {g: c * max(log_n - math.log(max(df[n].get(g, 0), 1)),
+                              0.0)
+                   for g, c in counts[n].items()}
+            vecs.append(vec)
+            norms.append(math.sqrt(sum(v * v for v in vec.values())))
+        return vecs, norms
+
+    scores = []
+    for ci in range(N):
+        cvec, cnorm = tfidf(cand_counts[ci])
+        clen = sum(cand_counts[ci][0].values())
+        per_ref = []
+        for ri, r in enumerate(ref_counts[ci]):
+            rvec, rnorm = tfidf(r)
+            rlen = sum(r[0].values())
+            delta = float(clen - rlen)
+            val = 0.0
+            for n in range(n_max):
+                num = sum(min(cvec[n][g], rvec[n].get(g, 0.0))
+                          * rvec[n].get(g, 0.0) for g in cvec[n])
+                if cnorm[n] > 0 and rnorm[n] > 0:
+                    val += (num / (cnorm[n] * rnorm[n])
+                            * math.exp(-delta ** 2 / (2 * sigma ** 2)))
+            per_ref.append(val / n_max)
+        scores.append(10.0 * (sum(per_ref) / max(len(per_ref), 1)))
+    return (sum(scores) / max(N, 1)), scores

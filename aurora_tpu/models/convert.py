@@ -131,6 +131,8 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         rope_theta=cfg.get("rope_theta", 10000.0),
         rope_linear_scaling=linear,
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+        sliding_window=(cfg.get("sliding_window")
+                        if cfg.get("model_type") == "mistral" else None),
     )
 
 

@@ -49,6 +49,7 @@ class LlamaConfig:
     rope_linear_scaling: Optional[float] = None
     tie_word_embeddings: bool = False
     qkv_bias: bool = False   # Qwen2-family attention biases
+    sliding_window: Optional[int] = None  # Mistral-family SWA
     num_experts: int = 0     # >0 → Mixtral-family MoE MLP
     num_experts_per_tok: int = 2
 
@@ -65,6 +66,16 @@ class LlamaConfig:
                    num_attention_heads=28, num_key_value_heads=4,
                    max_position_embeddings=32768, rms_norm_eps=1e-6,
                    rope_theta=1e6, qkv_bias=True)
+
+    @classmethod
+    def mistral_7b(cls) -> "LlamaConfig":
+        """mistralai/Mistral-7B-v0.1 — llama-family decoder with GQA and
+        sliding-window attention (sglang srt/models/mistral.py)."""
+        return cls(vocab_size=32000, hidden_size=4096,
+                   intermediate_size=14336, num_hidden_layers=32,
+                   num_attention_heads=32, num_key_value_heads=8,
+                   max_position_embeddings=32768, rope_theta=10000.0,
+                   sliding_window=4096)
 
     @classmethod
     def vicuna_7b_v15_16k(cls) -> "LlamaConfig":
@@ -168,6 +179,15 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     mask = None
     if attention_mask is not None:
         mask = attention_mask[:, None, None, :]  # [B,1,1,S] key-side
+    if cfg.sliding_window:
+        # Mistral SWA: each query sees the trailing `sliding_window`
+        # keys. The flash kernel has no window masking; route through
+        # the masked XLA path.
+        qpos = q_offset + jnp.arange(T)[:, None]
+        kpos = jnp.arange(k_all.shape[1])[None, :]
+        wmask = ((qpos - kpos) < cfg.sliding_window)[None, None]
+        mask = wmask if mask is None else (mask & wmask)
+        use_flash = False
 
     if sp_attn is not None and cache_k is None:
         # explicit sequence-parallel attention (ulysses/ring/hybrid),

@@ -213,3 +213,38 @@ def test_parallel_sampler_shards():
     a = list(iter(ParallelSampler(10, 0, 2, shuffle=False)))
     b = list(iter(ParallelSampler(10, 1, 2, shuffle=False)))
     assert sorted(a + b) == list(range(10))
+
+
+def test_dataset_tokenization_cache(tmp_path, rng):
+    """cache_dir reuses tokenization across runs (xtuner_lite
+    load_datasets cache parity) and invalidates when the source changes."""
+    import json as _json
+    import os
+    import time
+    from utils import make_tiny_tokenizer
+    from aurora_tpu.data.dataset import AuroraDataset
+
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    data = [{"conversations": [
+        {"from": "human", "value": f"q {i}"},
+        {"from": "gpt", "value": f"a {i}"}]} for i in range(3)]
+    path = tmp_path / "d.json"
+    path.write_text(_json.dumps(data))
+    cache = str(tmp_path / "cache")
+
+    ds1 = AuroraDataset(str(path), tokenizer=tok, cache_dir=cache)
+    files = os.listdir(cache)
+    assert len(files) == 1
+    ds2 = AuroraDataset(str(path), tokenizer=tok, cache_dir=cache)
+    assert len(ds2) == len(ds1) == 3
+    assert ds2.text_data[0]["input_ids"] == ds1.text_data[0]["input_ids"]
+
+    # source change → new cache entry
+    time.sleep(0.01)
+    data.append({"conversations": [
+        {"from": "human", "value": "new"},
+        {"from": "gpt", "value": "sample"}]})
+    path.write_text(_json.dumps(data))
+    ds3 = AuroraDataset(str(path), tokenizer=tok, cache_dir=cache)
+    assert len(ds3) == 4
+    assert len(os.listdir(cache)) == 2

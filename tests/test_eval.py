@@ -334,3 +334,32 @@ def test_mmbench_evaluator_with_tiny_model(tmp_path, rng):
     res = simple_evaluate(model, ["mmbench_tiny_e2e"], log_samples=True)
     assert res["results"]["mmbench_tiny_e2e"]["_n"] == 2
     assert "acc" in res["results"]["mmbench_tiny_e2e"]
+
+
+def test_caption_task_cider_pipeline(tmp_path, rng):
+    """Generic caption benchmark family (coco/flickr/nocaps shape):
+    registry → evaluator → corpus CIDEr-D aggregation."""
+    from aurora_tpu.eval.tasks.captions import register_caption_task
+    data_dir = tmp_path / "cap"
+    os.makedirs(data_dir)
+    docs = []
+    for i in range(3):
+        vid = rng.integers(0, 255, (2, 56, 56, 3)).astype(np.uint8)
+        np.save(data_dir / f"img{i}.npy", vid)
+        docs.append({"video_name": f"img{i}",
+                     "captions": [f"caption number {i} about things",
+                                  f"another caption {i}"],
+                     "_root": str(data_dir)})
+    with open(data_dir / "val.jsonl", "w") as f:
+        for d in docs:
+            f.write(json.dumps(d) + "\n")
+    register_caption_task("cap_tiny", str(data_dir / "val.jsonl"),
+                          max_new_tokens=4)
+
+    root, *_ = make_tiny_xtuner_dir(tmp_path / "model")
+    from aurora_tpu.eval.models import AuroraCapEval
+    model = AuroraCapEval(pretrained=root, token_merge_ratio=1.0,
+                          num_frames=2, image_size=56, dtype=jnp.float32)
+    res = simple_evaluate(model, ["cap_tiny"])
+    assert "cider" in res["results"]["cap_tiny"]
+    assert res["results"]["cap_tiny"]["cider"]["value"] >= 0.0
