@@ -49,6 +49,10 @@ def main():
     p.add_argument("--mesh", default="", help="e.g. dp=2,fsdp=2,sp=1,tp=2")
     p.add_argument("--checkpoint_interval", type=int, default=500)
     p.add_argument("--log_interval", type=int, default=10)
+    p.add_argument("--pack_max_length", type=int, default=0,
+                   help=">0 packs samples to this fused length with "
+                        "per-document segment attention (SoftPackerForLlava"
+                        " parity; works for multimodal batches)")
     p.add_argument("--cache_dir", default=None,
                    help="cache tokenized datasets here (skips re-"
                         "tokenization across runs)")
@@ -106,8 +110,19 @@ def main():
                        template=PROMPT_TEMPLATE.vicuna,
                        max_length=max_length, image_size=image_size,
                        cache_dir=args.cache_dir)
-    sampler = LengthGroupedSampler(ds.modality_length(), batch_size,
-                                   seed=args.seed)
+    packer = None
+    if args.pack_max_length:
+        from aurora_tpu.data.collate import SoftPackerMM, packed_collate_mm
+        from aurora_tpu.models.aurora import num_visual_tokens
+        n_vis = num_visual_tokens(acfg, stage.train.kept_ratio,
+                                  image_size, image_size)
+        packer = SoftPackerMM(ds.text_data, args.pack_max_length,
+                              n_visual_tokens=n_vis, dataset=ds)
+        sampler = LengthGroupedSampler(
+            [len(p) for p in packer.packs], batch_size, seed=args.seed)
+    else:
+        sampler = LengthGroupedSampler(ds.modality_length(), batch_size,
+                                       seed=args.seed)
 
     # ---- state
     tcfg = stage.train
@@ -143,12 +158,15 @@ def main():
             it = iter(batched(iter(sampler), batch_size))
             idxs = next(it)
         thr.data_tick()
-        samples = [ds[i] for i in idxs]
-        # bucket the pad length so XLA compiles a handful of shapes, not
-        # one per batch
-        longest = max(len(s["input_ids"]) for s in samples)
-        bucket = min(max_length, ((longest + 63) // 64) * 64)
-        batch_np = default_collate_fn(samples, max_length=bucket)
+        if packer is not None:
+            batch_np = packed_collate_mm([packer[i] for i in idxs])
+        else:
+            samples = [ds[i] for i in idxs]
+            # bucket the pad length so XLA compiles a handful of shapes,
+            # not one per batch
+            longest = max(len(s["input_ids"]) for s in samples)
+            bucket = min(max_length, ((longest + 63) // 64) * 64)
+            batch_np = default_collate_fn(samples, max_length=bucket)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
         state, metrics = step_fn(state, batch)
         if (step_i + 1) % args.log_interval == 0 or step_i == start:

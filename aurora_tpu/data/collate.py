@@ -121,3 +121,102 @@ class SoftPacker:
 
 def packed_collate_fn(packs: List[Dict[str, np.ndarray]]) -> Dict:
     return {k: np.stack([p[k] for p in packs]) for k in packs[0]}
+
+
+class SoftPackerMM:
+    """Multimodal sample packing (SoftPackerForLlava parity,
+    src/xtuner_lite/_lite/datasets/llava.py): packs are budgeted on the
+    POST-FUSION length (each image marker expands to n_visual_tokens), so
+    a pack fits pack_max_length after the ViT splice. Packs carry
+    pre-fusion input_ids/labels/segment_ids plus the concatenated frame
+    stack; fuse_multimodal(segment_ids=...) expands the segments over the
+    visual spans."""
+
+    def __init__(self, samples: List[Dict[str, Any]],
+                 pack_max_length: int = 4096,
+                 n_visual_tokens: int = 1,
+                 dataset=None):
+        """dataset: when given, `samples` are lightweight token records
+        (e.g. AuroraDataset.text_data) and pixel_values load lazily via
+        dataset[i] at pack assembly — images never materialize up front."""
+        from aurora_tpu.utils.constants import IMAGE_TOKEN_INDEX
+        self.pack_max_length = pack_max_length
+        self.n_visual_tokens = n_visual_tokens
+        self.dataset = dataset
+        self.packs: List[List[Any]] = []
+        cur, cur_len = [], 0
+
+        def fused_len(s):
+            n_img = sum(1 for t in s["input_ids"]
+                        if t == IMAGE_TOKEN_INDEX)
+            return (len(s["input_ids"]) - n_img
+                    + n_img * n_visual_tokens)
+
+        for i, s in enumerate(samples):
+            n = fused_len(s)
+            assert n <= pack_max_length, (
+                f"sample fused length {n} exceeds pack_max_length")
+            if cur_len + n > pack_max_length and cur:
+                self.packs.append(cur)
+                cur, cur_len = [], 0
+            cur.append(i if dataset is not None else s)
+            cur_len += n
+        if cur:
+            self.packs.append(cur)
+
+    def __len__(self) -> int:
+        return len(self.packs)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        pack = self.packs[idx]
+        if self.dataset is not None:
+            pack = [self.dataset[i] for i in pack]
+        ids, labels, segs, frames = [], [], [], []
+        for seg, s in enumerate(pack):
+            ids.extend(int(t) for t in s["input_ids"])
+            labels.extend(int(t) for t in s["labels"])
+            segs.extend([seg] * len(s["input_ids"]))
+            px = s.get("pixel_values")
+            if px is not None and np.ndim(px) == 4:
+                frames.append(np.asarray(px))
+        return {"input_ids": np.asarray(ids, np.int32),
+                "labels": np.asarray(labels, np.int32),
+                "segment_ids": np.asarray(segs, np.int32),
+                "pixel_values": (np.concatenate(frames)
+                                 if frames else None),
+                "num_tokens": np.asarray(len(ids), np.int32)}
+
+
+def packed_collate_mm(packs: List[Dict[str, np.ndarray]],
+                      pad_token: int = DEFAULT_PAD_TOKEN_INDEX) -> Dict:
+    """Batch multimodal packs: token streams right-pad to the batch max;
+    frame stacks zero-pad to the max frame count (frames without a
+    matching marker scatter nowhere — fuse_multimodal drops them)."""
+    from aurora_tpu.utils.constants import IGNORE_INDEX
+    B = len(packs)
+    f_counts = [0 if p["pixel_values"] is None
+                else p["pixel_values"].shape[0] for p in packs]
+    f_max = max(f_counts)
+    t_max = max(int(p["num_tokens"]) for p in packs)
+    input_ids = np.full((B, t_max), pad_token, np.int32)
+    labels = np.full((B, t_max), IGNORE_INDEX, np.int32)
+    segment_ids = np.full((B, t_max), -1, np.int32)
+    mask = np.zeros((B, t_max), bool)
+    px = None
+    if f_max > 0:
+        shape = next(p["pixel_values"].shape[1:] for p in packs
+                     if p["pixel_values"] is not None)
+        px = np.zeros((B, f_max) + tuple(shape), np.float32)
+    for b, p in enumerate(packs):
+        n = int(p["num_tokens"])
+        input_ids[b, :n] = p["input_ids"]
+        labels[b, :n] = p["labels"]
+        segment_ids[b, :n] = p["segment_ids"]
+        mask[b, :n] = True
+        if p["pixel_values"] is not None:
+            px[b, :f_counts[b]] = p["pixel_values"]
+    out = {"input_ids": input_ids, "labels": labels,
+           "segment_ids": segment_ids, "attention_mask": mask}
+    if px is not None:
+        out["pixel_values"] = px
+    return out

@@ -124,6 +124,7 @@ def fuse_multimodal(embed_table: jnp.ndarray,
                     visual_groups: Sequence[jnp.ndarray],
                     attention_mask: Optional[jnp.ndarray] = None,
                     labels: Optional[jnp.ndarray] = None,
+                    segment_ids: Optional[jnp.ndarray] = None,
                     ) -> Dict[str, jnp.ndarray]:
     """Splice visual embeddings into the text sequence.
 
@@ -175,11 +176,14 @@ def fuse_multimodal(embed_table: jnp.ndarray,
     batch_ix = jnp.broadcast_to(jnp.arange(B)[:, None], (B, T))
     out = out.at[batch_ix, text_pos].set(text_embeds, mode="drop")
 
-    # ---- visual rows: start of marker k = its own shifted position
+    # ---- visual rows: start of marker k = its own shifted position.
+    # Rows may carry FEWER markers than F_total (batch-padded frames,
+    # text rows collated with a zero frame): missing markers keep the
+    # OOB sentinel so their frames scatter nowhere.
     marker_pos = jnp.where(is_img, base_pos, 0)
     onehot = jnp.where(is_img, before, F_total)  # marker k → ordinal
-    starts = jnp.zeros((B, F_total), jnp.int32).at[
-        batch_ix, onehot].add(marker_pos, mode="drop")  # [B, F]
+    starts = jnp.full((B, F_total), drop, jnp.int32).at[
+        batch_ix, onehot].set(marker_pos, mode="drop")  # [B, F]
 
     k0 = 0
     for g in visual_groups:
@@ -191,10 +195,12 @@ def fuse_multimodal(embed_table: jnp.ndarray,
             g.reshape(B, Fg * Ng, D).astype(out.dtype), mode="drop")
         k0 += Fg
 
-    # ---- mask / labels / positions
+    # ---- mask / labels / positions: expansion counts each row's OWN
+    # markers (exp is the cumsum of per-marker growth)
+    n_markers = jnp.sum(is_img, axis=1)
     new_len = (jnp.sum(attention_mask, axis=1)
-               + (sum(sizes) - F_total)) if sizes else jnp.sum(
-                   attention_mask, axis=1)
+               + exp[jnp.clip(n_markers, 0, F_total)]) if sizes else \
+        jnp.sum(attention_mask, axis=1)
     out_mask = jnp.arange(T_out)[None, :] < new_len[:, None]
     position_ids = jnp.broadcast_to(jnp.arange(T_out)[None, :],
                                     (B, T_out)) * out_mask
@@ -206,8 +212,36 @@ def fuse_multimodal(embed_table: jnp.ndarray,
         out_labels = out_labels.at[batch_ix, lab_pos].set(
             labels, mode="drop")
 
+    out_segments = None
+    if segment_ids is not None:
+        # packed multimodal (SoftPackerMM): visual spans inherit their
+        # marker's segment so packed attention stays per-document
+        out_segments = jnp.full((B, T_out), -1, segment_ids.dtype)
+        seg_pos = jnp.where(~attention_mask, drop, base_pos)
+        out_segments = out_segments.at[batch_ix, seg_pos].set(
+            segment_ids, mode="drop")  # markers write their own segment
+        k0 = 0
+        for g in visual_groups:
+            Fg, Ng = g.shape[1], g.shape[2]
+            g_starts = starts[:, k0:k0 + Fg]
+            vis_pos = g_starts[:, :, None] + jnp.arange(Ng)[None, None, :]
+            vb = jnp.broadcast_to(jnp.arange(B)[:, None, None],
+                                  (B, Fg, Ng))
+            marker_seg = jnp.zeros((B, F_total), segment_ids.dtype).at[
+                batch_ix, onehot].add(
+                    jnp.where(is_img, segment_ids, 0), mode="drop")
+            seg_vals = jnp.broadcast_to(
+                marker_seg[:, k0:k0 + Fg, None], (B, Fg, Ng))
+            out_segments = out_segments.at[
+                vb.reshape(B, -1), vis_pos.reshape(B, -1)].set(
+                    seg_vals.reshape(B, -1), mode="drop")
+            k0 += Fg
+        # positions past each row's live length are padding segment (-1)
+        out_segments = jnp.where(out_mask, out_segments, -1)
+
     return {"inputs_embeds": out, "attention_mask": out_mask,
-            "position_ids": position_ids, "labels": out_labels}
+            "position_ids": position_ids, "labels": out_labels,
+            "segment_ids": out_segments}
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +256,8 @@ def aurora_forward(params: Params, cfg: AuroraConfig,
                    kept_ratio: float = 1.0,
                    mode: str = "loss",
                    remat: bool = False,
-                   sp_attn=None):
+                   sp_attn=None,
+                   segment_ids: Optional[jnp.ndarray] = None):
     """mode: 'loss' → (scalar loss, ntokens); 'tensor' → logits;
     'inference' → fused-input dict for the generation engine."""
     if pixel_values is not None:
@@ -237,11 +272,13 @@ def aurora_forward(params: Params, cfg: AuroraConfig,
             groups = [encode_visual(params, pixel_values, cfg, kept_ratio,
                                     remat)]
         fused = fuse_multimodal(params["llm"]["embed_tokens"], input_ids,
-                                groups, attention_mask, labels)
+                                groups, attention_mask, labels,
+                                segment_ids=segment_ids)
     else:
         embeds = jnp.take(params["llm"]["embed_tokens"], input_ids, axis=0)
         fused = {"inputs_embeds": embeds, "attention_mask": attention_mask,
-                 "position_ids": None, "labels": labels}
+                 "position_ids": None, "labels": labels,
+                 "segment_ids": segment_ids}
 
     if mode == "inference":
         return fused
@@ -249,7 +286,9 @@ def aurora_forward(params: Params, cfg: AuroraConfig,
     logits, _ = llama_apply(
         params["llm"], cfg.llm, inputs_embeds=fused["inputs_embeds"],
         attention_mask=fused["attention_mask"],
-        position_ids=fused["position_ids"], remat=remat, sp_attn=sp_attn)
+        position_ids=fused["position_ids"],
+        segment_ids=fused.get("segment_ids"),
+        remat=remat, sp_attn=sp_attn)
     if mode in ("tensor", "predict"):
         return logits
     if mode == "loss":

@@ -161,7 +161,8 @@ def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None,
             batch.get("pixel_values"),
             attention_mask=batch.get("attention_mask"),
             labels=batch["labels"], kept_ratio=tcfg.kept_ratio,
-            mode="loss", remat=tcfg.remat, sp_attn=sp_attn)
+            mode="loss", remat=tcfg.remat, sp_attn=sp_attn,
+            segment_ids=batch.get("segment_ids"))
         return loss, ntok
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:

@@ -134,3 +134,145 @@ def test_aurora_forward_slowfast(rng):
     n_hi = num_visual_tokens(cfg, 1.0, 56, 56)
     n_lo = num_visual_tokens(cfg, 0.5, 56, 56)
     assert fused["inputs_embeds"].shape[1] == T - F + n_hi + (F - 1) * n_lo
+
+
+def test_multimodal_packing_matches_individual(rng):
+    """SoftPackerMM + fused segment expansion: the packed loss (token-
+    weighted) equals the samples' individual losses — attention stays
+    per-document through the visual splice (SoftPackerForLlava parity)."""
+    import jax
+    import jax.numpy as jnp
+    from aurora_tpu.data.collate import SoftPackerMM, packed_collate_mm
+    from aurora_tpu.models.aurora import (AuroraConfig, aurora_forward,
+                                          num_visual_tokens)
+    from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+    from aurora_tpu.models.projector import (ProjectorConfig,
+                                             init_projector_params)
+    from aurora_tpu.models.vit import ViTConfig, init_vit_params
+    from aurora_tpu.utils.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+    vit = ViTConfig(hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    image_size=28, patch_size=14)
+    llm = LlamaConfig.tiny(vocab_size=128)
+    acfg = AuroraConfig(vit=vit, llm=llm,
+                        projector=ProjectorConfig(visual_hidden_size=32,
+                                                  llm_hidden_size=64,
+                                                  depth=2))
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    params = {"visual_encoder": init_vit_params(keys[0], vit,
+                                                jnp.float32),
+              "projector": init_projector_params(keys[1], acfg.projector,
+                                                 jnp.float32),
+              "llm": init_llama_params(keys[2], llm, jnp.float32)}
+    n_vis = num_visual_tokens(acfg, 1.0, 28, 28)
+
+    def make_sample(n_text, n_frames):
+        ids = [int(x) for x in rng.integers(3, 128, size=n_text)]
+        for j in range(n_frames):
+            ids[1 + j] = IMAGE_TOKEN_INDEX
+        labels = list(ids)
+        # prompt region IGNORE (also guards the pack boundary shift)
+        for j in range(n_frames + 2):
+            labels[j] = IGNORE_INDEX
+        px = rng.standard_normal((n_frames, 3, 28, 28)).astype(np.float32)
+        return {"input_ids": ids, "labels": labels, "pixel_values": px}
+
+    samples = [make_sample(8, 1), make_sample(10, 2), make_sample(6, 1)]
+
+    # individual losses (token-weighted mean is the packed expectation)
+    tot_loss, tot_n = 0.0, 0
+    for s in samples:
+        loss, n = aurora_forward(
+            params, acfg, jnp.asarray([s["input_ids"]]),
+            jnp.asarray(s["pixel_values"])[None],
+            labels=jnp.asarray([s["labels"]]), kept_ratio=1.0,
+            mode="loss")
+        tot_loss += float(loss) * int(n)
+        tot_n += int(n)
+    want = tot_loss / tot_n
+
+    packer = SoftPackerMM(samples, pack_max_length=128,
+                          n_visual_tokens=n_vis)
+    assert len(packer) == 1  # everything fits one pack
+    batch = packed_collate_mm([packer[0]])
+    loss, n = aurora_forward(
+        params, acfg, jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["pixel_values"]),
+        attention_mask=jnp.asarray(batch["attention_mask"]),
+        labels=jnp.asarray(batch["labels"]), kept_ratio=1.0,
+        mode="loss", segment_ids=jnp.asarray(batch["segment_ids"]))
+    assert int(n) == tot_n
+    np.testing.assert_allclose(float(loss), want, rtol=2e-4, atol=2e-4)
+
+
+def test_multimodal_packing_two_packs_with_frame_padding(rng):
+    """Packs with different frame counts: the collate pads frames and
+    plants balancing markers in the masked tail; loss must stay finite
+    and match the token-weighted individual losses."""
+    import jax
+    import jax.numpy as jnp
+    from aurora_tpu.data.collate import SoftPackerMM, packed_collate_mm
+    from aurora_tpu.models.aurora import (AuroraConfig, aurora_forward,
+                                          num_visual_tokens)
+    from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+    from aurora_tpu.models.projector import (ProjectorConfig,
+                                             init_projector_params)
+    from aurora_tpu.models.vit import ViTConfig, init_vit_params
+    from aurora_tpu.utils.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+
+    vit = ViTConfig(hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    image_size=28, patch_size=14)
+    llm = LlamaConfig.tiny(vocab_size=128)
+    acfg = AuroraConfig(vit=vit, llm=llm,
+                        projector=ProjectorConfig(visual_hidden_size=32,
+                                                  llm_hidden_size=64,
+                                                  depth=2))
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    params = {"visual_encoder": init_vit_params(keys[0], vit,
+                                                jnp.float32),
+              "projector": init_projector_params(keys[1], acfg.projector,
+                                                 jnp.float32),
+              "llm": init_llama_params(keys[2], llm, jnp.float32)}
+    n_vis = num_visual_tokens(acfg, 1.0, 28, 28)
+
+    def make_sample(n_text, n_frames, seed):
+        r = np.random.default_rng(seed)
+        ids = [int(x) for x in r.integers(3, 128, size=n_text)]
+        for j in range(n_frames):
+            ids[1 + j] = IMAGE_TOKEN_INDEX
+        labels = list(ids)
+        for j in range(n_frames + 2):
+            labels[j] = IGNORE_INDEX
+        px = r.standard_normal((n_frames, 3, 28, 28)).astype(np.float32)
+        return {"input_ids": ids, "labels": labels, "pixel_values": px}
+
+    # force two packs with different frame counts via a tight budget
+    s1, s2, s3 = (make_sample(8, 2, 1), make_sample(8, 1, 2),
+                  make_sample(8, 1, 3))
+    fused = 8 - 2 + 2 * n_vis
+    packer = SoftPackerMM([s1, s2, s3], pack_max_length=fused + 8 + 2,
+                          n_visual_tokens=n_vis)
+    assert len(packer) == 2
+    batch = packed_collate_mm([packer[0], packer[1]])
+    assert batch["pixel_values"].shape[1] == 2  # padded to max frames
+
+    tot_loss, tot_n = 0.0, 0
+    for s in (s1, s2, s3):
+        loss, n = aurora_forward(
+            params, acfg, jnp.asarray([s["input_ids"]]),
+            jnp.asarray(s["pixel_values"])[None],
+            labels=jnp.asarray([s["labels"]]), kept_ratio=1.0,
+            mode="loss")
+        tot_loss += float(loss) * int(n)
+        tot_n += int(n)
+    loss, n = aurora_forward(
+        params, acfg, jnp.asarray(batch["input_ids"]),
+        jnp.asarray(batch["pixel_values"]),
+        attention_mask=jnp.asarray(batch["attention_mask"]),
+        labels=jnp.asarray(batch["labels"]), kept_ratio=1.0,
+        mode="loss", segment_ids=jnp.asarray(batch["segment_ids"]))
+    assert int(n) == tot_n
+    np.testing.assert_allclose(float(loss), tot_loss / tot_n,
+                               rtol=2e-4, atol=2e-4)
