@@ -1,3 +1,4 @@
 """Built-in task definitions. Importing this package registers them."""
 
-from aurora_tpu.eval.tasks import captions, mmbench, vdc  # noqa: F401
+from aurora_tpu.eval.tasks import (captions, mmbench, refcoco,  # noqa: F401
+                                   vdc)

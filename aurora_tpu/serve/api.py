@@ -322,6 +322,43 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
                                  f"max_seq_len {ecfg.max_seq_len}"}))
         return req
 
+    _GUI_HTML = """<!doctype html><html><head><title>aurora_tpu</title>
+<style>body{font-family:sans-serif;max-width:760px;margin:2em auto}
+textarea,input{width:100%;margin:4px 0;box-sizing:border-box}
+#out{white-space:pre-wrap;border:1px solid #ccc;padding:1em;min-height:6em}
+label{font-size:.9em;color:#444}</style></head><body>
+<h2>aurora_tpu — video captioning</h2>
+<label>Prompt</label>
+<textarea id="prompt" rows="3">Describe the video in detail.</textarea>
+<label>Server-side video path (optional — empty for text-only)</label>
+<input id="video" placeholder="/path/to/video.mp4">
+<label>num frames / kept ratio / max new tokens</label>
+<input id="frames" value="8"> <input id="ratio" value="0.8">
+<input id="maxnew" value="256">
+<button onclick="go()">Generate</button>
+<h3>Output</h3><div id="out"></div>
+<script>
+async function go(){
+  const v = document.getElementById('video').value.trim();
+  const body = {text: document.getElementById('prompt').value,
+                max_new_tokens: +document.getElementById('maxnew').value};
+  if (v) { body.video_path = v;
+           body.num_frames = +document.getElementById('frames').value;
+           body.token_kept_ratio = +document.getElementById('ratio').value; }
+  document.getElementById('out').textContent = '…generating';
+  const r = await fetch('/generate', {method:'POST',
+      headers:{'Content-Type':'application/json'},
+      body: JSON.stringify(body)});
+  const j = await r.json();
+  document.getElementById('out').textContent = j.text || JSON.stringify(j);
+}
+</script></body></html>"""
+
+    async def h_gui(request):
+        """Minimal built-in web UI (gradio_gui.py:98-129 parity — the
+        environment has no gradio; one static page drives /generate)."""
+        return web.Response(text=_GUI_HTML, content_type="text/html")
+
     async def h_health(request):
         return web.json_response({"status": "ok"})
 
@@ -422,6 +459,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
     app.router.add_post("/flush_cache", h_flush_cache)
     app.router.add_post("/update_weights", h_update_weights)
     app.router.add_post("/v1/embeddings", h_embeddings)
+    app.router.add_get("/", h_gui)
     return app
 
 

@@ -363,3 +363,23 @@ def test_caption_task_cider_pipeline(tmp_path, rng):
     res = simple_evaluate(model, ["cap_tiny"])
     assert "cider" in res["results"]["cap_tiny"]
     assert res["results"]["cap_tiny"]["cider"]["value"] >= 0.0
+
+
+def test_refcoco_scoring():
+    """IoU/parse/normalize parity with eval_refcoco.py:110-140."""
+    from aurora_tpu.eval.tasks import refcoco
+    assert refcoco.parse_bbox("The box is [10, 20, 30, 40].") == \
+        [10, 20, 30, 40]
+    assert refcoco.parse_bbox("no numbers here") is None
+    assert refcoco.compute_iou([0, 0, 9, 9], [0, 0, 9, 9]) == 1.0
+    assert refcoco.compute_iou([0, 0, 9, 9], [20, 20, 29, 29]) == 0.0
+    assert refcoco.normalize_bbox([50, 100, 150, 200], 400, 200) == \
+        [25, 25, 75, 50]
+    doc = {"bbox": [50, 100, 150, 200], "height": 400, "width": 200,
+           "sentence": "the dog", "image": "x.jpg"}
+    hit = refcoco.process_results(doc, ["[25, 25, 75, 50]"])
+    assert hit["acc@0.5"] == 1.0
+    miss = refcoco.process_results(doc, ["[0, 0, 5, 5]"])
+    assert miss["acc@0.5"] == 0.0
+    assert "region this sentence describes: the dog" in \
+        refcoco.doc_to_text(doc)
