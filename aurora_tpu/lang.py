@@ -9,8 +9,14 @@ written in exactly this API.
 A program is a Python function over a State; primitives append chat
 messages; `gen(name, ...)` calls the backend (any OpenAI-chat endpoint —
 ours included) and stores the completion under `state[name]`. Supports
-temperature/max_tokens/stop and `choices` (serve.constrained on aurora_tpu
-backends; prompt-level fallback elsewhere).
+temperature/max_tokens/stop, `choices` (serve.constrained), and `regex`
+(serve.fsm constrained decode). `function.run_batch` executes many
+program instances through a thread pool — the server's continuous
+batching turns concurrent requests into batched decode steps (the role
+sglang's threaded interpreter plays, interpreter.py). `state.fork(n)`
+clones the context for parallel branches (lang fork parity);
+`function.trace()` records the op sequence against a mock backend
+(tracer.py parity).
 """
 
 from __future__ import annotations
@@ -33,7 +39,8 @@ class RuntimeEndpoint:
 
     def chat(self, messages: List[Dict[str, str]], *, max_tokens: int,
              temperature: float, stop: Sequence[str] = (),
-             choices: Optional[Sequence[str]] = None) -> str:
+             choices: Optional[Sequence[str]] = None,
+             regex: Optional[str] = None) -> str:
         payload: Dict[str, Any] = {
             "messages": messages, "max_tokens": max_tokens,
             "temperature": temperature}
@@ -41,6 +48,8 @@ class RuntimeEndpoint:
             payload["stop"] = list(stop)
         if choices:
             payload["choices_constraint"] = list(choices)
+        if regex:
+            payload["regex"] = regex
         req = urllib.request.Request(
             self.base_url + "/v1/chat/completions",
             data=json.dumps(payload).encode(),
@@ -71,6 +80,19 @@ class State:
     def __getitem__(self, name: str) -> str:
         return self.captured[name]
 
+    def fork(self, n: int) -> List["State"]:
+        """n independent continuations of the current context
+        (lang fork parity). Children share nothing after the split;
+        run their branches concurrently via run_states_parallel."""
+        import copy
+        out = []
+        for _ in range(n):
+            child = State(self.backend)
+            child.messages = copy.deepcopy(self.messages)
+            child.captured = dict(self.captured)
+            out.append(child)
+        return out
+
 
 class _Message:
     def __init__(self, role: str, content: str):
@@ -84,18 +106,20 @@ class _Message:
 class _Gen:
     def __init__(self, name: str, max_tokens: int = 128,
                  temperature: float = 0.0, stop: Sequence[str] = (),
-                 choices: Optional[Sequence[str]] = None):
+                 choices: Optional[Sequence[str]] = None,
+                 regex: Optional[str] = None):
         self.name = name
         self.max_tokens = max_tokens
         self.temperature = temperature
         self.stop = stop
         self.choices = choices
+        self.regex = regex
 
     def apply(self, state: State) -> None:
         text = state.backend.chat(
             state.messages, max_tokens=self.max_tokens,
             temperature=self.temperature, stop=self.stop,
-            choices=self.choices)
+            choices=self.choices, regex=self.regex)
         state.captured[self.name] = text
         state.messages.append({"role": "assistant", "content": text})
 
@@ -125,8 +149,41 @@ def assistant(gen_or_text) -> Any:
 
 
 def gen(name: str, max_tokens: int = 128, temperature: float = 0.0,
-        stop: Sequence[str] = (), choices=None) -> _Gen:
-    return _Gen(name, max_tokens, temperature, stop, choices)
+        stop: Sequence[str] = (), choices=None, regex=None) -> _Gen:
+    return _Gen(name, max_tokens, temperature, stop, choices, regex)
+
+
+def select(name: str, choices: Sequence[str]) -> _Gen:
+    """Pick one of `choices` via constrained decode (lang select parity)."""
+    return _Gen(name, max_tokens=max(len(c) for c in choices) + 8,
+                temperature=0.0, choices=choices)
+
+
+def run_states_parallel(states: List[State], branch: Callable,
+                        num_threads: int = 8) -> List[State]:
+    """Apply `branch(state)` to every forked state concurrently — the
+    server's continuous batching merges the requests into shared decode
+    steps."""
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=num_threads) as pool:
+        list(pool.map(branch, states))
+    return states
+
+
+class _TraceBackend:
+    """Mock backend that records gen ops (lang/tracer.py parity)."""
+
+    def __init__(self):
+        self.ops: List[Dict[str, Any]] = []
+
+    def chat(self, messages, *, max_tokens, temperature, stop=(),
+             choices=None, regex=None):
+        self.ops.append({"op": "gen", "n_messages": len(messages),
+                         "max_tokens": max_tokens,
+                         "temperature": temperature,
+                         "choices": list(choices) if choices else None,
+                         "regex": regex})
+        return f"<gen_{len(self.ops) - 1}>"
 
 
 class function:  # noqa: N801 — decorator name matches the reference API
@@ -142,6 +199,26 @@ class function:  # noqa: N801 — decorator name matches the reference API
         state = State(backend)
         self.fn(state, **kwargs)
         return state
+
+    def run_batch(self, batch_kwargs: Sequence[Dict[str, Any]],
+                  backend=None, num_threads: int = 8) -> List[State]:
+        """Run many program instances concurrently (sglang run_batch /
+        threaded-interpreter parity): the server's continuous batching
+        turns the concurrent requests into shared decode steps."""
+        from concurrent.futures import ThreadPoolExecutor
+        backend = backend or _default_backend
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            futs = [pool.submit(self.run, backend=backend, **kw)
+                    for kw in batch_kwargs]
+            return [f.result() for f in futs]
+
+    def trace(self, **kwargs) -> List[Dict[str, Any]]:
+        """Execute against a recording mock backend → op list
+        (lang/tracer.py parity; gen results are placeholders)."""
+        tb = _TraceBackend()
+        state = State(tb)
+        self.fn(state, **kwargs)
+        return tb.ops
 
     def __call__(self, state: State, **kwargs):
         return self.fn(state, **kwargs)

@@ -99,3 +99,56 @@ def test_gen_kwargs_forwarded(echo):
     assert sent["temperature"] == 0.7
     assert sent["stop"] == ["\n"]
     assert sent["choices_constraint"] == ["yes", "no"]
+
+
+def test_function_trace_records_ops():
+    from aurora_tpu.lang import function, gen, select, system, user
+
+    @function
+    def prog(s, q):
+        s += system("judge")
+        s += user(q)
+        s += gen("ans", max_tokens=32)
+        s += user("score it")
+        s += select("score", ["yes", "no"])
+
+    ops = prog.trace(q="what?")
+    assert len(ops) == 2
+    assert ops[0]["max_tokens"] == 32 and ops[0]["choices"] is None
+    assert ops[1]["choices"] == ["yes", "no"]
+
+
+def test_state_fork_independent():
+    from aurora_tpu.lang import State, user
+
+    class Echo:
+        def chat(self, messages, **kw):
+            return f"echo{len(messages)}"
+
+    s = State(Echo())
+    s += user("root")
+    kids = s.fork(2)
+    kids[0] += user("a")
+    kids[1] += user("b")
+    assert len(s.messages) == 1
+    assert kids[0].messages[1]["content"] == "a"
+    assert kids[1].messages[1]["content"] == "b"
+
+
+def test_run_batch_concurrent(echo):
+    """run_batch drives concurrent program instances (threaded-
+    interpreter parity); each state captures its own generation."""
+    from aurora_tpu.lang import RuntimeEndpoint, function, gen, user
+
+    @function
+    def prog(s, q):
+        s += user(q)
+        s += gen("out", max_tokens=4)
+
+    backend = RuntimeEndpoint(f"http://127.0.0.1:{echo.port}")
+    states = prog.run_batch([{"q": f"question {i}"} for i in range(5)],
+                            backend=backend, num_threads=4)
+    assert len(states) == 5
+    assert all(isinstance(st["out"], str) and st["out"] for st in states)
+    assert all(st.messages[0]["content"] == f"question {i}"
+               for i, st in enumerate(states))
