@@ -421,3 +421,23 @@ def test_engine_int8_kv_quant_matches_greedy(tiny_engine, rng):
     assert len(done2["q2"].prefix_slots) >= len(base)
     assert done2["q2"].output_ids == want
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_runtime_in_process(tiny_engine, tmp_path, rng):
+    """sglang Runtime parity: in-process batch generation, order-
+    preserving, with stop strings and regex constraints available."""
+    from utils import make_tiny_tokenizer
+    from aurora_tpu.serve.runtime import Runtime
+    params, cfg, ecfg = tiny_engine
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    rt = Runtime(params, cfg, tok, engine_config=ecfg)
+    out = rt.generate(["ab cd", "xy z w", "hello"], max_new_tokens=5)
+    assert len(out) == 3
+    assert all(len(o["output_ids"]) >= 1 for o in out)
+    assert all(o["finish_reason"] in ("stop", "length") for o in out)
+    # order matches offline greedy (the tiny tokenizer's vocab exceeds
+    # the tiny model's — clip like the engine's embedding path does)
+    ids = [min(t, cfg.vocab_size - 1) for t in tok.encode("ab cd")]
+    want = _offline_greedy(params, cfg, ids, 5)
+    assert out[0]["output_ids"] == want
+    assert rt.flush_cache() == 0
