@@ -69,8 +69,8 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)        # [QR, hd]
         k = k_ref[0, 0].astype(jnp.float32)        # [chunk, hd]
-        if quant:  # int8 KV: dequantize with per-token scales
-            k = k * ks_ref[0, 0][:, None]
+        if quant:  # int8 KV: dequantize with per-token scales [chunk, 1]
+            k = k * ks_ref[0, 0]
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         # query row qr = g * t_q + t → global query position off + t
@@ -88,7 +88,7 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         v = v_ref[0, 0].astype(jnp.float32)
         if quant:
-            v = v * vs_ref[0, 0][:, None]
+            v = v * vs_ref[0, 0]
         acc_ref[:] = (acc_ref[:] * alpha[:, None]
                       + jax.lax.dot_general(
                           p, v, (((1,), (0,)), ((), ())),
@@ -148,7 +148,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 
     def scale_map(i, h, c, lens, offs, rows):
         last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
-        return (rows[i], h, jnp.minimum(c, last))
+        return (rows[i], h, jnp.minimum(c, last), 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, qr_pad, hd),
@@ -158,10 +158,12 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     ]
     operands = [qh, k_rows, v_rows]
     if quant:
-        in_specs += [pl.BlockSpec((1, 1, chunk), scale_map),
-                     pl.BlockSpec((1, 1, chunk), scale_map)]
-        operands += [k_scales.astype(jnp.float32),
-                     v_scales.astype(jnp.float32)]
+        # scales ride as [B, Hkv, S, 1]: TPU block shapes need the last
+        # two dims (8k, 128k) or equal-to-array — (chunk, 1) qualifies
+        in_specs += [pl.BlockSpec((1, 1, chunk, 1), scale_map),
+                     pl.BlockSpec((1, 1, chunk, 1), scale_map)]
+        operands += [k_scales.astype(jnp.float32)[..., None],
+                     v_scales.astype(jnp.float32)[..., None]]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,

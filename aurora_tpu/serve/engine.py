@@ -396,6 +396,17 @@ def _reset_row_stats(counts, seen, row, prompt_seen):
     return counts, seen
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _count_tokens(counts, seen, row, token_ids):
+    """Fold a token run into a row's penalty histograms (jump-forward
+    writes tokens without sampling; ids == -1 are padding)."""
+    valid = token_ids >= 0
+    safe = jnp.where(valid, token_ids, 0)
+    counts = counts.at[row, safe].add(valid.astype(counts.dtype))
+    seen = seen.at[row, safe].max(valid)
+    return counts, seen
+
+
 # ---------------------------------------------------------------------------
 # Engine
 # ---------------------------------------------------------------------------
@@ -454,9 +465,10 @@ class ServeEngine:
             if 0 <= req.batch_row < len(self.row_reqs) and \
                     self.row_reqs[req.batch_row] is req:
                 self.row_reqs[req.batch_row] = None
-            if req.prefix_node is not None:
+            if req.prefix_locked:
                 self.radix.lock(req.prefix_node, -1)
-                req.prefix_node = None
+                req.prefix_locked = False
+            req.prefix_node = None
             failed.append(req)
         return failed
 
@@ -571,9 +583,12 @@ class ServeEngine:
         req.error = str(e)
         if 0 <= row < len(self.row_reqs) and self.row_reqs[row] is req:
             self.row_reqs[row] = None
-        if req.prefix_node is not None:
+        # the LPM scheduler pre-matches prefix_node WITHOUT locking —
+        # only drop a lock _prepare actually took
+        if req.prefix_locked:
             self.radix.lock(req.prefix_node, -1)
-            req.prefix_node = None
+            req.prefix_locked = False
+        req.prefix_node = None
         self.sched.aborted.append(req)
 
     def _prepare(self, req: Request, row: int) -> int:
@@ -593,6 +608,7 @@ class ServeEngine:
         prefix_slots, prefix_node = self.radix.match_prefix(ids)
         self.radix.lock(prefix_node, +1)
         req.prefix_slots, req.prefix_node = prefix_slots, prefix_node
+        req.prefix_locked = True
         n_cached = len(prefix_slots)
         if n_cached == len(ids):  # full hit: re-extend the last token
             n_cached -= 1
@@ -755,6 +771,14 @@ class ServeEngine:
         off = req.seq_len - 1        # position of the unwritten last token
         toks = [req.output_ids[-1]] + forced
         req.output_ids.extend(forced)
+        # forced tokens must still feed the penalty histograms (they were
+        # never sampled, so _decode_step's on-device update missed them)
+        nb = self._lane_bucket(len(forced))
+        padded = np.full((nb,), -1, np.int64)
+        padded[:len(forced)] = forced
+        self.counts, self.seen = _count_tokens(
+            self.counts, self.seen, jnp.asarray(row, np.int32),
+            jnp.asarray(padded))
         if req.constraint.finished:
             req.finished = FinishReason.EOS
         req.check_finished()
@@ -836,12 +860,18 @@ class ServeEngine:
 
     def _check_stop_strs(self, req: Request) -> None:
         """Stop-string finish (StopWordStoppingCriteria / OpenAI `stop`
-        parity). Requires a tokenizer on the engine."""
+        parity). Requires a tokenizer on the engine. Only a bounded TAIL
+        of the output is re-decoded per token (sglang matches against a
+        fixed window too) — full-output decoding is O(n²) over a long
+        generation."""
         if (req.finished is not None or not req.stop_strs
                 or self.tokenizer is None):
             return
-        text = self.tokenizer.decode(req.output_ids,
-                                     skip_special_tokens=True)
+        # a stop string of C chars spans ≤ C non-special tokens; pad the
+        # window generously for multi-char tokens around the boundary
+        window = 2 * max(len(stop) for stop in req.stop_strs) + 16
+        tail = req.output_ids[-window:]
+        text = self.tokenizer.decode(tail, skip_special_tokens=True)
         for stop in req.stop_strs:
             idx = text.find(stop)
             if idx >= 0:
@@ -851,22 +881,36 @@ class ServeEngine:
 
     def _release(self, req: Request) -> None:
         """Finished request → cache its prompt KV (best-effort), free the
-        row. Decode-token KV lives only in the row and needs no freeing."""
+        row. Decode-token KV lives only in the row and needs no freeing.
+        The prefix lock is held THROUGH the evict/insert (sglang
+        cache-then-dec_lock_ref order): eviction under memory pressure
+        must not reclaim the very prefix slots we are about to re-insert."""
         row = req.batch_row
         if 0 <= row < len(self.row_reqs) and self.row_reqs[row] is req:
             self.row_reqs[row] = None
-        if req.prefix_node is None:
+
+        def unlock():
+            if req.prefix_locked:
+                self.radix.lock(req.prefix_node, -1)
+                req.prefix_locked = False
+            req.prefix_node = None
+
+        if row < 0 or not req.prefix_locked:
+            # aborted from the waiting queue / failed admission: nothing
+            # was extended, nothing to cache
+            unlock()
             return
-        self.radix.lock(req.prefix_node, -1)
         n_cached = req.n_cached
         prompt_ids = req.input_ids
         n_new = len(prompt_ids) - n_cached
         if n_new <= 0:
+            unlock()
             return
         if self.alloc.available() < n_new:
             self.radix.evict(n_new - self.alloc.available())
         slots = self.alloc.alloc(n_new)
         if slots is None:
+            unlock()
             return  # pool full of locked prefixes: skip caching
         max_bucket = max(self.ecfg.prefill_buckets)
         for start in range(0, n_new, max_bucket):
@@ -884,6 +928,7 @@ class ServeEngine:
         dup = self.radix.insert(prompt_ids, full)
         if dup > n_cached:  # prefix grew under us: free duplicate slots
             self.alloc.free(slots[:dup - n_cached])
+        unlock()
 
     # -- memory introspection (check_memory parity, tp_worker.py:301-321) ----
 

@@ -49,7 +49,7 @@ class Runtime:
                  regex: Optional[str] = None,
                  max_steps: int = 100000) -> List[Dict[str, Any]]:
         """Batch generation → [{"text", "output_ids", "finish_reason"}]
-        in input order."""
+        in input order (a single-string prompt returns one dict)."""
         single = isinstance(prompts, str)
         if prompts is not None:
             if single:
@@ -81,6 +81,12 @@ class Runtime:
                 done[r.rid] = r
             if not self.engine.has_work():
                 break
+        missing = [f"rt{i}" for i in range(len(input_ids))
+                   if f"rt{i}" not in done]
+        if missing:
+            raise RuntimeError(
+                f"max_steps={max_steps} exhausted with "
+                f"{len(missing)} unfinished requests: {missing[:5]}")
         out = []
         for i in range(len(input_ids)):
             r = done[f"rt{i}"]
@@ -93,7 +99,7 @@ class Runtime:
             out.append({"text": text, "output_ids": list(r.output_ids),
                         "finish_reason": (r.finished.value
                                           if r.finished else None)})
-        return out if not single else out
+        return out[0] if single else out
 
     def flush_cache(self) -> int:
         return self.engine.flush_cache()

@@ -57,6 +57,7 @@ class Request:
         default_factory=list)
     prefix_slots: Optional[np.ndarray] = None   # radix-cache hit
     prefix_node: Any = None
+    prefix_locked: bool = False    # scheduler pre-matches WITHOUT locking
     n_cached: int = 0              # locked prefix length at admission
     extend_len_pending: int = 0    # new prompt tokens at admission
     batch_row: int = -1

@@ -441,3 +441,78 @@ def test_runtime_in_process(tiny_engine, tmp_path, rng):
     want = _offline_greedy(params, cfg, ids, 5)
     assert out[0]["output_ids"] == want
     assert rt.flush_cache() == 0
+
+
+def test_abort_waiting_request_with_cached_prefix(tiny_engine, rng):
+    """Round-2 review: under LPM the scheduler pre-matches prefix_node
+    WITHOUT locking; aborting a queued request must not drop a never-
+    taken lock or cache KV from batch_row=-1."""
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    base = [int(x) for x in rng.integers(3, 128, size=10)]
+    # populate the radix cache
+    _run_engine(engine, [Request(rid="seed", input_ids=list(base),
+                                 max_new_tokens=3)])
+    cached_before = engine.check_memory()["cached"]
+    assert cached_before > 0
+    # queue a request sharing the prefix, let LPM pre-match it, abort it
+    req = Request(rid="doomed", input_ids=list(base) + [5, 6],
+                  max_new_tokens=3)
+    engine.add_request(req)
+    engine.sched._sort_waiting()     # LPM pre-match (no lock taken)
+    assert req.prefix_node is not None and not req.prefix_locked
+    assert engine.abort("doomed")
+    done = engine.step()             # must not raise / corrupt
+    assert any(r.rid == "doomed" for r in done)
+    mem = engine.check_memory()
+    assert mem["leaked"] == 0
+    # the cache survives intact and still serves correctly
+    out = _run_engine(engine, [Request(rid="again", input_ids=list(base),
+                                       max_new_tokens=3)])
+    want = _offline_greedy(params, cfg, base, 3)
+    assert out["again"].output_ids == want
+
+
+def test_admission_failure_after_lpm_prematch(tiny_engine, rng):
+    """A request failing validation in _prepare (prompt+max_new too big)
+    after the LPM pre-match must be isolated without touching locks."""
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    base = [int(x) for x in rng.integers(3, 128, size=10)]
+    _run_engine(engine, [Request(rid="seed", input_ids=list(base),
+                                 max_new_tokens=3)])
+    bad = Request(rid="big", input_ids=list(base) * 5,
+                  max_new_tokens=ecfg.max_seq_len)  # over max_seq_len
+    good = Request(rid="ok", input_ids=list(base), max_new_tokens=3)
+    done = _run_engine(engine, [bad, good])
+    assert done["big"].finished.value == "abort"
+    assert done["big"].error is not None
+    assert done["ok"].output_ids == _offline_greedy(params, cfg, base, 3)
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_release_under_memory_pressure_keeps_cache_sound(tiny_engine,
+                                                         rng):
+    """Review finding: _release must insert BEFORE unlocking so its own
+    eviction can't reclaim the prefix slots being re-inserted. Tiny pool
+    forces eviction on every release."""
+    import dataclasses as dc
+    params, cfg, ecfg = tiny_engine
+    small = dc.replace(ecfg, num_slots=40)  # pool ≈ 2 prompts
+    engine = ServeEngine(params, cfg, small)
+    prompts = {}
+    for i in range(6):
+        ids = [int(x) for x in rng.integers(3, 128, size=14)]
+        prompts[str(i)] = ids
+    done = _run_engine(engine, [
+        Request(rid=r, input_ids=list(p), max_new_tokens=3)
+        for r, p in prompts.items()])
+    assert len(done) == 6
+    mem = engine.check_memory()
+    assert mem["leaked"] == 0, mem
+    # replay one prompt: whatever is cached must still decode correctly
+    rid, ids = next(iter(prompts.items()))
+    out = _run_engine(engine, [Request(rid="re", input_ids=list(ids),
+                                       max_new_tokens=3)])
+    assert out["re"].output_ids == _offline_greedy(params, cfg, ids, 3)
+    assert engine.check_memory()["leaked"] == 0
