@@ -354,6 +354,117 @@ async function go(){
 }
 </script></body></html>"""
 
+    # -- OpenAI files + batches (openai_api/adapter.py parity) -----------
+    import os
+    import tempfile
+
+    files_dir = os.environ.get("AURORA_FILES_DIR") or tempfile.mkdtemp(
+        prefix="aurora_files_")
+    batches: Dict[str, Dict[str, Any]] = {}
+
+    def _file_path(fid):
+        return os.path.join(files_dir, fid)
+
+    async def h_file_upload(request):
+        """POST /v1/files — multipart (`file` field) or raw body with
+        ?filename=. Returns an OpenAI file object."""
+        fid = "file-" + uuid.uuid4().hex[:24]
+        name = request.query.get("filename", "upload.jsonl")
+        if request.content_type.startswith("multipart/"):
+            reader = await request.multipart()
+            data = b""
+            async for part in reader:
+                if part.name == "file":
+                    name = part.filename or name
+                    data = await part.read()
+        else:
+            data = await request.read()
+        with open(_file_path(fid), "wb") as f:
+            f.write(data)
+        return web.json_response({
+            "id": fid, "object": "file", "bytes": len(data),
+            "created_at": int(time.time()), "filename": name,
+            "purpose": request.query.get("purpose", "batch")})
+
+    async def h_file_content(request):
+        fid = request.match_info["fid"]
+        path = _file_path(fid)
+        if not os.path.exists(path):
+            return web.json_response({"error": "file not found"},
+                                     status=404)
+        with open(path, "rb") as f:
+            return web.Response(body=f.read(),
+                                content_type="application/octet-stream")
+
+    async def _run_batch_job(bid: str):
+        """Process a batch file of /v1/chat/completions-style requests
+        CONCURRENTLY through the engine's continuous batching."""
+        job = batches[bid]
+        try:
+            with open(_file_path(job["input_file_id"])) as f:
+                lines = [json.loads(ln) for ln in f if ln.strip()]
+
+            async def one(rec):
+                body = rec.get("body", {})
+                msgs = body.get("messages")
+                if msgs:
+                    from aurora_tpu.utils.templates import (
+                        PROMPT_TEMPLATE, render_conversation)
+                    prompt = render_conversation(PROMPT_TEMPLATE.vicuna,
+                                                 msgs)
+                else:
+                    prompt = body.get("prompt", "")
+                ids = loop_.tokenizer.encode(prompt)
+                req = make_request(ids, body)
+                done = await run_request(req)
+                return {"id": "batch_req_" + uuid.uuid4().hex[:16],
+                        "custom_id": rec.get("custom_id"),
+                        "response": {"status_code": 200, "body": {
+                            "choices": [{"index": 0, "message": {
+                                "role": "assistant",
+                                "content": loop_.detok(done.output_ids,
+                                                       done)}}]}},
+                        "error": None}
+
+            results = await asyncio.gather(
+                *[one(rec) for rec in lines], return_exceptions=True)
+            out_id = "file-" + uuid.uuid4().hex[:24]
+            ok = fail = 0
+            with open(_file_path(out_id), "w") as f:
+                for rec, res in zip(lines, results):
+                    if isinstance(res, Exception):
+                        fail += 1
+                        res = {"custom_id": rec.get("custom_id"),
+                               "response": None,
+                               "error": {"message": str(res)}}
+                    else:
+                        ok += 1
+                    f.write(json.dumps(res) + "\n")
+            job.update(status="completed", output_file_id=out_id,
+                       request_counts={"total": len(lines),
+                                       "completed": ok, "failed": fail},
+                       completed_at=int(time.time()))
+        except Exception as e:  # noqa: BLE001
+            job.update(status="failed", errors={"message": str(e)})
+
+    async def h_batch_create(request):
+        body = await request.json()
+        bid = "batch_" + uuid.uuid4().hex[:24]
+        batches[bid] = {
+            "id": bid, "object": "batch", "status": "in_progress",
+            "input_file_id": body["input_file_id"],
+            "endpoint": body.get("endpoint", "/v1/chat/completions"),
+            "created_at": int(time.time()), "output_file_id": None}
+        asyncio.get_event_loop().create_task(_run_batch_job(bid))
+        return web.json_response(batches[bid])
+
+    async def h_batch_get(request):
+        bid = request.match_info["bid"]
+        if bid not in batches:
+            return web.json_response({"error": "batch not found"},
+                                     status=404)
+        return web.json_response(batches[bid])
+
     async def h_gui(request):
         """Minimal built-in web UI (gradio_gui.py:98-129 parity — the
         environment has no gradio; one static page drives /generate)."""
@@ -459,6 +570,10 @@ async function go(){
     app.router.add_post("/flush_cache", h_flush_cache)
     app.router.add_post("/update_weights", h_update_weights)
     app.router.add_post("/v1/embeddings", h_embeddings)
+    app.router.add_post("/v1/files", h_file_upload)
+    app.router.add_get("/v1/files/{fid}/content", h_file_content)
+    app.router.add_post("/v1/batches", h_batch_create)
+    app.router.add_get("/v1/batches/{bid}", h_batch_get)
     app.router.add_get("/", h_gui)
     return app
 

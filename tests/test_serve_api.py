@@ -255,3 +255,46 @@ def test_embeddings_endpoint(served):
         np.testing.assert_allclose(e2, d0, rtol=1e-5, atol=1e-5)
 
     _with_app(served, go)
+
+
+def test_files_and_batches_endpoints(served):
+    """OpenAI /v1/files + /v1/batches: upload a jsonl of chat requests,
+    run the batch through continuous batching, fetch results
+    (openai_api/adapter.py batch surface)."""
+    async def go(client):
+        lines = []
+        for i in range(3):
+            lines.append(json.dumps({
+                "custom_id": f"c{i}",
+                "method": "POST", "url": "/v1/chat/completions",
+                "body": {"messages": [
+                    {"role": "user", "content": f"question {i}"}],
+                    "max_tokens": 4}}))
+        r = await client.post("/v1/files?filename=in.jsonl",
+                              data="\n".join(lines).encode())
+        fobj = await r.json()
+        assert fobj["object"] == "file" and fobj["bytes"] > 0
+
+        r = await client.post("/v1/batches", json={
+            "input_file_id": fobj["id"],
+            "endpoint": "/v1/chat/completions"})
+        batch = await r.json()
+        assert batch["status"] == "in_progress"
+
+        for _ in range(300):
+            r = await client.get(f"/v1/batches/{batch['id']}")
+            batch = await r.json()
+            if batch["status"] != "in_progress":
+                break
+            await asyncio.sleep(0.1)
+        assert batch["status"] == "completed", batch
+        assert batch["request_counts"] == {"total": 3, "completed": 3,
+                                           "failed": 0}
+        r = await client.get(
+            f"/v1/files/{batch['output_file_id']}/content")
+        out = [json.loads(ln) for ln in (await r.read()).decode()
+               .splitlines() if ln]
+        assert {o["custom_id"] for o in out} == {"c0", "c1", "c2"}
+        assert all(o["response"]["status_code"] == 200 for o in out)
+
+    _with_app(served, go)
