@@ -26,6 +26,11 @@ Block layouts over the 'sp' axis (reference: yunchang/comm/extract_local.py):
       src == rank: q_lo×k_lo causal; q_hi×[k_lo|k_hi] causal at offset
       src  < rank: all q × k_lo (full)        — k_hi is in the future
       src  > rank: q_hi × all k (full)        — q_lo is in the past
+  * stripe     — token g lives on device g mod sp (stripe_flash_attn.py):
+    local q row i is global rank+i·sp, so vs a KV strip from src the
+    causal relation collapses to plain flash-causal (src ≤ rank) or
+    flash-causal shifted one row (src > rank, q_offset = −1) — perfect
+    balance with no chunk splitting.
 
 Varlen packing uses the llama3-style all-gather-KV ring
 (`ring_varlen_local`): KV (in `heads_k_stride` head chunks) and segment
@@ -89,7 +94,7 @@ def _ring_flash_loop(q, k, v, *, rank, size, perm, axis_name, causal,
         if not causal:
             return _f32(*flash_attention_lse(q, k, v, causal=False,
                                              scale=scale))
-        if layout == "contiguous":
+        if layout in ("contiguous", "stripe"):
             return _f32(*flash_attention_lse(q, k, v, causal=True,
                                              scale=scale))
         # zigzag diagonal: chunks (a, b=2·size−1−a) — q_lo attends k_lo
@@ -102,20 +107,30 @@ def _ring_flash_loop(q, k, v, *, rank, size, perm, axis_name, causal,
         return (jnp.concatenate([o1, o2], axis=1).astype(jnp.float32),
                 jnp.concatenate([l1, l2], axis=2).astype(jnp.float32))
 
-    def lower(q, k, v):   # KV strictly in the past
+    def lower(q, k, v):   # KV "in the past" (src < rank)
         if not causal or layout == "contiguous":
             return _f32(*flash_attention_lse(q, k, v, causal=False,
+                                             scale=scale))
+        if layout == "stripe":
+            # strip src precedes strip rank at every index → diagonal
+            # inclusive, i.e. plain causal
+            return _f32(*flash_attention_lse(q, k, v, causal=True,
                                              scale=scale))
         # zigzag: only the k_lo chunk precedes every local q row
         return _f32(*flash_attention_lse(q, k[:, :half], v[:, :half],
                                          causal=False, scale=scale))
 
-    def upper(q, k, v):   # KV strictly in the future
+    def upper(q, k, v):   # KV "in the future" (src > rank)
         if not causal:
             return _f32(*flash_attention_lse(q, k, v, causal=False,
                                              scale=scale))
         if layout == "contiguous":
             return _skip_block(q)
+        if layout == "stripe":
+            # strip src follows strip rank index-for-index → strictly
+            # lower triangular = causal shifted one row
+            return _f32(*flash_attention_lse(q, k, v, causal=True,
+                                             q_offset=-1, scale=scale))
         # zigzag: only q_hi follows the whole KV block
         o, l = flash_attention_lse(q[:, half:], k, v, causal=False,
                                    scale=scale)
@@ -245,6 +260,22 @@ def ring_varlen_mha(q, k, v, segment_ids, mesh: Mesh, *,
 # ---------------------------------------------------------------------------
 # Zigzag reordering (yunchang comm/extract_local.py:62 EXTRACT_FUNC_DICT)
 # ---------------------------------------------------------------------------
+
+def stripe_split(x: jnp.ndarray, sp: int, axis: int = 1) -> jnp.ndarray:
+    """Reorder a global sequence so contiguous sp-shards hold token
+    strips {r, r+sp, r+2sp, ...} (stripe_flash_attn layout)."""
+    n = x.shape[axis]
+    assert n % sp == 0
+    idx = jnp.arange(n).reshape(n // sp, sp).T.reshape(-1)
+    return jnp.take(x, idx, axis=axis)
+
+
+def stripe_unsplit(x: jnp.ndarray, sp: int, axis: int = 1) -> jnp.ndarray:
+    n = x.shape[axis]
+    assert n % sp == 0
+    idx = jnp.arange(n).reshape(sp, n // sp).T.reshape(-1)
+    return jnp.take(x, idx, axis=axis)
+
 
 def zigzag_split(x: jnp.ndarray, sp: int, axis: int = 1) -> jnp.ndarray:
     """Reorder a global sequence so contiguous sp-shards hold zigzag chunk

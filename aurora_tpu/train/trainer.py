@@ -49,9 +49,10 @@ class TrainConfig:
     # 'hybrid' (requires a mesh passed to make_train_step)
     sp_mode: Optional[str] = None
     hybrid_ulysses: int = 1
-    # ring options: 'contiguous' | 'zigzag' causal load balance (apply
-    # zigzag_split to batches first); heads_k_stride bounds the llama3
-    # varlen-ring all-gather (0 → all kv heads at once)
+    # ring options: 'contiguous' | 'zigzag' | 'stripe' causal load
+    # balance (apply zigzag_split/stripe_split to batches first);
+    # heads_k_stride bounds the llama3 varlen-ring all-gather (0 → all
+    # kv heads at once)
     ring_layout: str = "contiguous"
     heads_k_stride: int = 0
 

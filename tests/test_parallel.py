@@ -271,3 +271,24 @@ def test_ring_gqa_kv_heads(devices, rng):
     got = ring_mha(q, k, v, mesh, causal=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ring_stripe_matches_reference(devices, rng):
+    """Stripe causal load balance (yunchang stripe_flash_attn.py parity):
+    token g on device g mod sp; causal collapses to two flash cases."""
+    from aurora_tpu.parallel.ring import stripe_split, stripe_unsplit
+    mesh = _sp_mesh(devices, 4)
+    q, k, v = _qkv(rng)
+    want = mha_reference(q, k, v, causal=True)
+    qs, ks, vs = (stripe_split(t, 4) for t in (q, k, v))
+    got_s = ring_mha(qs, ks, vs, mesh, causal=True, layout="stripe")
+    got = stripe_unsplit(got_s, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_stripe_split_roundtrip(rng):
+    from aurora_tpu.parallel.ring import stripe_split, stripe_unsplit
+    x = jnp.asarray(rng.standard_normal((2, 24, 3)))
+    np.testing.assert_array_equal(
+        np.asarray(stripe_unsplit(stripe_split(x, 4), 4)), np.asarray(x))
