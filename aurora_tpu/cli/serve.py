@@ -41,6 +41,10 @@ def main():
     p.add_argument("--kv-quant", default="none", choices=["none", "int8"],
                    help="int8 KV + per-token scales: ~half the decode "
                         "HBM traffic, ~2x batch*context per chip")
+    p.add_argument("--weight-quant", default="none",
+                   choices=["none", "int8"],
+                   help="int8 weights (per-output-channel): ~half the "
+                        "weight HBM stream, up to ~2x decode throughput")
     p.add_argument("--aurora", action="store_true",
                    help="model_path is an xtuner-format AuroraCap dir; "
                         "enable multimodal /generate "
@@ -77,6 +81,12 @@ def main():
         params = llama_params_from_hf(
             load_torch_state_dict(args.model_path), cfg, dtype)
         tokenizer = AutoTokenizer.from_pretrained(args.model_path)
+
+    if args.weight_quant == "int8":
+        # quantize before the engine with free_source so peak HBM stays
+        # ~1x the model (the engine-side flag would hold both copies)
+        from aurora_tpu.serve.engine import quantize_weights_int8
+        params = quantize_weights_int8(params, free_source=True)
 
     num_slots = args.num_slots
     dtype_bytes = 2 if dtype == jnp.bfloat16 else 4

@@ -92,6 +92,13 @@ class EngineConfig:
     # HBM traffic and doubles batch×context per chip; the bnb/QLoRA
     # quantization-surface analog on the serving side)
     kv_quant: str = "none"
+    # "int8" quantizes the LLM weight matrices to int8 + per-output-
+    # channel scales at engine init. Decode is weight-bandwidth-bound
+    # (the whole model streams from HBM every step), so halving the
+    # weight bytes is worth up to ~2x decode throughput; XLA fuses the
+    # int8→bf16 convert into the matmul's HBM read. W8 is lossy
+    # (per-channel absmax) — outputs may differ at the last bit.
+    weight_quant: str = "none"
 
     @property
     def s_row(self) -> int:
@@ -104,14 +111,24 @@ class EngineConfig:
 # Row-KV llama forward
 # ---------------------------------------------------------------------------
 
+def _wdot(h, lp, name):
+    """h @ W with optional int8 weights (W stored int8 + per-output-
+    channel scale under '<name>_scale'). XLA fuses the int8→compute-dtype
+    convert into the matmul's weight read, so HBM traffic halves."""
+    w = lp[name]
+    if w.dtype == jnp.int8:
+        out = jnp.dot(h, w.astype(h.dtype),
+                      preferred_element_type=jnp.float32)
+        return (out * lp[name + "_scale"]).astype(h.dtype)
+    return jnp.dot(h, w, preferred_element_type=jnp.float32).astype(
+        h.dtype)
+
+
 def _qkv(cfg: LlamaConfig, lp, h):
     B, T, _ = h.shape
-    q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32).astype(
-        h.dtype)
-    k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32).astype(
-        h.dtype)
-    v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32).astype(
-        h.dtype)
+    q = _wdot(h, lp, "q")
+    k = _wdot(h, lp, "k")
+    v = _wdot(h, lp, "v")
     if "q_bias" in lp:  # Qwen2 family
         q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
     q = q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
@@ -122,12 +139,43 @@ def _qkv(cfg: LlamaConfig, lp, h):
 
 def _mlp(cfg: LlamaConfig, lp, x):
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
-                   ).astype(h.dtype)
-    up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
-                 ).astype(h.dtype)
-    return x + jnp.dot(jax.nn.silu(gate) * up, lp["down"],
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+    gate = _wdot(h, lp, "gate")
+    up = _wdot(h, lp, "up")
+    return x + _wdot(jax.nn.silu(gate) * up, lp, "down")
+
+
+@jax.jit
+def _w8(w):
+    """One weight stack → (int8, per-output-channel scale). jit keeps the
+    fp32 intermediate fused (never materialized in HBM)."""
+    wf = w.astype(jnp.float32)
+    s = jnp.maximum(jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+                    / 127.0, 1e-12)
+    return jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8), s
+
+
+def quantize_weights_int8(params: Params,
+                          free_source: bool = False) -> Params:
+    """LLM weight matrices → int8 + per-output-channel fp32 scales
+    (per-layer for the stacked [L, in, out] tensors). Embeddings stay in
+    the original dtype (gather path + tied-head transpose).
+    free_source=True drops each source tensor from `params` as it is
+    quantized — peak HBM stays ~1x the model instead of 1.5x (needed to
+    quantize a 7B next to 16GB of HBM). The input pytree is MUTATED."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        if name not in layers:
+            continue
+        layers[name], layers[name + "_scale"] = _w8(layers[name])
+        if free_source:
+            params["layers"][name] = None
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"], out["lm_head_scale"] = _w8(params["lm_head"])
+        if free_source:
+            params["lm_head"] = None
+    return out
 
 
 def _kv_quantize(x):
@@ -183,8 +231,7 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
                                 row_ids, chunk=chunk,
                                 k_scales=r.get("ks"),
                                 v_scales=r.get("vs"))
-        attn = jnp.dot(attn.reshape(Bk, T, -1).astype(x.dtype), lp["o"],
-                       preferred_element_type=jnp.float32).astype(x.dtype)
+        attn = _wdot(attn.reshape(Bk, T, -1).astype(x.dtype), lp, "o")
         x = x + attn
         return _mlp(cfg, lp, x), r
 
@@ -197,8 +244,14 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
 
 
 def _lm_head(params, cfg, x):
-    head = (params["embed_tokens"].T if cfg.tie_word_embeddings
-            else params["lm_head"])
+    if cfg.tie_word_embeddings:
+        return jnp.dot(x, params["embed_tokens"].T,
+                       preferred_element_type=jnp.float32)
+    head = params["lm_head"]
+    if head.dtype == jnp.int8:
+        out = jnp.dot(x, head.astype(x.dtype),
+                      preferred_element_type=jnp.float32)
+        return out * params["lm_head_scale"]
     return jnp.dot(x, head, preferred_element_type=jnp.float32)
 
 
@@ -421,6 +474,8 @@ class ServeEngine:
         self.cfg = cfg
         self.ecfg = ecfg
         self.tokenizer = tokenizer  # needed only for stop_strs matching
+        if ecfg.weight_quant == "int8":
+            self.params = params = quantize_weights_int8(params)
         quant = ecfg.kv_quant == "int8"
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
                            quant=quant)

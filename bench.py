@@ -224,6 +224,51 @@ def _llm_stage(jax, jnp, embeds, detail):
     detail["decode_tokens_per_s_b8"] = round(8 * 160 / t_dec, 1)
     detail["decode_ms_per_step_b8"] = round(t_dec / 160 * 1e3, 2)
     detail["backend"] = jax.default_backend()
+    del engine8
+
+    # fully-quantized long-context decode: int8 weights (6.75GB) + int8
+    # KV let b8 x ctx1280 fit where bf16 could not — the production
+    # serving configuration for this chip
+    try:
+        from aurora_tpu.serve.engine import quantize_weights_int8
+        qparams = quantize_weights_int8(params, free_source=True)
+        ecfg_q = EngineConfig(max_batch=8, max_seq_len=1280,
+                              num_slots=128, prefill_buckets=(1024,),
+                              kv_chunk=256, kv_quant="int8",
+                              decode_steps=32)
+        engine_q = ServeEngine(qparams, cfg, ecfg_q)
+
+        def qbatch(tag, n_new):
+            return [Request(rid=f"{tag}{i}",
+                            input_ids=[int(x) for x in
+                                       host.integers(10, 30000,
+                                                     size=1024)],
+                            max_new_tokens=n_new, eos_ids=(-1,))
+                    for i in range(8)]
+
+        t0 = time.perf_counter()
+        for r in qbatch("qw", 8):
+            engine_q.add_request(r)
+        while engine_q.has_work():
+            engine_q.step()
+        print(f"[bench] w8kv8 compile+warm "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+        def qpass(tag):
+            t0 = time.perf_counter()
+            for r in qbatch(tag, 160):
+                engine_q.add_request(r)
+            while engine_q.has_work():
+                engine_q.step()
+            return time.perf_counter() - t0
+
+        t_q = min(qpass("q1"), qpass("q2"))
+        detail["decode_tokens_per_s_b8_ctx1k_w8kv8"] = round(
+            8 * 160 / t_q, 1)
+        detail["decode_ms_per_step_b8_ctx1k_w8kv8"] = round(
+            t_q / 160 * 1e3, 2)
+    except Exception as e:  # noqa: BLE001
+        detail["w8kv8_error"] = str(e)[:160]
     return t_llm
 
 

@@ -516,3 +516,30 @@ def test_release_under_memory_pressure_keeps_cache_sound(tiny_engine,
                                        max_new_tokens=3)])
     assert out["re"].output_ids == _offline_greedy(params, cfg, ids, 3)
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_engine_int8_weights(tiny_engine, rng):
+    """weight_quant='int8' (per-output-channel W8, the decode weight-
+    bandwidth lever): logits stay close to fp and generation is sound.
+    W8 is lossy, so compare the first-step distribution, not token ids."""
+    import dataclasses as dc
+    import jax
+    import jax.numpy as jnp
+    from aurora_tpu.serve.engine import quantize_weights_int8
+    params, cfg, ecfg = tiny_engine
+    qp = quantize_weights_int8(params)
+    assert qp["layers"]["q"].dtype == jnp.int8
+    assert qp["lm_head"].dtype == jnp.int8
+
+    ids = [int(x) for x in rng.integers(3, 128, size=10)]
+    from aurora_tpu.models.llama import llama_apply
+    ref, _ = llama_apply(params, cfg, input_ids=jnp.asarray([ids]))
+    wq = dc.replace(ecfg, weight_quant="int8")
+    engine = ServeEngine(params, cfg, wq)
+    done = _run_engine(engine, [Request(rid="w8", input_ids=list(ids),
+                                        max_new_tokens=5, eos_ids=(-1,))])
+    assert len(done["w8"].output_ids) == 5
+    assert engine.check_memory()["leaked"] == 0
+    # per-channel W8 on a float32 tiny model: first greedy token agrees
+    ref_tok = int(jnp.argmax(ref[0, -1]))
+    assert done["w8"].output_ids[0] == ref_tok
