@@ -98,24 +98,23 @@ def main():
         return out
 
     def time_fn(fn, *ops):
-        # tunnel-safe timing: chain dispatches, sync once via device_get
-        t0 = time.perf_counter()
-        out = fn(*ops, n=L)
-        float(np.asarray(jax.device_get(out))[0, 0, 0, 0])
-        warm = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = fn(*ops, n=L)
-        float(np.asarray(jax.device_get(out))[0, 0, 0, 0])
-        t1 = time.perf_counter() - t0
-        def window():
+        # tunnel-safe timing: chain dispatches, sync once via device_get.
+        # per-call = (long window − short window) / extra iterations, with
+        # EACH window sampled twice and min-taken — a latency spike in
+        # either leg would otherwise skew the difference in either
+        # direction (the relay's RTT fluctuates run to run).
+        def window(n_iters):
             t0 = time.perf_counter()
-            out = fn(*ops, n=L)
-            for _ in range(args.iters):
+            out = None
+            for _ in range(n_iters):
                 out = fn(*ops, n=L)
             float(np.asarray(jax.device_get(out))[0, 0, 0, 0])
             return time.perf_counter() - t0
-        # best of two windows: the relay's latency spikes run-to-run
-        tN = min(window(), window())
+        t0 = time.perf_counter()
+        window(1)  # compile + warm
+        warm = time.perf_counter() - t0
+        t1 = min(window(1), window(1))
+        tN = min(window(args.iters + 1), window(args.iters + 1))
         per_call = max(tN - t1, 1e-9) / max(args.iters, 1) / L
         return warm, per_call
 

@@ -383,3 +383,33 @@ def test_refcoco_scoring():
     assert miss["acc@0.5"] == 0.0
     assert "region this sentence describes: the dog" in \
         refcoco.doc_to_text(doc)
+
+
+def test_vqa_accuracy_official_protocol():
+    """Official VQA metric: normalization + 10-annotator consensus."""
+    from aurora_tpu.eval.tasks.vqa import normalize_answer, vqa_accuracy
+    assert normalize_answer("The Dog!") == "dog"
+    assert normalize_answer("Two") == "2"
+    assert normalize_answer("dont") == "don't"
+    # 10 annotators, 5 say "dog": each leave-one-out subset has 4 or 5
+    # matches → min(4/3,1)=1 and min(5/3,1)=1 → acc 1.0
+    gts = ["dog"] * 5 + ["cat"] * 5
+    assert vqa_accuracy("the dog", gts) == 1.0
+    # 2 of 10 say "dog": subsets have 1 or 2 matches → mean of
+    # 2*min(1/3,1) + 8*min(2/3,1) / 10
+    gts = ["dog"] * 2 + ["cat"] * 8
+    want = (2 * (1 / 3) + 8 * (2 / 3)) / 10
+    assert abs(vqa_accuracy("dog", gts) - want) < 1e-9
+    assert vqa_accuracy("fish", gts) == 0.0
+    # single ground truth degrades to exact match
+    assert vqa_accuracy("3", ["three"]) == 1.0
+
+
+def test_videoqa_judge_scoring(fake_judge):
+    from aurora_tpu.eval.tasks.videoqa import make_process_results
+    scorer = make_process_results(fake_judge.url)
+    out = scorer({"question": "what happens?", "answer": "a dog runs"},
+                 ["a dog is running"])
+    assert set(out) == {"qa_acc", "qa_score"}
+    assert 0.0 <= out["qa_acc"] <= 1.0
+    assert 0.0 <= out["qa_score"] <= 5.0
