@@ -138,21 +138,29 @@ def _ring_flash_loop(q, k, v, *, rank, size, perm, axis_name, causal,
         return (jnp.concatenate([zo, o.astype(jnp.float32)], axis=1),
                 jnp.concatenate([zl, l.astype(jnp.float32)], axis=2))
 
-    def body(carry, i):
-        k_cur, v_cur, acc, lse_acc = carry
+    def block(i, k_cur, v_cur, acc, lse_acc):
         src = (rank - i) % size  # whose KV block we hold at step i
         case = jnp.where(src == rank, 0, jnp.where(src < rank, 1, 2))
         out, lse = jax.lax.switch(case, [diag, lower, upper],
                                   q, k_cur, v_cur)
-        acc, lse_acc = _merge(acc, lse_acc, out, lse)
+        return _merge(acc, lse_acc, out, lse)
+
+    def body(carry, i):
+        k_cur, v_cur, acc, lse_acc = carry
+        acc, lse_acc = block(i, k_cur, v_cur, acc, lse_acc)
         k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
         v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
         return (k_nxt, v_nxt, acc, lse_acc), None
 
     acc = jnp.zeros((B, Tl, H, D), jnp.float32)
     lse_acc = jnp.full((B, H, Tl), _NEG_INF, jnp.float32)
-    (_, _, acc, _), _ = jax.lax.scan(body, (k, v, acc, lse_acc),
-                                     jnp.arange(size))
+    # size-1 rotate-and-compute steps; the LAST block computes without
+    # rotating (a full-size scan would ppermute K/V a final time and
+    # discard the result — 2 dead collectives per attention call)
+    (k_l, v_l, acc, lse_acc), _ = jax.lax.scan(
+        body, (k, v, acc, lse_acc), jnp.arange(size - 1))
+    acc, _ = block(jnp.asarray(size - 1, jnp.int32), k_l, v_l, acc,
+                   lse_acc)
     return acc.astype(q.dtype)
 
 

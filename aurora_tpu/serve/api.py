@@ -150,15 +150,20 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         if isinstance(stop, str):
             stop = (stop,)
         constraint = None
-        if body.get("choices_constraint"):
-            from aurora_tpu.serve.constrained import ChoiceConstraint
-            constraint = ChoiceConstraint.from_strings(
-                loop_.tokenizer, body["choices_constraint"])
-        elif body.get("regex"):
-            from aurora_tpu.serve.fsm import RegexConstraint
-            constraint = RegexConstraint(
-                body["regex"], loop_.tokenizer,
-                loop_.engine.cfg.vocab_size, eos_ids=eos_default)
+        try:
+            if body.get("choices_constraint"):
+                from aurora_tpu.serve.constrained import ChoiceConstraint
+                constraint = ChoiceConstraint.from_strings(
+                    loop_.tokenizer, body["choices_constraint"])
+            elif body.get("regex"):
+                from aurora_tpu.serve.fsm import RegexConstraint
+                constraint = RegexConstraint(
+                    body["regex"], loop_.tokenizer,
+                    loop_.engine.cfg.vocab_size, eos_ids=eos_default)
+        except (ValueError, IndexError) as e:
+            # malformed / over-complex user pattern → 400, not a 500
+            raise web.HTTPBadRequest(text=json.dumps(
+                {"error": f"invalid constraint: {e}"}))
         return Request(
             constraint=constraint,
             rid=body.get("rid", uuid.uuid4().hex),

@@ -49,13 +49,24 @@ _ESCAPE_CLASSES = {
 
 @dataclasses.dataclass(frozen=True)
 class _Pred:
-    """Character predicate: a set of chars, possibly negated ('.' =
-    negated empty set)."""
+    """Character predicate: a set of chars, possibly negated."""
     chars: FrozenSet[str]
     negated: bool = False
 
     def matches(self, c: str) -> bool:
         return (c not in self.chars) if self.negated else (c in self.chars)
+
+
+@dataclasses.dataclass(frozen=True)
+class _ClassPred:
+    r"""Character class [...] as a union of atoms (sets and negated
+    sets, e.g. [\d\D]); `negated` inverts the whole class ([^...])."""
+    atoms: tuple              # of _Pred
+    negated: bool = False
+
+    def matches(self, c: str) -> bool:
+        hit = any(a.matches(c) for a in self.atoms)
+        return (not hit) if self.negated else hit
 
 
 class _Nfa:
@@ -145,17 +156,33 @@ class _Parser:
         self.i = save
         return frag
 
+    MAX_REPEAT = 256  # bounds NFA expansion (user-facing patterns)
+
     def _parse_braces(self) -> Tuple[int, Optional[int]]:
         assert self.p[self.i] == "{"
-        j = self.p.index("}", self.i)
+        j = self.p.find("}", self.i)
+        if j < 0:
+            raise ValueError("unterminated {m,n} quantifier")
         body = self.p[self.i + 1:j]
         self.i = j + 1
-        if "," in body:
-            lo, hi = body.split(",", 1)
-            return int(lo), (int(hi) if hi.strip() else None)
-        return int(body), int(body)
+        try:
+            if "," in body:
+                lo, hi = body.split(",", 1)
+                m, n = int(lo), (int(hi) if hi.strip() else None)
+            else:
+                m = n = int(body)
+        except ValueError:
+            raise ValueError(f"malformed quantifier {{{body}}}") from None
+        if m < 0 or (n is not None and (n < m or n > self.MAX_REPEAT)) \
+                or m > self.MAX_REPEAT:
+            raise ValueError(
+                f"quantifier bounds out of range (max {self.MAX_REPEAT})")
+        return m, n
 
     def _repeat(self, start_i, first, m, n):
+        if n == 0:  # x{0}: epsilon — the atom is unreachable
+            s = self.nfa.state()
+            return s, s
         s = self.nfa.state()
         e = s
         frags = [first]
@@ -194,7 +221,8 @@ class _Parser:
             return self._edge(self._char_class())
         if c == ".":
             self.i += 1
-            return self._edge(_Pred(frozenset(), negated=True))
+            # re default: '.' matches anything EXCEPT newline
+            return self._edge(_Pred(frozenset("\n"), negated=True))
         if c == "\\":
             self.i += 1
             return self._edge(self._escape())
@@ -204,28 +232,41 @@ class _Parser:
         return self._edge(_Pred(frozenset(c)))
 
     def _escape(self) -> _Pred:
+        if self.i >= len(self.p):
+            raise ValueError("dangling escape at end of pattern")
         c = self.p[self.i]
         self.i += 1
         if c in _ESCAPE_CLASSES:
             return _Pred(frozenset(_ESCAPE_CLASSES[c]))
-        if c.upper() in _ESCAPE_CLASSES and c.isupper():
+        if c.isupper() and c.lower() in _ESCAPE_CLASSES:
+            # \D \W \S — negated classes
             return _Pred(frozenset(_ESCAPE_CLASSES[c.lower()]),
                          negated=True)
         return _Pred(frozenset(c))  # escaped metachar / literal
 
-    def _char_class(self) -> _Pred:
+    def _char_class(self):
         assert self.p[self.i] == "["
         self.i += 1
+        if self.i >= len(self.p):
+            raise ValueError("unterminated character class")
         negated = self.p[self.i] == "^"
         if negated:
             self.i += 1
         chars = set()
-        while self.p[self.i] != "]":
+        atoms = []
+        while True:
+            if self.i >= len(self.p):
+                raise ValueError("unterminated character class")
+            if self.p[self.i] == "]":
+                break
             c = self.p[self.i]
             if c == "\\":
                 self.i += 1
                 pred = self._escape()
-                chars |= pred.chars
+                if pred.negated:
+                    atoms.append(pred)   # e.g. [\D]
+                else:
+                    chars |= pred.chars
                 continue
             if (self.p[self.i + 1:self.i + 2] == "-"
                     and self.p[self.i + 2:self.i + 3] not in ("]", "")):
@@ -236,7 +277,10 @@ class _Parser:
             chars.add(c)
             self.i += 1
         self.i += 1
-        return _Pred(frozenset(chars), negated=negated)
+        if not atoms:
+            return _Pred(frozenset(chars), negated=negated)
+        atoms.insert(0, _Pred(frozenset(chars)))
+        return _ClassPred(atoms=tuple(atoms), negated=negated)
 
     def _edge(self, pred: _Pred):
         s, e = self.nfa.state(), self.nfa.state()
@@ -278,6 +322,7 @@ class RegexDFA:
 
         start_set = closure(frozenset([start]))
         ids: Dict[FrozenSet[int], int] = {start_set: 0}
+        MAX_STATES = 4096  # user-facing patterns: bound the build
         todo = [start_set]
         rows: List[List[int]] = []
         accepts: List[bool] = []
@@ -299,6 +344,9 @@ class RegexDFA:
                     continue
                 nxt = closure(nxt)
                 if nxt not in ids:
+                    if len(ids) >= MAX_STATES:
+                        raise ValueError(
+                            "regex too complex (DFA state bound)")
                     ids[nxt] = len(ids)
                     todo.append(nxt)
                 row[a] = ids[nxt]
@@ -324,9 +372,45 @@ class RegexDFA:
 # Token-level FSM (vectorized table build) + cache
 # ---------------------------------------------------------------------------
 
+def _byte_decoder():
+    """Inverse of the GPT-2 bytes_to_unicode table (byte-level BPE
+    tokenizers — Llama-3/Qwen/GPT-2 — print bytes as these chars)."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(ord("¡"), ord("¬") + 1))
+          + list(range(ord("®"), ord("ÿ") + 1)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return {chr(c): b for b, c in zip(bs, cs)}
+
+
+_BYTE_DECODER = _byte_decoder()
+_SP_BYTE = __import__("re").compile(r"^<0x([0-9A-Fa-f]{2})>$")
+
+
+def _surface(token: str) -> str:
+    """Token → the character string it contributes to decoded text.
+    Handles sentencepiece ('▁' space, '<0xNN>' byte fallback) and
+    byte-level BPE (GPT-2 byte-unicode chars)."""
+    m = _SP_BYTE.match(token)
+    if m:  # sentencepiece byte fallback: raw byte via latin-1
+        return bytes([int(m.group(1), 16)]).decode("latin-1")
+    if token and all(c in _BYTE_DECODER for c in token):
+        raw = bytes(_BYTE_DECODER[c] for c in token)
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return raw.decode("latin-1")
+    return token.replace("▁", " ")
+
+
 def token_strings(tokenizer, vocab_size: int) -> List[str]:
-    """Decoded surface string per token id, with the standard
-    sentencepiece/BPE conventions ('▁'/'Ġ' → space, 'Ċ' → newline)."""
+    """Decoded surface string per token id (sentencepiece + byte-level
+    BPE conventions via _surface)."""
     out = []
     convert = getattr(tokenizer, "convert_ids_to_tokens", None)
     for i in range(vocab_size):
@@ -334,10 +418,7 @@ def token_strings(tokenizer, vocab_size: int) -> List[str]:
             t = convert(i) if convert is not None else tokenizer.decode([i])
         except Exception:
             t = None
-        if t is None:
-            t = ""
-        t = t.replace("▁", " ").replace("Ġ", " ").replace("Ċ", "\n")
-        out.append(t)
+        out.append(_surface(t) if t else "")
     return out
 
 
@@ -381,16 +462,23 @@ class TokenFSM:
         self.n_allowed = self.allowed.sum(axis=1)
 
 
-_FSM_CACHE: Dict[Tuple[str, int, int], TokenFSM] = {}
+_FSM_CACHE: Dict[tuple, TokenFSM] = {}
+_FSM_CACHE_MAX = 64
 
 
 def get_token_fsm(pattern: str, tokenizer, vocab_size: int,
                   special_ids: Sequence[int] = ()) -> TokenFSM:
-    """FSM cache (fsm_cache.py parity) keyed by pattern + tokenizer."""
-    key = (pattern, id(tokenizer), vocab_size)
+    """FSM cache (fsm_cache.py parity) keyed by pattern + tokenizer
+    identity + the banned-special set (a different eos split must NOT
+    reuse an FSM built with another ban list); bounded LRU-ish."""
+    key = (pattern, id(tokenizer),
+           getattr(tokenizer, "name_or_path", ""), vocab_size,
+           tuple(sorted(special_ids)))
     fsm = _FSM_CACHE.get(key)
     if fsm is None:
         fsm = TokenFSM(pattern, tokenizer, vocab_size, special_ids)
+        if len(_FSM_CACHE) >= _FSM_CACHE_MAX:
+            _FSM_CACHE.pop(next(iter(_FSM_CACHE)))
         _FSM_CACHE[key] = fsm
     return fsm
 

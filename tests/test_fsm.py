@@ -132,3 +132,63 @@ def test_regex_constraint_forced_run_semantics(tmp_path):
     assert all(isinstance(t, int) for t in forced)
     # the branch point leaves >1 option
     assert len(c.allowed_tokens()) >= 2 or c.finished
+
+
+# ---------------------------------------------------------------------------
+# Round-2 review regression tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("pattern,accept,reject", [
+    (r"\D+", ["abc", "x y"], ["a1", "5"]),       # negated escapes
+    (r"\S+", ["abc"], ["a b", " "]),
+    (r"[\D]+", ["ab"], ["a1"]),                  # negated escape in class
+    (r"[\d\s]+", ["1 2", "34"], ["a1"]),
+    (r"a{0}b", ["b"], ["ab"]),                   # x{0} is epsilon
+    (r"ab{0,2}c", ["ac", "abc", "abbc"], ["abbbc"]),
+])
+def test_regex_dfa_review_fixes(pattern, accept, reject):
+    import re
+    alphabet = sorted(set("abcxy 12345\n\t"))
+    dfa = RegexDFA(pattern, alphabet)
+    for t in accept:
+        assert dfa.accepts[dfa.walk(0, t)], (pattern, t)
+        assert re.fullmatch(pattern, t)
+    for t in reject:
+        assert not dfa.accepts[dfa.walk(0, t)], (pattern, t)
+        assert not re.fullmatch(pattern, t)
+
+
+def test_regex_dot_excludes_newline():
+    import re
+    dfa = RegexDFA(r".+", sorted(set("ab\n")))
+    assert dfa.accepts[dfa.walk(0, "ab")]
+    assert not dfa.accepts[dfa.walk(0, "a\nb")]
+    assert not re.fullmatch(r".+", "a\nb")
+
+
+def test_regex_pattern_validation():
+    """Malformed / over-complex patterns raise ValueError (the API maps
+    it to 400) instead of IndexError or unbounded expansion."""
+    alphabet = list("ab")
+    for bad in ("[abc", "a{2", "a{5,2}", "a{99999}", "(a|b"):
+        with pytest.raises(ValueError):
+            RegexDFA(bad, alphabet)
+
+
+def test_fsm_cache_respects_special_ids(tmp_path):
+    tok = make_tiny_tokenizer(str(tmp_path / "tok"))
+    a = get_token_fsm(r"xy+", tok, tok.vocab_size, special_ids=(0, 1))
+    b = get_token_fsm(r"xy+", tok, tok.vocab_size, special_ids=())
+    assert a is not b
+    assert a is get_token_fsm(r"xy+", tok, tok.vocab_size,
+                              special_ids=(1, 0))  # order-insensitive
+
+
+def test_surface_byte_level_tokens():
+    """GPT-2 byte-unicode and sentencepiece byte-fallback surfaces."""
+    from aurora_tpu.serve.fsm import _surface
+    assert _surface("Ġhello") == " hello"
+    assert _surface("ĉ") == "\t"          # tab via byte table
+    assert _surface("Ċ") == "\n"
+    assert _surface("<0x0A>") == "\n"
+    assert _surface("▁word") == " word"
