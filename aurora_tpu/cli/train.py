@@ -118,8 +118,18 @@ def main():
                                   image_size, image_size)
         packer = SoftPackerMM(ds.text_data, args.pack_max_length,
                               n_visual_tokens=n_vis, dataset=ds)
+        # modality-signed lengths keep batches pack-homogeneous (mixed
+        # text/frame packs would inflate the fused static width)
+        from aurora_tpu.utils.constants import IMAGE_TOKEN_INDEX
+
+        def pack_len(members):
+            n = sum(len(ds.text_data[i]["input_ids"]) for i in members)
+            has_img = any(IMAGE_TOKEN_INDEX in ds.text_data[i]["input_ids"]
+                          for i in members)
+            return n if has_img else -n
         sampler = LengthGroupedSampler(
-            [len(p) for p in packer.packs], batch_size, seed=args.seed)
+            [pack_len(p) for p in packer.packs], batch_size,
+            seed=args.seed)
     else:
         sampler = LengthGroupedSampler(ds.modality_length(), batch_size,
                                        seed=args.seed)

@@ -177,8 +177,12 @@ class SoftPackerMM:
             labels.extend(int(t) for t in s["labels"])
             segs.extend([seg] * len(s["input_ids"]))
             px = s.get("pixel_values")
-            if px is not None and np.ndim(px) == 4:
-                frames.append(np.asarray(px))
+            if px is not None:
+                px = np.asarray(px)
+                if px.ndim == 3:      # single image [C, H, W]
+                    px = px[None]
+                assert px.ndim == 4, px.shape
+                frames.append(px)
         return {"input_ids": np.asarray(ids, np.int32),
                 "labels": np.asarray(labels, np.int32),
                 "segment_ids": np.asarray(segs, np.int32),
@@ -191,7 +195,13 @@ def packed_collate_mm(packs: List[Dict[str, np.ndarray]],
                       pad_token: int = DEFAULT_PAD_TOKEN_INDEX) -> Dict:
     """Batch multimodal packs: token streams right-pad to the batch max;
     frame stacks zero-pad to the max frame count (frames without a
-    matching marker scatter nowhere — fuse_multimodal drops them)."""
+    matching marker scatter nowhere — fuse_multimodal drops them).
+
+    NOTE: the fused static width is max_tokens + max_frames·(n_vis−1)
+    maxed over DIFFERENT rows, so batching a text-heavy pack with a
+    frame-heavy pack inflates the compiled shape past pack_max_length.
+    Keep batches modality-homogeneous (the train CLI signs the sampler
+    lengths by modality exactly for this)."""
     from aurora_tpu.utils.constants import IGNORE_INDEX
     B = len(packs)
     f_counts = [0 if p["pixel_values"] is None

@@ -39,8 +39,11 @@ def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
         # batched adapters (generate_batch) run ALL docs through the
         # serving engine's continuous batching — the round-1 harness was
         # serial one-doc-at-a-time (lmms-eval accelerate-DP analog)
+        t_batch0 = time.monotonic()
         preds = (model.generate_batch(docs, task)
                  if hasattr(model, "generate_batch") else None)
+        batch_latency = ((time.monotonic() - t_batch0) / max(len(docs), 1)
+                         if preds is not None else None)
         for i, doc in enumerate(docs):
             t0 = time.monotonic()
             pred = (preds[i] if preds is not None
@@ -49,17 +52,21 @@ def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
             for k, v in per_doc.items():
                 metrics[k].append(v)
             if log_samples:
+                # batched adapters amortize latency over the whole run
+                lat = (batch_latency if batch_latency is not None
+                       else time.monotonic() - t0)
                 samples.append({"doc_id": i, "pred": pred,
                                 "target": (task.doc_to_target(doc)
                                            if task.doc_to_target else None),
                                 "metrics": per_doc,
-                                "latency_s": time.monotonic() - t0})
+                                "latency_s": lat})
         results["results"][name] = {
             k: task.aggregate(k, v) for k, v in metrics.items()
             if not isinstance(v[0], str)}
         if log_samples:
             results["samples"][name] = samples
-        # raw per-doc predictions always kept for post_eval
+        # per-doc predictions for post_eval live in the samples jsonl
+        # (pass log_samples=True for the decoupled scoring flow)
         results["results"][name]["_n"] = len(docs)
 
     if output_dir:

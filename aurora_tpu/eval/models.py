@@ -103,6 +103,16 @@ class AuroraCapEval:
         while engine.has_work():
             for r in engine.step():
                 done[r.rid] = r
+        failed = [i for i in range(len(docs))
+                  if done[f"doc{i}"].error is not None
+                  or not done[f"doc{i}"].output_ids]
+        if failed:
+            # a silently empty prediction would quietly depress the
+            # aggregate metric — fail loudly with the engine's reason
+            msgs = [f"doc{i}: {done[f'doc{i}'].error}" for i in failed[:3]]
+            raise RuntimeError(
+                f"{len(failed)} eval requests failed in the engine: "
+                + "; ".join(msgs))
         return [self.tokenizer.decode(done[f"doc{i}"].output_ids,
                                       skip_special_tokens=True)
                 for i in range(len(docs))]

@@ -60,6 +60,16 @@ class DeepseekV2Config:
     max_position_embeddings: int = 163840
     rms_norm_eps: float = 1e-6
     rope_theta: float = 10000.0
+    # YaRN (every shipped V2 checkpoint ships rope_scaling type=yarn):
+    # explicit per-pair inverse frequencies + cos/sin magnitude scaling,
+    # computed at conversion time with HF's own rope-init function so the
+    # rotation matches the reference bit-for-bit.
+    rope_inv_freq: Optional[tuple] = None
+    rope_attention_scaling: float = 1.0
+    # MoE routing method ("greedy" | "group_limited_greedy")
+    topk_method: str = "greedy"
+    n_group: int = 1
+    topk_group: int = 1
 
     @property
     def qk_head_dim(self) -> int:
@@ -86,15 +96,20 @@ class DeepseekV2Config:
                    max_position_embeddings=256)
 
 
-def _rope_interleaved(x, positions, theta):
+def _rope_interleaved(x, positions, theta, inv_freq=None,
+                      attention_scaling=1.0):
     """Complex-pair rotary (HF DeepseekV2 apply_rotary_emb): consecutive
-    pairs (x[2i], x[2i+1]) rotate by angle pos / theta^(2i/d).
+    pairs (x[2i], x[2i+1]) rotate by angle pos·inv_freq[i]; YaRN supplies
+    explicit inv_freq and scales cos/sin by attention_scaling.
     x [B, T, Hx, d]; positions [B, T]."""
     d = x.shape[-1]
-    inv = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
+    if inv_freq is not None:
+        inv = jnp.asarray(inv_freq, jnp.float32)
+    else:
+        inv = theta ** (-jnp.arange(0, d, 2, dtype=jnp.float32) / d)
     ang = positions[..., None].astype(jnp.float32) * inv     # [B, T, d/2]
-    cos = jnp.cos(ang)[:, :, None, :]
-    sin = jnp.sin(ang)[:, :, None, :]
+    cos = (jnp.cos(ang) * attention_scaling)[:, :, None, :]
+    sin = (jnp.sin(ang) * attention_scaling)[:, :, None, :]
     xr = x[..., 0::2].astype(jnp.float32)
     xi = x[..., 1::2].astype(jnp.float32)
     out_r = xr * cos - xi * sin
@@ -119,7 +134,19 @@ def _moe(cfg: DeepseekV2Config, lp, x):
     logits = jnp.dot(flat.astype(jnp.float32),
                      lp["gate_weight"].astype(jnp.float32).T)
     scores = jax.nn.softmax(logits, axis=-1)                 # [N, E]
-    topw, topi = jax.lax.top_k(scores, cfg.num_experts_per_tok)
+    if cfg.topk_method == "group_limited_greedy" and cfg.n_group > 1:
+        # 236B routing: keep only the topk_group expert groups (by each
+        # group's max score), then top-k within the survivors
+        N, E = scores.shape
+        g = scores.reshape(N, cfg.n_group, E // cfg.n_group)
+        gmax = jnp.max(g, axis=-1)                           # [N, G]
+        _, gidx = jax.lax.top_k(gmax, cfg.topk_group)
+        gmask = jnp.zeros_like(gmax).at[
+            jnp.arange(N)[:, None], gidx].set(1.0)
+        masked = (g * gmask[..., None]).reshape(N, E)
+        topw, topi = jax.lax.top_k(masked, cfg.num_experts_per_tok)
+    else:
+        topw, topi = jax.lax.top_k(scores, cfg.num_experts_per_tok)
     if cfg.norm_topk_prob:
         topw = topw / jnp.maximum(topw.sum(-1, keepdims=True), 1e-20)
     topw = topw * cfg.routed_scaling_factor
@@ -160,8 +187,12 @@ def _mla(cfg: DeepseekV2Config, lp, h, positions):
     k_nope = kv[..., :cfg.qk_nope_head_dim]
     v = kv[..., cfg.qk_nope_head_dim:]
 
-    q_pe = _rope_interleaved(q_pe, positions, cfg.rope_theta)
-    k_pe = _rope_interleaved(k_pe, positions, cfg.rope_theta)
+    q_pe = _rope_interleaved(q_pe, positions, cfg.rope_theta,
+                             cfg.rope_inv_freq,
+                             cfg.rope_attention_scaling)
+    k_pe = _rope_interleaved(k_pe, positions, cfg.rope_theta,
+                             cfg.rope_inv_freq,
+                             cfg.rope_attention_scaling)
     k_pe = jnp.broadcast_to(k_pe, (B, T, H, cfg.qk_rope_head_dim))
     qf = jnp.concatenate([q_nope, q_pe], axis=-1)
     kf = jnp.concatenate([k_nope, k_pe], axis=-1)
@@ -182,10 +213,14 @@ def _attend(cfg, qf, kf, v, mask):
 def init_deepseek_v2_params(rng: jax.Array, cfg: DeepseekV2Config,
                             dtype=jnp.float32) -> Params:
     D, H = cfg.hidden_size, cfg.num_attention_heads
-    key = iter(jax.random.split(rng, 4 + cfg.num_hidden_layers * 24))
+    counter = [0]
 
     def w(*shape):
-        return jax.random.normal(next(key), shape, dtype) * 0.02
+        # fold-in key stream: unbounded (MoE layers consume
+        # ~3·n_routed_experts keys each — a fixed split pool ran dry)
+        counter[0] += 1
+        k = jax.random.fold_in(rng, counter[0])
+        return jax.random.normal(k, shape, dtype) * 0.02
 
     def mlp(inter):
         return {"gate": w(D, inter), "up": w(D, inter),
@@ -299,8 +334,31 @@ def deepseek_v2_apply(params: Params, cfg: DeepseekV2Config, *,
 # HF weight conversion
 # ---------------------------------------------------------------------------
 
+def _yarn_from_hf(cfg: Dict[str, Any]):
+    """(inv_freq tuple, attention_scaling) via HF's own rope-init — exact
+    parity with the reference's rotary for yarn-scaled checkpoints."""
+    if not cfg.get("rope_scaling"):
+        return None, 1.0
+    import torch
+    from transformers import DeepseekV2Config as HFCfg
+    from transformers.modeling_rope_utils import ROPE_INIT_FUNCTIONS
+    hf = HFCfg(**{k: v for k, v in cfg.items()
+                  if k in HFCfg().to_dict()})
+    rope_type = cfg["rope_scaling"].get(
+        "rope_type", cfg["rope_scaling"].get("type", "yarn"))
+    inv_freq, scaling = ROPE_INIT_FUNCTIONS[rope_type](
+        hf, torch.device("cpu"))
+    return tuple(float(x) for x in inv_freq), float(scaling)
+
+
 def deepseek_v2_config_from_hf(cfg: Dict[str, Any]) -> DeepseekV2Config:
+    inv_freq, att_scaling = _yarn_from_hf(cfg)
     return DeepseekV2Config(
+        rope_inv_freq=inv_freq,
+        rope_attention_scaling=att_scaling,
+        topk_method=cfg.get("topk_method", "greedy"),
+        n_group=cfg.get("n_group", 1) or 1,
+        topk_group=cfg.get("topk_group", 1) or 1,
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],

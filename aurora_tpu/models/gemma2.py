@@ -174,6 +174,9 @@ def gemma2_apply(params: Params, cfg: Gemma2Config, *,
                                  axis=0)
     x = inputs_embeds
     B, T, _ = x.shape
+    assert not (kv_cache is not None and segment_ids is not None), (
+        "packed segment attention over a KV cache is unsupported (the "
+        "cache does not track per-slot segments)")
     # HF casts the normalizer to the model dtype before multiplying
     normalizer = jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     x = x * normalizer

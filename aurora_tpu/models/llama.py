@@ -245,6 +245,10 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
     x = inputs_embeds
     B, T, _ = x.shape
+    assert not (kv_cache is not None and segment_ids is not None), (
+        "packed segment attention over a KV cache is unsupported: the "
+        "cache does not track per-slot segments (score packed batches "
+        "without a cache)")
 
     if position_ids is None:
         position_ids = jnp.arange(T)[None, :] + cache_len

@@ -68,7 +68,7 @@ class MultiReplicaController:
         self.engines[i].add_request(req)
 
     def abort(self, rid: str) -> bool:
-        i = self._where.get(rid)
+        i = self._where.pop(rid, None)
         if i is not None:
             return self.engines[i].abort(rid)
         return any(e.abort(rid) for e in self.engines)
@@ -91,19 +91,33 @@ class MultiReplicaController:
         out = []
         for e in self.engines:
             out.extend(e.fail_running())
+        for req in out:
+            self._where.pop(req.rid, None)
         return out
 
     def flush_cache(self) -> int:
         return sum(e.flush_cache() for e in self.engines)
 
     def update_weights(self, new_params):
-        """Swap weights on every replica; all-or-nothing per replica with
-        rollback inside each engine."""
-        results = [e.update_weights(jax.device_put(
-            new_params, e.params["embed_tokens"].devices().pop()))
-            for e in self.engines]
-        ok = all(r[0] for r in results)
-        return ok, "; ".join(r[1] for r in results)
+        """Swap weights on every replica ATOMICALLY across the fleet:
+        check all replicas are idle first, then commit; if any commit
+        still fails, roll the committed replicas back — a deployment must
+        never serve two different models behind one dispatcher."""
+        busy = [i for i, e in enumerate(self.engines) if e.sched.running]
+        if busy:
+            return False, f"replicas {busy} have requests in flight"
+        old = [e.params for e in self.engines]
+        committed = []
+        for i, e in enumerate(self.engines):
+            ok, msg = e.update_weights(jax.device_put(
+                new_params, e.params["embed_tokens"].devices().pop()))
+            if not ok:
+                for j in committed:  # rollback
+                    self.engines[j].params = old[j]
+                    self.engines[j].flush_cache()
+                return False, f"replica {i}: {msg} (rolled back)"
+            committed.append(i)
+        return True, "weights updated on all replicas"
 
     def check_memory(self) -> Dict[str, int]:
         mems = [e.check_memory() for e in self.engines]
