@@ -100,7 +100,6 @@ def _act(name: str):
 
 def _linear(rng, d_in, d_out, dtype):
     k1, _ = jax.random.split(rng)
-    scale = (d_in ** -0.5) * 0.02 / 0.02  # plain fan-in init for tests
     return {"kernel": jax.random.normal(k1, (d_in, d_out), dtype) * 0.02,
             "bias": jnp.zeros((d_out,), dtype)}
 
@@ -294,9 +293,11 @@ def _encoder_layer(lp: Params, x: jnp.ndarray, size: Optional[jnp.ndarray],
 
 
 def vit_tome_r(cfg: ViTConfig, kept_ratio: float, h: int, w: int) -> int:
-    """Constant per-layer merge count (aurora.py:895)."""
-    return int(h * w / (cfg.patch_size ** 2) * (1.0 - kept_ratio)
-               / cfg.num_hidden_layers)
+    """Constant per-layer merge count (aurora.py:895) — delegates to the
+    single source of the parity-critical formula (ops.tome.tome_r)."""
+    from aurora_tpu.ops.tome import tome_r
+    return tome_r(h, w, cfg.patch_size, kept_ratio,
+                  cfg.num_hidden_layers)
 
 
 @functools.partial(jax.jit, static_argnames=(

@@ -199,6 +199,10 @@ def kth_bipartite_soft_matching(metric: jnp.ndarray, k: int):
     if k <= 1:
         return lambda x, mode="mean": x
     B, T, C = metric.shape
+    if T % k != 0:
+        raise ValueError(
+            f"kth matching needs k | T (T={T}, k={k}); trailing tokens "
+            "would silently vanish otherwise")
     t_rnd = (T // k) * k
 
     def split(x):

@@ -311,8 +311,10 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         prompt_text = build_video_prompt(
             body.get("text", "Describe the video in detail."),
             px.shape[0], PROMPT_TEMPLATE.vicuna)
+        kept = body.get("token_kept_ratio")
         req = loop_.mm.build_request(
             body.get("rid", uuid.uuid4().hex), prompt_text, px,
+            kept_ratio=float(kept) if kept is not None else None,
             sampling=_sampling_from(body),
             max_new_tokens=int(body.get("max_new_tokens", 1024)),
             eos_ids=eos_default, stream=bool(body.get("stream")))

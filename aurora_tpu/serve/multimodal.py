@@ -48,52 +48,92 @@ class AuroraCapServing:
     """Builds engine requests + the embed_fn hook for AuroraCap."""
 
     def __init__(self, params: Dict, cfg: AuroraConfig, tokenizer,
-                 kept_ratio: float = 0.8, image_size: int = 378):
+                 kept_ratio: float = 0.8, image_size: int = 378,
+                 embed_cache_size: int = 8):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.kept_ratio = kept_ratio
         self.image_size = image_size
-        self._cache: Dict[str, np.ndarray] = {}
+        # clip-hash → encoded visual groups: identical clips skip the
+        # ViT+projector entirely (complements the radix KV prefix reuse)
+        self._cache: Dict[tuple, list] = {}
+        self._cache_size = embed_cache_size
 
-    def n_visual_tokens(self) -> int:
+    def _frame_counts(self, F: int, h: int, w: int,
+                      kept_ratio: float) -> List[int]:
+        """Visual tokens per frame, honoring the slowfast split (frame 0
+        un-merged when cfg.slowfast and F > 1 — aurora.py:223-246)."""
+        n = num_visual_tokens(self.cfg, kept_ratio, h, w)
+        if self.cfg.slowfast and F > 1:
+            n_full = num_visual_tokens(self.cfg, 1.0, h, w)
+            return [n_full] + [n] * (F - 1)
+        return [n] * F
+
+    def n_visual_tokens(self, h: int = None, w: int = None) -> int:
         return num_visual_tokens(self.cfg, self.kept_ratio,
-                                 self.image_size, self.image_size)
+                                 h or self.image_size,
+                                 w or self.image_size)
 
     def build_request(self, rid: str, prompt_text: str,
-                      pixel_values: np.ndarray, **req_kwargs) -> Request:
+                      pixel_values: np.ndarray,
+                      kept_ratio: float = None, **req_kwargs) -> Request:
         """prompt_text contains '<image>' markers (one per frame);
-        pixel_values [F, C, H, W] preprocessed frames."""
+        pixel_values [F, C, H, W] preprocessed frames. The placeholder
+        count derives from the ACTUAL frame resolution and the request's
+        kept_ratio (per-request overrides are honored end-to-end)."""
         raw_ids = encode_with_image_tokens(prompt_text, self.tokenizer)
-        n_vis = self.n_visual_tokens()
-        F = pixel_values.shape[0]
+        kept = self.kept_ratio if kept_ratio is None else kept_ratio
+        F, _, H, W = pixel_values.shape
+        counts = self._frame_counts(F, H, W, kept)
         assert raw_ids.count(IMAGE_TOKEN_INDEX) == F, (
             "one <image> marker per frame required")
 
-        clip_ids = frame_hash_ids(pixel_values, n_vis * F)
+        clip_ids = frame_hash_ids(pixel_values, sum(counts))
         input_ids: List[int] = []
-        k = 0
+        k = pos = 0
         for tok in raw_ids:
             if tok == IMAGE_TOKEN_INDEX:
-                input_ids.extend(clip_ids[k * n_vis:(k + 1) * n_vis])
+                input_ids.extend(clip_ids[pos:pos + counts[k]])
+                pos += counts[k]
                 k += 1
             else:
                 input_ids.append(tok)
         req = Request(rid=rid, input_ids=input_ids, **req_kwargs)
         req.pixel_values = pixel_values
-        req.kept_ratio = self.kept_ratio
+        req.kept_ratio = kept
         # remember the raw marker layout for the fusion at extend time
         req._raw_ids = raw_ids  # type: ignore[attr-defined]
         return req
+
+    def _visual_groups(self, req: Request):
+        """Encoded (projected) visual groups for a request's clip, with a
+        small hash-keyed cache — repeated clips skip the ViT."""
+        key = (hashlib.sha1(np.ascontiguousarray(
+            req.pixel_values).tobytes()).digest(), req.kept_ratio)
+        groups = self._cache.get(key)
+        if groups is None:
+            dtype = self.params["llm"]["embed_tokens"].dtype
+            px = jnp.asarray(req.pixel_values, dtype)[None]
+            F = px.shape[1]
+            if self.cfg.slowfast and F > 1:
+                from aurora_tpu.models.aurora import encode_visual_slowfast
+                hi, lo = encode_visual_slowfast(self.params, px, self.cfg,
+                                                req.kept_ratio)
+                groups = [hi, lo]
+            else:
+                groups = [encode_visual(self.params, px, self.cfg,
+                                        req.kept_ratio)]
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = groups
+        return groups
 
     def embed_fn(self, req: Request) -> np.ndarray:
         """Engine hook: full fused embedding sequence [T_total, D] for the
         request's prompt (extend slices off the cached prefix)."""
         ids = np.asarray(req._raw_ids)[None]  # with -200 markers
-        dtype = self.params["llm"]["embed_tokens"].dtype
-        px = jnp.asarray(req.pixel_values, dtype)[None]
-        groups = [encode_visual(self.params, px, self.cfg,
-                                req.kept_ratio)]
+        groups = self._visual_groups(req)
         fused = fuse_multimodal(self.params["llm"]["embed_tokens"],
                                 jnp.asarray(ids), groups)
         out = np.asarray(jax.device_get(fused["inputs_embeds"][0]))

@@ -153,10 +153,31 @@ def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None,
     Sharding comes from the input arrays (params via shard_pytree, batch
     via batch_sharding); GSPMD propagates through the step.
     """
+    if opt is None:
+        _opt_holder = []
+
+        def _get_opt(params):
+            if not _opt_holder:
+                _opt_holder.append(make_optimizer(params, tcfg))
+            return _opt_holder[0]
+    else:
+        def _get_opt(params):
+            return opt
 
     sp_attn = _build_sp_attn(tcfg, mesh)
+    frozen = {"llm": tcfg.freeze_llm,
+              "visual_encoder": tcfg.freeze_visual_encoder,
+              "projector": tcfg.freeze_projector}
+    any_frozen = any(frozen.values())
 
     def loss_fn(params, batch):
+        if any_frozen:
+            # stop_gradient on frozen subtrees: their backward is DCE'd
+            # (the optimizer's set_to_zero alone still computes it) and
+            # grad_norm naturally covers trainable params only
+            params = {k: (jax.tree.map(jax.lax.stop_gradient, v)
+                          if frozen.get(k) else v)
+                      for k, v in params.items()}
         loss, ntok = aurora_forward(
             params, acfg, batch["input_ids"],
             batch.get("pixel_values"),
@@ -167,14 +188,17 @@ def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None,
         return loss, ntok
 
     def step_fn(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        o = _get_opt(state.params)
         (loss, ntok), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch)
-        updates, opt_state = opt.update(grads, state.opt_state,
-                                        state.params)
+        updates, opt_state = o.update(grads, state.opt_state,
+                                      state.params)
         params = optax.apply_updates(state.params, updates)
         gnorm = optax.global_norm(grads)
+        # MultiSteps advances the inner schedule once per accum window
         metrics = {"loss": loss, "ntokens": ntok, "grad_norm": gnorm,
-                   "lr": lr_schedule(tcfg)(state.step)}
+                   "lr": lr_schedule(tcfg)(
+                       state.step // max(tcfg.grad_accum, 1))}
         return TrainState(params=params, opt_state=opt_state,
                           step=state.step + 1), metrics
 

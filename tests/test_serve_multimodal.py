@@ -129,3 +129,52 @@ def test_http_video_endpoint(mm_setup, tmp_path, rng):
             loop_._task.cancel()
 
     asyncio.run(run())
+
+
+def test_per_request_kept_ratio_and_resolution(mm_setup, rng):
+    """Round-2 review: placeholder counts must derive from the ACTUAL
+    frame resolution and the request's kept_ratio — a per-request
+    override used to desync the span from the ViT output and crash."""
+    root, params, cfg, tokenizer, mm, engine = mm_setup
+    from aurora_tpu.data.text import build_video_prompt
+    from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+
+    px28 = rng.standard_normal((2, 3, 28, 28)).astype(np.float32)
+    prompt = build_video_prompt("describe", 2, PROMPT_TEMPLATE.vicuna)
+    # smaller resolution AND a different ratio than the server default
+    req = mm.build_request("res28", prompt, px28, kept_ratio=1.0,
+                           max_new_tokens=3, eos_ids=(2,))
+    n28 = mm.n_visual_tokens(28, 28)  # ratio arg path
+    # embeds must line up with the placeholder span (the old bug fired
+    # an assert inside the engine loop)
+    out = mm.embed_fn(req)
+    assert out.shape[0] == len(req.input_ids)
+    done = _drain(engine, [req])
+    assert done["res28"].finished is not None
+    assert len(done["res28"].output_ids) >= 1
+
+
+def test_embed_cache_skips_recompute(mm_setup, rng):
+    """Identical clips must not re-run the ViT (the hash-keyed embed
+    cache complements the radix KV reuse)."""
+    root, params, cfg, tokenizer, mm, engine = mm_setup
+    from aurora_tpu.data.text import build_video_prompt
+    from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+    px = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    prompt = build_video_prompt("what", 2, PROMPT_TEMPLATE.vicuna)
+    r1 = mm.build_request("c1", prompt, px, max_new_tokens=2,
+                          eos_ids=(2,))
+    mm._cache.clear()
+    mm.embed_fn(r1)
+    assert len(mm._cache) == 1
+    calls = {"n": 0}
+    import aurora_tpu.serve.multimodal as M
+    orig = M.encode_visual
+    M.encode_visual = lambda *a, **k: (calls.__setitem__("n",
+                                                         calls["n"] + 1)
+                                       or orig(*a, **k))
+    try:
+        mm.embed_fn(r1)  # same clip+ratio → cache hit, no encode
+    finally:
+        M.encode_visual = orig
+    assert calls["n"] == 0
