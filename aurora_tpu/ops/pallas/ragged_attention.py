@@ -69,10 +69,14 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)        # [QR, hd]
         k = k_ref[0, 0].astype(jnp.float32)        # [chunk, hd]
-        if quant:  # int8 KV: dequantize with per-token scales [chunk, 1]
-            k = k * ks_ref[0, 0]
         s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
+        if quant:
+            # per-key dequant applied on the LOGITS, where the key axis
+            # is the LANE dim and the scales load as a lane-major [1,
+            # chunk] vector — a [chunk, 1] sublane-vector broadcast cost
+            # +0.39 ms/call in ablation (the relayout, not the DMA)
+            s = s * ks_ref[0, 0]
         # query row qr = g * t_q + t → global query position off + t
         qr_ids = jax.lax.broadcasted_iota(jnp.int32, (qr, chunk), 0)
         qpos = off + qr_ids % t_q
@@ -87,8 +91,8 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
         v = v_ref[0, 0].astype(jnp.float32)
-        if quant:
-            v = v * vs_ref[0, 0]
+        if quant:  # fold the per-key V scale into p (lane-wise, cheap)
+            p = p * vs_ref[0, 0]
         acc_ref[:] = (acc_ref[:] * alpha[:, None]
                       + jax.lax.dot_general(
                           p, v, (((1,), (0,)), ((), ())),
@@ -148,7 +152,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 
     def scale_map(i, h, c, lens, offs, rows):
         last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
-        return (rows[i], h, jnp.minimum(c, last), 0)
+        return (rows[i], h, 0, jnp.minimum(c, last))
 
     in_specs = [
         pl.BlockSpec((1, 1, qr_pad, hd),
@@ -158,12 +162,13 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     ]
     operands = [qh, k_rows, v_rows]
     if quant:
-        # scales ride as [B, Hkv, S, 1]: TPU block shapes need the last
-        # two dims (8k, 128k) or equal-to-array — (chunk, 1) qualifies
-        in_specs += [pl.BlockSpec((1, 1, chunk, 1), scale_map),
-                     pl.BlockSpec((1, 1, chunk, 1), scale_map)]
-        operands += [k_scales.astype(jnp.float32)[..., None],
-                     v_scales.astype(jnp.float32)[..., None]]
+        # scales ride LANE-major as [B, Hkv, 1, S] with (1, 1, 1, chunk)
+        # blocks: the kernel consumes them along the logits' key (lane)
+        # axis, so no sublane-vector relayout happens
+        in_specs += [pl.BlockSpec((1, 1, 1, chunk), scale_map),
+                     pl.BlockSpec((1, 1, 1, chunk), scale_map)]
+        operands += [k_scales.astype(jnp.float32)[:, :, None, :],
+                     v_scales.astype(jnp.float32)[:, :, None, :]]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,

@@ -88,9 +88,10 @@ class EngineConfig:
     # link has latency). Finish checks lag by <K steps (the extra compute
     # is discarded); constrained requests force K=1.
     decode_steps: int = 1
-    # "int8" stores KV as int8 + per-token fp32 scales (≈ halves decode
-    # HBM traffic and doubles batch×context per chip; the bnb/QLoRA
-    # quantization-surface analog on the serving side)
+    # "int8" stores KV as int8 + per-token fp32 scales: half the KV HBM
+    # bytes → ~2x batch×context per chip AND ~20% faster per call than
+    # bf16 KV (0.44 vs 0.55 ms at b8/ctx1k on v5e; scales apply post-dot
+    # along the lane axis so dequant costs nothing)
     kv_quant: str = "none"
     # "int8" quantizes the LLM weight matrices to int8 + per-output-
     # channel scales at engine init. Decode is weight-bandwidth-bound

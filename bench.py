@@ -226,17 +226,16 @@ def _llm_stage(jax, jnp, embeds, detail):
     detail["backend"] = jax.default_backend()
     del engine8
 
-    # W8A8 long-context decode: int8 weights (6.75GB, native int8 MXU
-    # dot) free enough HBM for b8 x ctx1280 bf16 KV. (int8 KV remains a
-    # CAPACITY lever — its in-kernel dequant is VPU-convert-bound and
-    # slower per step than bf16 KV at these shapes; the e2e stage uses it
-    # for batch, this stage measures the weight-stream win cleanly.)
+    # fully-quantized long-context decode: int8 weights (6.75GB, native
+    # int8 MXU dot) + int8 KV (lane-major scales: 0.44 vs 0.55 ms/call
+    # against bf16 KV at these shapes — capacity AND speed)
     try:
         from aurora_tpu.serve.engine import quantize_weights_int8
         qparams = quantize_weights_int8(params, free_source=True)
         ecfg_q = EngineConfig(max_batch=8, max_seq_len=1280,
                               num_slots=128, prefill_buckets=(1024,),
-                              kv_chunk=256, decode_steps=32)
+                              kv_chunk=256, kv_quant="int8",
+                              decode_steps=32)
         engine_q = ServeEngine(qparams, cfg, ecfg_q)
 
         def qbatch(tag, n_new):
@@ -252,7 +251,7 @@ def _llm_stage(jax, jnp, embeds, detail):
             engine_q.add_request(r)
         while engine_q.has_work():
             engine_q.step()
-        print(f"[bench] w8 compile+warm "
+        print(f"[bench] w8kv8 compile+warm "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
         def qpass(tag):
@@ -264,12 +263,12 @@ def _llm_stage(jax, jnp, embeds, detail):
             return time.perf_counter() - t0
 
         t_q = min(qpass("q1"), qpass("q2"))
-        detail["decode_tokens_per_s_b8_ctx1k_w8"] = round(
+        detail["decode_tokens_per_s_b8_ctx1k_w8kv8"] = round(
             8 * 160 / t_q, 1)
-        detail["decode_ms_per_step_b8_ctx1k_w8"] = round(
+        detail["decode_ms_per_step_b8_ctx1k_w8kv8"] = round(
             t_q / 160 * 1e3, 2)
     except Exception as e:  # noqa: BLE001
-        detail["w8_error"] = str(e)[:160]
+        detail["w8kv8_error"] = str(e)[:160]
     return t_llm
 
 

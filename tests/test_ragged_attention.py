@@ -107,7 +107,8 @@ def test_ragged_attention_int8_kv(rng):
                            offs, rows, chunk=128,
                            k_scales=jnp.asarray(ks),
                            v_scales=jnp.asarray(vs))
-    # oracle on the DEQUANTIZED kv: isolates kernel error from quant error
+    # oracle on the DEQUANTIZED kv: isolates kernel error from quant
+    # error (the kernel applies the scales post-dot in f32 — exact)
     kd = jnp.asarray(k8.astype(np.float32) * ks[..., None])
     vd = jnp.asarray(v8.astype(np.float32) * vs[..., None])
     want = ragged_attention_reference(q, kd, vd, lens, offs, rows)
