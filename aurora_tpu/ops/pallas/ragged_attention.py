@@ -47,8 +47,8 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
-            scale, chunk, t_q, qr, quant):
+def _kernel(lens_ref, offs_ref, rows_ref, win_ref, q_ref, k_ref, v_ref,
+            *rest, scale, chunk, t_q, qr, quant, windowed):
     if quant:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -58,6 +58,7 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
     nc = pl.num_programs(2)
     ln = lens_ref[i]
     off = offs_ref[i]
+    w = win_ref[0]                # sliding window (<=0 disables)
 
     @pl.when(c == 0)
     def _init():
@@ -65,7 +66,12 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    @pl.when(c * chunk < ln)
+    # windowed: chunks entirely below the earliest query's window start
+    # carry no live keys — predicated away (and their fetch is deduped by
+    # the index map's clamp)
+    lo = jnp.where(windowed & (w > 0), jnp.maximum(off - w + 1, 0), 0)
+
+    @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)        # [QR, hd]
         k = k_ref[0, 0].astype(jnp.float32)        # [chunk, hd]
@@ -83,6 +89,10 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
         spos = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (qr, chunk), 1)
         mask = (spos <= qpos) & (spos < ln)
+        if windowed:
+            # Mistral/Gemma2 SWA: key must lie within the last w
+            # positions of its query (spos > qpos - w)
+            mask &= (w <= 0) | (spos > qpos - w)
         s = jnp.where(mask, s, _NEG_INF)
 
         m_prev = m_ref[:, 0]
@@ -107,7 +117,7 @@ def _kernel(lens_ref, offs_ref, rows_ref, q_ref, k_ref, v_ref, *rest,
 
 def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
                      scale=None, chunk: int = DEFAULT_CHUNK,
-                     k_scales=None, v_scales=None):
+                     k_scales=None, v_scales=None, window=None):
     """Causal attention of new tokens against row-contiguous KV.
 
     q:        [Bk, T, Hq, hd] — new-token queries for Bk batch lanes
@@ -119,6 +129,11 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     row_ids:  [Bk] int32 — which KV row each lane reads
     k_scales/v_scales: [B, Hkv, S] — per-token dequant scales for int8 KV
               (halves decode HBM traffic; scales add hd/4 overhead)
+    window:   sliding-window width (Mistral SWA / Gemma2 local layers):
+              int or traced int32 scalar; None/<=0 = full causal. May be
+              traced so Gemma2's per-layer window works under lax.scan.
+              Chunks wholly below the window are neither fetched nor
+              computed.
 
     Returns [Bk, T, Hq, hd].
     """
@@ -126,6 +141,9 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     _, Hkv, S, _ = k_rows.shape
     G = Hq // Hkv
     quant = k_scales is not None
+    windowed = window is not None
+    win = jnp.asarray(window if windowed else 0,
+                      jnp.int32).reshape(1)
     if scale is None:
         scale = hd ** -0.5
     chunk = min(chunk, S)
@@ -144,19 +162,29 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     q_offsets = q_offsets.astype(jnp.int32)
     row_ids = row_ids.astype(jnp.int32)
 
-    def kv_map(i, h, c, lens, offs, rows):
-        # clamp skipped chunks to the row's last valid chunk: the block
-        # index repeats, so Pallas skips the re-fetch
+    def _chunk_clamp(c, i, lens, offs, win_arr):
+        # clamp skipped chunks (past the row's length, or below the
+        # sliding window) to a fetched one: the block index repeats, so
+        # Pallas elides the re-fetch
         last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
-        return (rows[i], h, jnp.minimum(c, last), 0)
+        c = jnp.minimum(c, last)
+        if windowed:
+            w = win_arr[0]
+            first = jnp.where(
+                w > 0, jnp.maximum(offs[i] - w + 1, 0) // chunk, 0)
+            c = jnp.maximum(c, jnp.minimum(first, last))
+        return c
 
-    def scale_map(i, h, c, lens, offs, rows):
-        last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
-        return (rows[i], h, 0, jnp.minimum(c, last))
+    def kv_map(i, h, c, lens, offs, rows, win_arr):
+        return (rows[i], h, _chunk_clamp(c, i, lens, offs, win_arr), 0)
+
+    def scale_map(i, h, c, lens, offs, rows, win_arr):
+        return (rows[i], h, 0, _chunk_clamp(c, i, lens, offs, win_arr))
 
     in_specs = [
         pl.BlockSpec((1, 1, qr_pad, hd),
-                     lambda i, h, c, lens, offs, rows: (i, h, 0, 0)),
+                     lambda i, h, c, lens, offs, rows, win_arr:
+                         (i, h, 0, 0)),
         pl.BlockSpec((1, 1, chunk, hd), kv_map),
         pl.BlockSpec((1, 1, chunk, hd), kv_map),
     ]
@@ -172,14 +200,15 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
-                          t_q=T, qr=qr_pad, quant=quant),
+                          t_q=T, qr=qr_pad, quant=quant,
+                          windowed=windowed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, qr_pad, hd),
-                lambda i, h, c, lens, offs, rows: (i, h, 0, 0)),
+                lambda i, h, c, lens, offs, rows, win_arr: (i, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((qr_pad, hd), jnp.float32),
                 pltpu.VMEM((qr_pad, 1), jnp.float32),
@@ -188,7 +217,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         ),
         out_shape=jax.ShapeDtypeStruct((Bk, Hkv, qr_pad, hd), q.dtype),
         interpret=_interpret(),
-    )(kv_lens, q_offsets, row_ids, *operands)
+    )(kv_lens, q_offsets, row_ids, win, *operands)
 
     out = out[:, :, :qr]                          # drop query-row padding
     out = out.reshape(Bk, Hkv, G, T, hd).transpose(0, 3, 1, 2, 4)
@@ -196,7 +225,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 
 
 def ragged_attention_reference(q, k_rows, v_rows, kv_lens, q_offsets,
-                               row_ids, *, scale=None):
+                               row_ids, *, scale=None, window=None):
     """Pure-XLA oracle for tests (same contract as ragged_attention)."""
     Bk, T, Hq, hd = q.shape
     _, Hkv, S, _ = k_rows.shape
@@ -214,6 +243,9 @@ def ragged_attention_reference(q, k_rows, v_rows, kv_lens, q_offsets,
     spos = jnp.arange(S)
     mask = (spos[None, None, None, :] <= qpos[:, None, :, None]) & \
         (spos[None, None, None, :] < kv_lens[:, None, None, None])
+    if window is not None and window > 0:
+        mask &= (spos[None, None, None, :]
+                 > qpos[:, None, :, None] - window)
     logits = jnp.where(mask, logits, _NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = jnp.where(mask, probs, 0.0)

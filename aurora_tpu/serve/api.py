@@ -516,6 +516,13 @@ async function go(){
         eng = loop_.engine
         params = (eng.engines[0].params if hasattr(eng, "engines")
                   else eng.params)
+        if params["layers"]["q"].dtype == jnp.int8:
+            # llama_apply has no W8A8 path; silently dotting raw int8
+            # matrices would return garbage embeddings
+            return web.json_response(
+                {"error": "embeddings are unavailable on weight-quantized "
+                          "deployments (start without --weight-quant)"},
+                status=400)
         data = []
         for i, text in enumerate(inputs):
             ids = loop_.tokenizer.encode(text)
@@ -551,9 +558,13 @@ async function go(){
             from aurora_tpu.models.convert import (llama_params_from_hf,
                                                    load_torch_state_dict)
             sd = load_torch_state_dict(body["model_dir"])
+            eng = loop_.engine
+            # --dp>1 serves a MultiReplicaController, which holds params
+            # per replica engine (same resolution as h_embeddings)
+            ref_params = (eng.engines[0].params
+                          if hasattr(eng, "engines") else eng.params)
             new_params = llama_params_from_hf(
-                sd, loop_.engine.cfg,
-                dtype=loop_.engine.params["embed_tokens"].dtype)
+                sd, eng.cfg, dtype=ref_params["embed_tokens"].dtype)
         except Exception as e:
             return web.json_response(
                 {"success": False, "message": f"load failed: {e}"},

@@ -242,7 +242,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
         attn = ragged_attention(q, r["k"], r["v"], kv_lens, q_offsets,
                                 row_ids, chunk=chunk,
                                 k_scales=r.get("ks"),
-                                v_scales=r.get("vs"))
+                                v_scales=r.get("vs"),
+                                window=cfg.sliding_window)
         attn = _wdot(attn.reshape(Bk, T, -1).astype(x.dtype), lp, "o")
         x = x + attn
         return _mlp(cfg, lp, x), r
@@ -562,6 +563,11 @@ class ServeEngine:
         two models."""
         if self.sched.running:
             return False, "requests in flight; retry when idle"
+        if self.ecfg.weight_quant == "int8" and \
+                "q_scale" not in new_params.get("layers", {}):
+            # match the live tree: quantize the incoming bf16 weights the
+            # same way engine init did
+            new_params = quantize_weights_int8(dict(new_params))
         old = self.params
         try:
             paths_old = jax.tree_util.tree_leaves_with_path(old)

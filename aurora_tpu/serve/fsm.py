@@ -29,9 +29,18 @@ The engine-facing interface matches ChoiceConstraint: `allowed_tokens()`,
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+# Patterns arrive on the UNAUTHENTICATED /generate endpoint, so both the
+# DFA state count and the dense token-table bytes (states × vocab × 5B)
+# are hard-bounded — an adversarial regex must map to a 400, not a
+# multi-GB allocation + O(states × Lmax) vectorized build.
+MAX_DFA_STATES = int(os.environ.get("AURORA_FSM_MAX_STATES", "512"))
+MAX_TABLE_BYTES = int(os.environ.get("AURORA_FSM_MAX_TABLE_BYTES",
+                                     str(128 << 20)))
 
 # ---------------------------------------------------------------------------
 # Regex parsing → NFA (Thompson construction)
@@ -322,7 +331,7 @@ class RegexDFA:
 
         start_set = closure(frozenset([start]))
         ids: Dict[FrozenSet[int], int] = {start_set: 0}
-        MAX_STATES = 4096  # user-facing patterns: bound the build
+        MAX_STATES = MAX_DFA_STATES  # user-facing patterns: bound
         todo = [start_set]
         rows: List[List[int]] = []
         accepts: List[bool] = []
@@ -445,6 +454,11 @@ class TokenFSM:
         lengths = np.asarray([len(t) for t in toks], np.int32)
         empty = lengths == 0
         n = self.dfa.trans.shape[0]
+        if n * V * 5 > MAX_TABLE_BYTES:  # int32 next_state + bool allowed
+            raise ValueError(
+                f"regex too complex: token table would need {n} states × "
+                f"{V} vocab ≈ {n * V * 5 >> 20}MB (cap "
+                f"{MAX_TABLE_BYTES >> 20}MB)")
         self.next_state = np.zeros((n, V), np.int32)
         self.allowed = np.zeros((n, V), bool)
         for s in range(n):

@@ -119,3 +119,48 @@ def test_ragged_attention_int8_kv(rng):
                                        lens, offs, rows)
     np.testing.assert_allclose(np.asarray(got), np.asarray(truth),
                                rtol=0.1, atol=0.05)
+
+
+@pytest.mark.parametrize("T,window", [(1, 96), (32, 64), (1, 8)])
+def test_sliding_window_matches_reference(T, window):
+    """SWA (Mistral sliding_window / Gemma2 local layers): keys outside
+    the trailing `window` positions of each query are masked, and chunks
+    wholly below the window are skipped."""
+    rng = np.random.default_rng(7)
+    B, Hkv, S, hd = 3, 2, 256, 128
+    k, v = _rows(rng, B, Hkv, S, hd)
+    offs = jnp.asarray([0, 100, 220], jnp.int32)
+    lens = offs + T
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv * 2, hd)), jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    got = ragged_attention(q, k, v, lens, offs, rows, chunk=64,
+                           window=window)
+    want = ragged_attention_reference(q, k, v, lens, offs, rows,
+                                      window=window)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_window_traced_scalar_and_disabled():
+    """window=0 (disabled) equals the unwindowed kernel, and a traced
+    window works under jit (Gemma2 scans over per-layer windows)."""
+    rng = np.random.default_rng(8)
+    B, Hkv, S, hd = 2, 1, 128, 128
+    k, v = _rows(rng, B, Hkv, S, hd)
+    lens = jnp.asarray([90, 128], jnp.int32)
+    offs = lens - 1
+    q = jnp.asarray(rng.standard_normal((B, 1, Hkv, hd)), jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+
+    @jax.jit
+    def run(w):
+        return ragged_attention(q, k, v, lens, offs, rows, chunk=64,
+                                window=w)
+
+    base = ragged_attention(q, k, v, lens, offs, rows, chunk=64)
+    np.testing.assert_allclose(np.asarray(run(jnp.asarray(0))),
+                               np.asarray(base), atol=2e-5, rtol=2e-5)
+    want = ragged_attention_reference(q, k, v, lens, offs, rows,
+                                      window=32)
+    np.testing.assert_allclose(np.asarray(run(jnp.asarray(32))),
+                               np.asarray(want), atol=2e-5, rtol=2e-5)

