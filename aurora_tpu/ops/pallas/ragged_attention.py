@@ -7,21 +7,35 @@ reference's Triton decode/extend kernels
 (srt/layers/radix_attention.py:62-76).
 
 Design (TPU-first, not a Triton translation):
-  * KV lives in HEAD-MAJOR row-contiguous buffers [B, Hkv, S, hd]: each
-    request owns one row; a (row, head) slab [S, hd] is a contiguous HBM
-    stripe, so the kernel streams KV at full HBM bandwidth — no
-    token-granular gather (the round-1 XLA-gather path read the same
-    bytes through a scatter/gather unit at ~half speed).
+  * KV lives in HEAD-MAJOR row-contiguous buffers [L, B, Hkv, S, hd]:
+    each request owns one row per layer; a (layer, row, head) slab
+    [S, hd] is a contiguous HBM stripe, so the kernel streams KV at full
+    HBM bandwidth — no token-granular gather (the round-1 XLA-gather path
+    read the same bytes through a scatter/gather unit at ~half speed).
+  * The LAYER is selected by a scalar-prefetch index instead of slicing
+    the buffer outside: the engine threads the full [L, ...] buffer
+    through `lax.scan` as a CARRY (in-place under donation) and each
+    layer's kernel call reads its stripe directly. Slicing a carry to
+    [B, Hkv, S, hd] per layer would materialize a full copy of the
+    slice per step (round-2's donation-failure regression: scan xs→ys
+    threading allocated two full-size AllocateBuffer temps and every
+    decode step copied the whole KV).
   * ONE kernel covers both serving modes: EXTEND (T new tokens appended
     at q_offset, e.g. batched prefill / chunked prefill) and DECODE
     (T=1). Queries are reshaped to [B, Hkv, G*T, hd] so GQA groups ride
     the same MXU dot as the token axis, with no jnp.repeat of K/V.
+  * HEAD-BLOCKING: each grid program covers `hb` KV heads (batched dots
+    over the head axis), so per-program overhead is amortized over
+    hb×chunk×hd-sized DMAs — decode at small chunks is grid-overhead-
+    bound otherwise (measured b8/ctx1k chunk=256: 26% of HBM
+    speed-of-light per-head, >70% with hb=8).
   * Per-row raggedness via scalar prefetch: kv_lens[b] clamps the chunk
     index map, so a row at length 130 reads ceil(130/chunk) chunks of its
     KV stripe, not the full S — the "read only what exists" property of
     paged attention. Skipped chunks re-map to the row's last valid chunk
     (Pallas elides the re-fetch of an unchanged block) and their compute
-    is predicated away with pl.when.
+    is predicated away with pl.when. Sliding windows additionally skip
+    chunks wholly below the earliest query's window.
   * fp32 online softmax (flash-style m/l/acc in VMEM scratch); logits
     never touch HBM.
 
@@ -47,8 +61,9 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _kernel(lens_ref, offs_ref, rows_ref, win_ref, q_ref, k_ref, v_ref,
-            *rest, scale, chunk, t_q, qr, quant, windowed):
+def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
+            q_ref, k_ref, v_ref, *rest,
+            scale, chunk, t_q, qr, hb, quant, windowed):
     if quant:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -73,21 +88,22 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, q_ref, k_ref, v_ref,
 
     @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo))
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)        # [QR, hd]
-        k = k_ref[0, 0].astype(jnp.float32)        # [chunk, hd]
-        s = jax.lax.dot_general(q * scale, k, (((1,), (1,)), ((), ())),
+        q = q_ref[0].astype(jnp.float32)           # [hb, QR, hd]
+        k = k_ref[0, 0].astype(jnp.float32)        # [hb, chunk, hd]
+        s = jax.lax.dot_general(q * scale, k,
+                                (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         if quant:
             # per-key dequant applied on the LOGITS, where the key axis
-            # is the LANE dim and the scales load as a lane-major [1,
-            # chunk] vector — a [chunk, 1] sublane-vector broadcast cost
+            # is the LANE dim and the scales load as a lane-major
+            # [hb, 1, chunk] vector — a sublane-vector broadcast cost
             # +0.39 ms/call in ablation (the relayout, not the DMA)
             s = s * ks_ref[0, 0]
         # query row qr = g * t_q + t → global query position off + t
-        qr_ids = jax.lax.broadcasted_iota(jnp.int32, (qr, chunk), 0)
+        qr_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, qr, chunk), 1)
         qpos = off + qr_ids % t_q
         spos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (qr, chunk), 1)
+            jnp.int32, (hb, qr, chunk), 2)
         mask = (spos <= qpos) & (spos < ln)
         if windowed:
             # Mistral/Gemma2 SWA: key must lie within the last w
@@ -95,59 +111,91 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, q_ref, k_ref, v_ref,
             mask &= (w <= 0) | (spos > qpos - w)
         s = jnp.where(mask, s, _NEG_INF)
 
-        m_prev = m_ref[:, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1))
-        p = jnp.where(mask, jnp.exp(s - m_new[:, None]), 0.0)
+        m_prev = m_ref[:, :, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :, None]), 0.0)
         alpha = jnp.exp(m_prev - m_new)
-        l_ref[:, 0] = l_ref[:, 0] * alpha + jnp.sum(p, axis=1)
-        v = v_ref[0, 0].astype(jnp.float32)
+        l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
+        v = v_ref[0, 0].astype(jnp.float32)        # [hb, chunk, hd]
         if quant:  # fold the per-key V scale into p (lane-wise, cheap)
             p = p * vs_ref[0, 0]
-        acc_ref[:] = (acc_ref[:] * alpha[:, None]
+        acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
                       + jax.lax.dot_general(
-                          p, v, (((1,), (0,)), ((), ())),
+                          p, v, (((2,), (1,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32))
-        m_ref[:, 0] = m_new
+        m_ref[:, :, 0] = m_new
 
     @pl.when(c == nc - 1)
     def _finalize():
-        l = jnp.maximum(l_ref[:, 0], 1e-30)
-        o_ref[0, 0] = (acc_ref[:] / l[:, None]).astype(o_ref.dtype)
+        l = jnp.maximum(l_ref[:, :, 0], 1e-30)
+        o_ref[0] = (acc_ref[:] / l[:, :, None]).astype(o_ref.dtype)
+
+
+def _pick_hb(Hkv: int, want: int) -> int:
+    """Largest head-block ≤ want that divides Hkv and is Mosaic-legal:
+    a PARTIAL block on a sublane-adjacent axis must be 8-aligned (the
+    k_new [1, hb, hd] block), while a FULL block (hb == Hkv) may be any
+    size."""
+    hb = min(want, Hkv)
+    while Hkv % hb:
+        hb -= 1
+    if hb != Hkv and hb % 8:
+        hb = Hkv if Hkv <= want * 2 else 8 if Hkv % 8 == 0 else Hkv
+    return hb
 
 
 def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
                      scale=None, chunk: int = DEFAULT_CHUNK,
-                     k_scales=None, v_scales=None, window=None):
+                     k_scales=None, v_scales=None, window=None,
+                     layer=None, head_block: int = 8):
     """Causal attention of new tokens against row-contiguous KV.
 
     q:        [Bk, T, Hq, hd] — new-token queries for Bk batch lanes
-    k_rows:   [B, Hkv, S, hd] — per-row KV buffers (new tokens already
-    v_rows:                     written at positions offs..offs+T)
+    k_rows:   [B, Hkv, S, hd] or [L, B, Hkv, S, hd] — per-row KV buffers
+    v_rows:     (new tokens already written at positions offs..offs+T);
+                the 5-D layout selects the layer via `layer` (traced OK),
+                letting callers thread the full multi-layer buffer
+                through lax.scan as an in-place carry
     kv_lens:  [Bk] int32 — valid kv length per lane (incl. new tokens);
                           0 for padded lanes (output is then zeros)
     q_offsets:[Bk] int32 — global position of q[:, 0] per lane
     row_ids:  [Bk] int32 — which KV row each lane reads
-    k_scales/v_scales: [B, Hkv, S] — per-token dequant scales for int8 KV
-              (halves decode HBM traffic; scales add hd/4 overhead)
+    k_scales/v_scales: [(L,) B, Hkv, S] — per-token dequant scales for
+              int8 KV (halves decode HBM traffic; scales add hd/4
+              overhead)
     window:   sliding-window width (Mistral SWA / Gemma2 local layers):
               int or traced int32 scalar; None/<=0 = full causal. May be
               traced so Gemma2's per-layer window works under lax.scan.
               Chunks wholly below the window are neither fetched nor
               computed.
+    layer:    layer index into 5-D buffers (int or traced int32 scalar);
+              required iff k_rows is 5-D
+    head_block: KV heads per grid program (clipped to a divisor of Hkv)
 
     Returns [Bk, T, Hq, hd].
     """
+    if k_rows.ndim == 4:
+        assert layer is None
+        k_rows = k_rows[None]
+        v_rows = v_rows[None]
+        if k_scales is not None:
+            k_scales = k_scales[None]
+            v_scales = v_scales[None]
+        layer = 0
+    else:
+        assert layer is not None
     Bk, T, Hq, hd = q.shape
-    _, Hkv, S, _ = k_rows.shape
+    _, _, Hkv, S, _ = k_rows.shape
     G = Hq // Hkv
     quant = k_scales is not None
     windowed = window is not None
-    win = jnp.asarray(window if windowed else 0,
-                      jnp.int32).reshape(1)
+    win = jnp.asarray(window if windowed else 0, jnp.int32).reshape(1)
+    lay = jnp.asarray(layer, jnp.int32).reshape(1)
     if scale is None:
         scale = hd ** -0.5
     chunk = min(chunk, S)
     assert S % chunk == 0, (S, chunk)
+    hb = _pick_hb(Hkv, head_block)
 
     # [Bk, T, Hq, hd] → [Bk, Hkv, G*T, hd]; fp32 q rows (min tile (8,128))
     qh = q.reshape(Bk, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4)
@@ -157,7 +205,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     if qr_pad != qr:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, qr_pad - qr), (0, 0)))
 
-    grid = (Bk, Hkv, S // chunk)
+    grid = (Bk, Hkv // hb, S // chunk)
     kv_lens = kv_lens.astype(jnp.int32)
     q_offsets = q_offsets.astype(jnp.int32)
     row_ids = row_ids.astype(jnp.int32)
@@ -175,53 +223,299 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
             c = jnp.maximum(c, jnp.minimum(first, last))
         return c
 
-    def kv_map(i, h, c, lens, offs, rows, win_arr):
-        return (rows[i], h, _chunk_clamp(c, i, lens, offs, win_arr), 0)
+    def kv_map(i, g, c, lens, offs, rows, win_arr, lay_arr):
+        return (lay_arr[0], rows[i], g,
+                _chunk_clamp(c, i, lens, offs, win_arr), 0)
 
-    def scale_map(i, h, c, lens, offs, rows, win_arr):
-        return (rows[i], h, 0, _chunk_clamp(c, i, lens, offs, win_arr))
+    def scale_map(i, g, c, lens, offs, rows, win_arr, lay_arr):
+        return (lay_arr[0], rows[i], g, 0,
+                _chunk_clamp(c, i, lens, offs, win_arr))
+
+    def q_map(i, g, c, lens, offs, rows, win_arr, lay_arr):
+        return (i, g, 0, 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, qr_pad, hd),
-                     lambda i, h, c, lens, offs, rows, win_arr:
-                         (i, h, 0, 0)),
-        pl.BlockSpec((1, 1, chunk, hd), kv_map),
-        pl.BlockSpec((1, 1, chunk, hd), kv_map),
+        pl.BlockSpec((1, hb, qr_pad, hd), q_map),
+        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
+        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
     ]
     operands = [qh, k_rows, v_rows]
     if quant:
-        # scales ride LANE-major as [B, Hkv, 1, S] with (1, 1, 1, chunk)
-        # blocks: the kernel consumes them along the logits' key (lane)
-        # axis, so no sublane-vector relayout happens
-        in_specs += [pl.BlockSpec((1, 1, 1, chunk), scale_map),
-                     pl.BlockSpec((1, 1, 1, chunk), scale_map)]
-        operands += [k_scales.astype(jnp.float32)[:, :, None, :],
-                     v_scales.astype(jnp.float32)[:, :, None, :]]
+        # scales ride LANE-major as [L, B, Hkv, 1, S] with
+        # (1, 1, hb, 1, chunk) blocks: the kernel consumes them along the
+        # logits' key (lane) axis, so no sublane-vector relayout happens
+        in_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), scale_map),
+                     pl.BlockSpec((1, 1, hb, 1, chunk), scale_map)]
+        operands += [k_scales.astype(jnp.float32)[:, :, :, None, :],
+                     v_scales.astype(jnp.float32)[:, :, :, None, :]]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
-                          t_q=T, qr=qr_pad, quant=quant,
+                          t_q=T, qr=qr_pad, hb=hb, quant=quant,
                           windowed=windowed),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,
+            num_scalar_prefetch=5,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec(
-                (1, 1, qr_pad, hd),
-                lambda i, h, c, lens, offs, rows, win_arr: (i, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, hb, qr_pad, hd), q_map),
             scratch_shapes=[
-                pltpu.VMEM((qr_pad, hd), jnp.float32),
-                pltpu.VMEM((qr_pad, 1), jnp.float32),
-                pltpu.VMEM((qr_pad, 1), jnp.float32),
+                pltpu.VMEM((hb, qr_pad, hd), jnp.float32),
+                pltpu.VMEM((hb, qr_pad, 1), jnp.float32),
+                pltpu.VMEM((hb, qr_pad, 1), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((Bk, Hkv, qr_pad, hd), q.dtype),
         interpret=_interpret(),
-    )(kv_lens, q_offsets, row_ids, win, *operands)
+    )(kv_lens, q_offsets, row_ids, win, lay, *operands)
 
     out = out[:, :, :qr]                          # drop query-row padding
     out = out.reshape(Bk, Hkv, G, T, hd).transpose(0, 3, 1, 2, 4)
     return out.reshape(Bk, T, Hq, hd)
+
+
+def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
+                   q_ref, k_ref, v_ref, *rest,
+                   scale, chunk, qr, hb, quant, windowed):
+    if quant:
+        (ks_ref, vs_ref, kn_ref, vn_ref,
+         o_ref, ok_ref, ov_ref, oks_ref, ovs_ref,
+         acc_ref, m_ref, l_ref) = rest
+    else:
+        (kn_ref, vn_ref, o_ref, ok_ref, ov_ref,
+         acc_ref, m_ref, l_ref) = rest
+    i = pl.program_id(0)
+    c = pl.program_id(2)
+    nc = pl.num_programs(2)
+    ln = lens_ref[i]
+    off = ln - 1                  # write/query position (T == 1)
+    w = win_ref[0]
+    last_c = jnp.maximum(pl.cdiv(ln, chunk) - 1, 0)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    def merged():
+        """Current chunk's K/V (+scales) with the new token merged in.
+        Identity for chunks that don't contain `off` (mask empty)."""
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, chunk, 1), 1)
+        sel = c * chunk + sub == off                    # [1, chunk, 1]
+        k_in, v_in = k_ref[0, 0], v_ref[0, 0]           # [hb, chunk, hd]
+        if quant:
+            knf = kn_ref[0].astype(jnp.float32)         # [hb, hd]
+            vnf = vn_ref[0].astype(jnp.float32)
+            s_k = jnp.maximum(jnp.max(jnp.abs(knf), axis=-1),
+                              1e-8) / 127.0             # [hb]
+            s_v = jnp.maximum(jnp.max(jnp.abs(vnf), axis=-1),
+                              1e-8) / 127.0
+            k8 = jnp.clip(jnp.round(knf / s_k[:, None]), -127,
+                          127).astype(jnp.int8)
+            v8 = jnp.clip(jnp.round(vnf / s_v[:, None]), -127,
+                          127).astype(jnp.int8)
+            k_m = jnp.where(sel, k8[:, None, :], k_in)
+            v_m = jnp.where(sel, v8[:, None, :], v_in)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
+            sel_l = c * chunk + lane == off             # [1, 1, chunk]
+            ks_m = jnp.where(sel_l, s_k[:, None, None], ks_ref[0, 0])
+            vs_m = jnp.where(sel_l, s_v[:, None, None], vs_ref[0, 0])
+            return k_m, v_m, ks_m, vs_m
+        k_m = jnp.where(sel, kn_ref[0].astype(k_in.dtype)[:, None, :],
+                        k_in)
+        v_m = jnp.where(sel, vn_ref[0].astype(v_in.dtype)[:, None, :],
+                        v_in)
+        return k_m, v_m, None, None
+
+    lo = jnp.where(windowed & (w > 0), jnp.maximum(off - w + 1, 0), 0)
+
+    @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo))
+    def _compute():
+        k_m, v_m, ks_m, vs_m = merged()
+        q = q_ref[0].astype(jnp.float32)                # [hb, QR, hd]
+        s = jax.lax.dot_general(q * scale, k_m.astype(jnp.float32),
+                                (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        if quant:
+            s = s * ks_m
+        spos = c * chunk + jax.lax.broadcasted_iota(
+            jnp.int32, (hb, qr, chunk), 2)
+        mask = (spos <= off) & (spos < ln)   # every query row sits at off
+        if windowed:
+            mask &= (w <= 0) | (spos > off - w)
+        s = jnp.where(mask, s, _NEG_INF)
+        m_prev = m_ref[:, :, 0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+        p = jnp.where(mask, jnp.exp(s - m_new[:, :, None]), 0.0)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
+        if quant:
+            p = p * vs_m
+        acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
+                      + jax.lax.dot_general(
+                          p, v_m.astype(jnp.float32),
+                          (((2,), (1,)), ((0,), (0,))),
+                          preferred_element_type=jnp.float32))
+        m_ref[:, :, 0] = m_new
+
+    @pl.when(c == last_c)
+    def _writeback():
+        # the output blocks alias the KV rows at the write chunk; flush
+        # happens once per (lane, head-group) when the block index
+        # changes. ln == 0 lanes write their chunk 0 back unmodified.
+        k_m, v_m, ks_m, vs_m = merged()
+        ok_ref[0, 0] = k_m
+        ov_ref[0, 0] = v_m
+        if quant:
+            oks_ref[0, 0] = ks_m
+            ovs_ref[0, 0] = vs_m
+
+    @pl.when(c == nc - 1)
+    def _finalize():
+        l = jnp.maximum(l_ref[:, :, 0], 1e-30)
+        o_ref[0] = (acc_ref[:] / l[:, :, None]).astype(o_ref.dtype)
+
+
+def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
+                            row_ids, *, layer, scale=None,
+                            chunk: int = DEFAULT_CHUNK,
+                            k_scales=None, v_scales=None, window=None,
+                            head_block: int = 8):
+    """Fused DECODE step: write each lane's new K/V token into its row
+    (quantizing to int8 in-kernel when scales are given) AND attend over
+    the row — one kernel, no XLA scatter/DUS, KV buffers updated in place
+    via input_output_aliases.
+
+    The XLA write paths measured 0.3-0.7 ms/layer on TPU regardless of
+    payload (advanced-index scatter AND per-lane DUS chains); at 32
+    layers that dominated the decode step. Here the write rides the
+    block that attention already fetched.
+
+    q:          [B, 1, Hq, hd] — current-token queries
+    k_new/v_new:[B, Hkv, hd]   — current-token K (post-RoPE) / V
+    k_rows/...: [L, B, Hkv, S, hd] (+[L, B, Hkv, S] scales when int8)
+    kv_lens:    [B] int32 — row length INCLUDING the new token (write
+                position = kv_lens-1); 0 = inactive lane (no write)
+    row_ids:    [B] int32 — must be distinct per lane (each lane owns
+                its row; decode always passes arange)
+
+    Returns (attn [B, 1, Hq, hd], k_rows', v_rows'[, k_scales',
+    v_scales']).
+    """
+    B, T, Hq, hd = q.shape
+    assert T == 1
+    L, _, Hkv, S, _ = k_rows.shape
+    G = Hq // Hkv
+    quant = k_scales is not None
+    windowed = window is not None
+    win = jnp.asarray(window if windowed else 0, jnp.int32).reshape(1)
+    lay = jnp.asarray(layer, jnp.int32).reshape(1)
+    if scale is None:
+        scale = hd ** -0.5
+    chunk = min(chunk, S)
+    assert S % chunk == 0, (S, chunk)
+    hb = _pick_hb(Hkv, head_block)
+
+    qh = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
+    qr = G
+    qr_pad = max(8, -(-qr // 8) * 8)
+    if qr_pad != qr:
+        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, qr_pad - qr), (0, 0)))
+
+    grid = (B, Hkv // hb, S // chunk)
+    kv_lens = kv_lens.astype(jnp.int32)
+    offs = jnp.maximum(kv_lens - 1, 0)
+    row_ids = row_ids.astype(jnp.int32)
+
+    def _last(i, lens):
+        return jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
+
+    def kv_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
+        c = jnp.minimum(c, _last(i, lens))
+        if windowed:
+            w = win_arr[0]
+            first = jnp.where(
+                w > 0, jnp.maximum(offs_[i] - w + 1, 0) // chunk, 0)
+            c = jnp.maximum(c, jnp.minimum(first, _last(i, lens)))
+        return (lay_arr[0], rows[i], g, c, 0)
+
+    def scale_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
+        idx = kv_map(i, g, c, lens, offs_, rows, win_arr, lay_arr)
+        return (idx[0], idx[1], idx[2], 0, idx[3])
+
+    def wc_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
+        return (lay_arr[0], rows[i], g, _last(i, lens), 0)
+
+    def wcs_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
+        return (lay_arr[0], rows[i], g, 0, _last(i, lens))
+
+    def q_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
+        return (i, g, 0, 0)
+
+    def new_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
+        return (i, g, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, hb, qr_pad, hd), q_map),
+        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
+        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
+    ]
+    operands = [qh, k_rows, v_rows]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, Hkv, qr_pad, hd), q.dtype),
+        jax.ShapeDtypeStruct(k_rows.shape, k_rows.dtype),
+        jax.ShapeDtypeStruct(v_rows.shape, v_rows.dtype),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, hb, qr_pad, hd), q_map),
+        pl.BlockSpec((1, 1, hb, chunk, hd), wc_map),
+        pl.BlockSpec((1, 1, hb, chunk, hd), wc_map),
+    ]
+    # flattened operand indices (scalars included): lens=0 offs=1 rows=2
+    # win=3 lay=4 q=5 k=6 v=7 [ks=8 vs=9 kn=10 vn=11 | kn=8 vn=9]
+    aliases = {6: 1, 7: 2}
+    if quant:
+        in_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), scale_map),
+                     pl.BlockSpec((1, 1, hb, 1, chunk), scale_map)]
+        operands += [k_scales.astype(jnp.float32)[:, :, :, None, :],
+                     v_scales.astype(jnp.float32)[:, :, :, None, :]]
+        out_shapes += [
+            jax.ShapeDtypeStruct((L, B, Hkv, 1, S), jnp.float32),
+            jax.ShapeDtypeStruct((L, B, Hkv, 1, S), jnp.float32)]
+        out_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), wcs_map),
+                      pl.BlockSpec((1, 1, hb, 1, chunk), wcs_map)]
+        aliases.update({8: 3, 9: 4})
+    in_specs += [pl.BlockSpec((1, hb, hd), new_map),
+                 pl.BlockSpec((1, hb, hd), new_map)]
+    operands += [k_new, v_new]
+
+    res = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=float(scale),
+                          chunk=chunk, qr=qr_pad, hb=hb, quant=quant,
+                          windowed=windowed),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=5,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((hb, qr_pad, hd), jnp.float32),
+                pltpu.VMEM((hb, qr_pad, 1), jnp.float32),
+                pltpu.VMEM((hb, qr_pad, 1), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        interpret=_interpret(),
+    )(kv_lens, offs, row_ids, win, lay, *operands)
+
+    out = res[0][:, :, :qr]
+    out = out.reshape(B, Hkv, G, 1, hd).transpose(0, 3, 1, 2, 4)
+    out = out.reshape(B, 1, Hq, hd)
+    if quant:
+        return (out, res[1], res[2],
+                res[3][:, :, :, 0, :], res[4][:, :, :, 0, :])
+    return out, res[1], res[2]
 
 
 def ragged_attention_reference(q, k_rows, v_rows, kv_lens, q_offsets,

@@ -164,3 +164,89 @@ def test_window_traced_scalar_and_disabled():
                                       window=32)
     np.testing.assert_allclose(np.asarray(run(jnp.asarray(32))),
                                np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def _write_manual(k_rows, v_rows, k_new, v_new, lens, rows):
+    """Oracle for the fused write: place each active lane's token at
+    lens-1 of its row (numpy)."""
+    k_rows = np.array(k_rows)
+    v_rows = np.array(v_rows)
+    for b in range(len(lens)):
+        ln = int(lens[b])
+        if ln > 0:
+            k_rows[int(rows[b]), :, ln - 1] = np.asarray(k_new)[b]
+            v_rows[int(rows[b]), :, ln - 1] = np.asarray(v_new)[b]
+    return k_rows, v_rows
+
+
+@pytest.mark.parametrize("G", [1, 4])
+def test_fused_decode_write_and_attend(G):
+    """ragged_decode_attention == (manual KV write, then oracle attend),
+    and the returned KV buffers contain the written tokens."""
+    from aurora_tpu.ops.pallas.ragged_attention import \
+        ragged_decode_attention
+    rng = np.random.default_rng(11)
+    L, B, Hkv, S, hd = 3, 4, 2, 256, 128
+    Hq = Hkv * G
+    k5 = jnp.asarray(rng.standard_normal((L, B, Hkv, S, hd)), jnp.float32)
+    v5 = jnp.asarray(rng.standard_normal((L, B, Hkv, S, hd)), jnp.float32)
+    lens = jnp.asarray([5, 130, 256, 0], jnp.int32)   # lane 3 inactive
+    rows = jnp.arange(B, dtype=jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hq, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    lay = 1
+    out, k5b, v5b = ragged_decode_attention(
+        q, k_new, v_new, k5, v5, lens, rows, layer=lay, chunk=128)
+    kw, vw = _write_manual(np.array(k5[lay]), np.array(v5[lay]),
+                           k_new, v_new, lens, rows)
+    want = ragged_attention_reference(q, jnp.asarray(kw), jnp.asarray(vw),
+                                      lens, jnp.maximum(lens - 1, 0),
+                                      rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+    # written tokens landed in the returned buffer; other layers intact
+    np.testing.assert_allclose(np.asarray(k5b[lay]), kw, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(v5b[lay]), vw, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(k5b[0]), np.asarray(k5[0]),
+                               atol=0)
+    # inactive lane's row untouched
+    np.testing.assert_allclose(np.asarray(k5b[lay][3]),
+                               np.asarray(k5[lay][3]), atol=0)
+
+
+def test_fused_decode_int8_quantizes_in_kernel():
+    """Quantized fused decode: token quantized to int8 + scale in-kernel;
+    attention output matches a float oracle to int8 tolerance."""
+    from aurora_tpu.ops.pallas.ragged_attention import \
+        ragged_decode_attention
+    rng = np.random.default_rng(12)
+    L, B, Hkv, S, hd = 2, 2, 2, 128, 128
+    kf = rng.standard_normal((L, B, Hkv, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((L, B, Hkv, S, hd)).astype(np.float32)
+    ks = np.maximum(np.abs(kf).max(-1), 1e-8) / 127.0
+    vs = np.maximum(np.abs(vf).max(-1), 1e-8) / 127.0
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    lens = jnp.asarray([60, 128], jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hkv, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    out, k8b, v8b, ksb, vsb = ragged_decode_attention(
+        q, k_new, v_new, jnp.asarray(k8), jnp.asarray(v8), lens, rows,
+        layer=0, chunk=128, k_scales=jnp.asarray(ks),
+        v_scales=jnp.asarray(vs))
+    # float oracle with the true (unquantized) values
+    kw, vw = _write_manual(kf[0], vf[0], k_new, v_new, lens, rows)
+    want = ragged_attention_reference(q, jnp.asarray(kw), jnp.asarray(vw),
+                                      lens, lens - 1, rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=0.08, rtol=0.08)
+    # dequantized written token ≈ the original new token
+    for b in range(B):
+        pos = int(lens[b]) - 1
+        deq = (np.asarray(k8b)[0, b, :, pos].astype(np.float32)
+               * np.asarray(ksb)[0, b, :, pos][:, None])
+        np.testing.assert_allclose(deq, np.asarray(k_new)[b], atol=0.02,
+                                   rtol=0.02)
