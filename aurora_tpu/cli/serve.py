@@ -29,6 +29,11 @@ def main():
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel replicas, one per local device "
                         "(sglang --dp / ControllerMulti parity)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel devices per replica: params on "
+                        "heads/MLP width, KV rows on the head axis "
+                        "(sglang --tp / TP-worker parity); must divide "
+                        "num_key_value_heads")
     p.add_argument("--dispatch", default="shortest_queue",
                    choices=["shortest_queue", "round_robin"])
     p.add_argument("--decode-steps", type=int, default=1,
@@ -107,7 +112,8 @@ def main():
                         policy=SchedulePolicy(args.schedule_policy),
                         kv_dtype=dtype,
                         kv_quant=args.kv_quant,
-                        decode_steps=args.decode_steps)
+                        decode_steps=args.decode_steps,
+                        tp=args.tp)
     launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
                   engine_cfg=ecfg, mm=mm, dp=args.dp,
                   dispatch=args.dispatch)

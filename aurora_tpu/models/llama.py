@@ -52,9 +52,15 @@ class LlamaConfig:
     sliding_window: Optional[int] = None  # Mistral-family SWA
     num_experts: int = 0     # >0 → Mixtral-family MoE MLP
     num_experts_per_tok: int = 2
+    # explicit head size; None derives hidden/heads. Set when the derived
+    # value would be wrong — e.g. TP-local configs (heads divided across
+    # the mesh, hidden unchanged) or models with non-standard head dims.
+    head_dim_override: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
 
     @classmethod

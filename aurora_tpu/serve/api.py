@@ -608,9 +608,11 @@ def launch_server(params, cfg, tokenizer, *, host="0.0.0.0",
     if dp > 1:
         import jax
         from aurora_tpu.serve.controller import MultiReplicaController
+        ecfg = engine_cfg or EngineConfig()
         engine = MultiReplicaController(
-            params, cfg, engine_cfg or EngineConfig(),
-            devices=jax.local_devices()[:dp], dispatch=dispatch,
+            params, cfg, ecfg,
+            devices=jax.local_devices()[:dp * ecfg.tp],
+            dispatch=dispatch,
             embed_fn=mm.embed_fn if mm else None, tokenizer=tokenizer)
     else:
         engine = ServeEngine(params, cfg, engine_cfg or EngineConfig(),

@@ -31,7 +31,8 @@ from aurora_tpu.serve.scheduler import Request
 
 
 class MultiReplicaController:
-    """N data-parallel ServeEngine replicas, one per device."""
+    """N data-parallel ServeEngine replicas; each replica spans
+    `ecfg.tp` devices (tp=1 → one engine per device, as before)."""
 
     def __init__(self, params, cfg: LlamaConfig,
                  ecfg: EngineConfig = EngineConfig(), *,
@@ -42,11 +43,23 @@ class MultiReplicaController:
         assert dispatch in ("round_robin", "shortest_queue")
         self.dispatch = dispatch
         self.engines: List[ServeEngine] = []
-        for dev in devices:
-            dev_params = jax.device_put(params, dev)
-            self.engines.append(
-                ServeEngine(dev_params, cfg, ecfg, embed_fn=embed_fn,
-                            tokenizer=tokenizer))
+        tp = ecfg.tp
+        if len(devices) < tp:
+            raise ValueError(f"tp={tp} needs {tp} devices per replica, "
+                             f"have {len(devices)}")
+        groups = [devices[i:i + tp]
+                  for i in range(0, len(devices) - tp + 1, tp)]
+        for grp in groups:
+            if tp == 1:
+                dev_params = jax.device_put(params, grp[0])
+                self.engines.append(
+                    ServeEngine(dev_params, cfg, ecfg,
+                                embed_fn=embed_fn, tokenizer=tokenizer))
+            else:
+                # the engine shards params over its own tp mesh
+                self.engines.append(
+                    ServeEngine(params, cfg, ecfg, embed_fn=embed_fn,
+                                tokenizer=tokenizer, devices=grp))
         self._rr = 0
         self._where: Dict[str, int] = {}
 

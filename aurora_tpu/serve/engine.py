@@ -102,6 +102,10 @@ class EngineConfig:
     # int8→bf16 convert into the matmul's HBM read. W8 is lossy
     # (per-channel absmax) — outputs may differ at the last bit.
     weight_quant: str = "none"
+    # >1 shards params (heads/MLP width) + KV rows (head axis) over a
+    # ('tp',) mesh; the compiled steps run under shard_map with two
+    # psums/layer (serve/tp.py). Requires tp | num_key_value_heads.
+    tp: int = 1
 
     @property
     def s_row(self) -> int:
@@ -151,11 +155,14 @@ def _qkv(cfg: LlamaConfig, lp, h):
     return q, k, v
 
 
-def _mlp(cfg: LlamaConfig, lp, x):
+def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
     gate = _wdot(h, lp, "gate")
     up = _wdot(h, lp, "up")
-    return x + _wdot(jax.nn.silu(gate) * up, lp, "down")
+    out = _wdot(jax.nn.silu(gate) * up, lp, "down")
+    if tp_axis is not None:  # row-parallel down-proj partial sum
+        out = jax.lax.psum(out, tp_axis)
+    return x + out
 
 
 @jax.jit
@@ -201,7 +208,7 @@ def _kv_quantize(x):
 
 
 def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
-                  row_ids, q_offsets, kv_lens, chunk):
+                  row_ids, q_offsets, kv_lens, chunk, tp_axis=None):
     """Shared EXTEND/DECODE forward over row-contiguous KV.
 
     embeds    [Bk, T, D] — new-token embeddings per lane
@@ -210,6 +217,9 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     row_ids   [Bk] — KV row per lane
     q_offsets [Bk] — global position of embeds[:, 0]
     kv_lens   [Bk] — row length AFTER the new tokens (0 = padded lane)
+    tp_axis   — set inside shard_map (serve/tp.py): cfg must then be the
+              TP-LOCAL view (heads divided, head_dim pinned); o-proj and
+              down-proj partial sums are psum'd megatron-style
     Returns (last hidden [Bk, D], rows). Write positions past a lane's
     valid length (query padding) go out of bounds and are dropped.
     """
@@ -270,8 +280,10 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
                                     v_scales=r.get("vs"),
                                     window=cfg.sliding_window)
         attn = _wdot(attn.reshape(Bk, T, -1).astype(x.dtype), lp, "o")
+        if tp_axis is not None:  # row-parallel o-proj partial sum
+            attn = jax.lax.psum(attn, tp_axis)
         x = x + attn
-        return (_mlp(cfg, lp, x), r), None
+        return (_mlp(cfg, lp, x, tp_axis), r), None
 
     (x, rows), _ = jax.lax.scan(
         layer, (x, rows), (params["layers"], jnp.arange(L)))
@@ -517,7 +529,7 @@ class ServeEngine:
 
     def __init__(self, params: Params, cfg: LlamaConfig,
                  ecfg: EngineConfig = EngineConfig(),
-                 embed_fn=None, tokenizer=None):
+                 embed_fn=None, tokenizer=None, devices=None):
         self.params = params
         self.cfg = cfg
         self.ecfg = ecfg
@@ -548,6 +560,42 @@ class ServeEngine:
         self.row_reqs: List[Optional[Request]] = [None] * B
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
+        self.mesh = None
+        if ecfg.tp > 1:
+            self._init_tp(devices)
+        else:
+            self._extend_fn = functools.partial(
+                _extend_step, cfg=self.cfg, chunk=self.chunk)
+            self._decode_fn = functools.partial(
+                _decode_step, cfg=self.cfg, chunk=self.chunk)
+
+    def _init_tp(self, devices) -> None:
+        """Shard params + KV + pool over a ('tp',) mesh and swap in the
+        shard_map-compiled steps (serve/tp.py; sglang TP-worker parity,
+        tp_worker.py:917-934)."""
+        from aurora_tpu.serve.tp import (make_tp_mesh, make_tp_steps,
+                                         replicate, shard_tree,
+                                         tp_param_specs, tp_pool_specs,
+                                         tp_row_specs)
+        tp = self.ecfg.tp
+        if self.cfg.num_key_value_heads % tp or \
+                self.cfg.num_attention_heads % tp:
+            raise ValueError(
+                f"tp={tp} must divide num_key_value_heads="
+                f"{self.cfg.num_key_value_heads} and "
+                f"num_attention_heads={self.cfg.num_attention_heads}")
+        self.mesh = make_tp_mesh(self.ecfg.tp, devices)
+        pspecs = tp_param_specs(self.params)
+        self.params = shard_tree(self.params, pspecs, self.mesh)
+        rspecs = tp_row_specs(self.rows)
+        self.rows = shard_tree(self.rows, rspecs, self.mesh)
+        self.pool.set_dict(shard_tree(
+            self.pool.as_dict(), tp_pool_specs(self.pool.as_dict()),
+            self.mesh))
+        self.counts = replicate(self.counts, self.mesh)
+        self.seen = replicate(self.seen, self.mesh)
+        self._extend_fn, self._decode_fn = make_tp_steps(
+            self.mesh, self.cfg, self.chunk, pspecs, rspecs)
 
     # -- public API ----------------------------------------------------------
 
@@ -611,7 +659,9 @@ class ServeEngine:
                         f"shape mismatch at {jax.tree_util.keystr(kp)}: "
                         f"{a.shape} vs {b.shape}")
             self.params = jax.tree.map(
-                lambda a, b: jnp.asarray(b, a.dtype), old, new_params)
+                lambda a, b: jax.device_put(jnp.asarray(b, a.dtype),
+                                            a.sharding),
+                old, new_params)
             self.flush_cache()
             return True, "weights updated"
         except Exception as e:  # rollback
@@ -769,10 +819,10 @@ class ServeEngine:
             row_ids[i] = req.batch_row
             offs[i] = req.n_cached
             lens[i] = req.n_cached + n_new
-        logits, self.rows = _extend_step(
+        logits, self.rows = self._extend_fn(
             self.params, self.rows,
             jnp.asarray(embeds, self.ecfg.kv_dtype), jnp.asarray(row_ids),
-            jnp.asarray(offs), jnp.asarray(lens), self.cfg, self.chunk)
+            jnp.asarray(offs), jnp.asarray(lens))
         self._emit(wave, logits[:len(wave)], row_ids[:len(wave)])
 
     def _extend_chunked(self, req: Request, n_cached: int) -> None:
@@ -790,13 +840,12 @@ class ServeEngine:
             pad = np.zeros((1, cb, D), np.float32)
             pad[0, :chunk_n] = embeds[start:start + chunk_n]
             base = n_cached + start
-            logits, self.rows = _extend_step(
+            logits, self.rows = self._extend_fn(
                 self.params, self.rows,
                 jnp.asarray(pad, self.ecfg.kv_dtype),
                 jnp.asarray([row], np.int32),
                 jnp.asarray([base], np.int32),
-                jnp.asarray([base + chunk_n], np.int32),
-                self.cfg, self.chunk)
+                jnp.asarray([base + chunk_n], np.int32))
         self._emit([req], logits, np.asarray([row], np.int32))
 
     def _allowed_mask(self, reqs, rows, n) -> Optional[jnp.ndarray]:
@@ -900,11 +949,10 @@ class ServeEngine:
                           jnp.asarray(np.clip(ids, 0,
                                               self.cfg.vocab_size - 1)),
                           axis=0)[None].astype(self.ecfg.kv_dtype)
-        logits, self.rows = _extend_step(
+        logits, self.rows = self._extend_fn(
             self.params, self.rows, embeds,
             jnp.asarray([row], np.int32), jnp.asarray([off], np.int32),
-            jnp.asarray([off + len(toks)], np.int32), self.cfg,
-            self.chunk)
+            jnp.asarray([off + len(toks)], np.int32))
         self._emit([req], logits, np.asarray([row], np.int32))
         return True
 
@@ -949,11 +997,10 @@ class ServeEngine:
             pos_j = jnp.asarray(np.minimum(positions + j,
                                            self.ecfg.s_row - 1))
             (sampled, tok_lp, top_lp, top_ids, self.counts, self.seen,
-             self.rows) = _decode_step(
+             self.rows) = self._decode_fn(
                 self.params, self.rows, self.counts,
                 self.seen, tok_dev, pos_j, act_dev, samp, allowed, key,
-                self.cfg, self.chunk, all_greedy=all_greedy,
-                want_logprobs=want_lp)
+                all_greedy=all_greedy, want_logprobs=want_lp)
             tok_dev = sampled  # feedback stays on device
             outs.append((sampled, tok_lp, top_lp, top_ids))
         fetched = jax.device_get(outs)

@@ -569,3 +569,49 @@ def test_engine_sliding_window_matches_offline(rng):
     done2 = _run_engine(eng2, [Request(rid="f", input_ids=list(ids),
                                        max_new_tokens=8)])
     assert done2["f"].output_ids != want or True  # may coincide on tiny
+
+
+# ---------------------------------------------------------------------------
+# Tensor-parallel serving (serve/tp.py; sglang tp_worker parity)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kv_quant", ["none", "int8"])
+def test_engine_tp2_matches_tp1(tiny_engine, rng, kv_quant):
+    """A tp=2-sharded engine (params on heads/MLP width, KV rows on the
+    head axis, psum'd o/down projections) produces the same greedy tokens
+    as the single-device engine — including radix prefix reuse through
+    the sharded pool."""
+    params, cfg, ecfg = tiny_engine
+    import dataclasses as dc
+    ecfg = dc.replace(ecfg, kv_quant=kv_quant)
+    base = [int(x) for x in rng.integers(3, 128, size=11)]
+    p2 = base + [int(x) for x in rng.integers(3, 128, size=4)]
+
+    def run(tp):
+        eng = ServeEngine(dict(params), cfg, dc.replace(ecfg, tp=tp))
+        done = _run_engine(eng, [
+            Request(rid="a", input_ids=list(base), max_new_tokens=6),
+            Request(rid="b", input_ids=list(p2), max_new_tokens=6)])
+        mem = eng.check_memory()
+        assert mem["leaked"] == 0, mem
+        return done["a"].output_ids, done["b"].output_ids
+
+    a1, b1 = run(1)
+    a2, b2 = run(2)
+    assert a1 == a2
+    assert b1 == b2
+
+
+def test_engine_tp_oversize_prompt_chunked(tiny_engine, rng):
+    """Chunked prefill works through the shard_map path (tp=2), and an
+    invalid tp (not dividing num_key_value_heads) is rejected."""
+    params, cfg, ecfg = tiny_engine
+    import dataclasses as dc
+    ids = [int(x) for x in rng.integers(3, 128, size=40)]  # > max bucket
+    want = _offline_greedy(params, cfg, ids, 6)
+    eng = ServeEngine(dict(params), cfg, dc.replace(ecfg, tp=2))
+    done = _run_engine(eng, [Request(rid="c", input_ids=list(ids),
+                                     max_new_tokens=6)])
+    assert done["c"].output_ids == want
+    with pytest.raises(Exception):
+        ServeEngine(dict(params), cfg, dc.replace(ecfg, tp=4))
