@@ -82,9 +82,22 @@ def main():
                               kept_ratio=args.token_kept_ratio,
                               image_size=args.image_size)
     else:
-        cfg = llama_config_from_hf(_read_config(args.model_path))
-        params = llama_params_from_hf(
-            load_torch_state_dict(args.model_path), cfg, dtype)
+        hf_cfg = _read_config(args.model_path)
+        archs = hf_cfg.get("architectures") or []
+        if any("Gemma2" in a for a in archs):
+            from aurora_tpu.models.gemma2 import (gemma2_config_from_hf,
+                                                  gemma2_params_from_hf,
+                                                  gemma2_serving_config,
+                                                  gemma2_serving_params)
+            gcfg = gemma2_config_from_hf(hf_cfg)
+            gparams = gemma2_params_from_hf(
+                load_torch_state_dict(args.model_path), gcfg, dtype)
+            cfg = gemma2_serving_config(gcfg)
+            params = gemma2_serving_params(gparams)
+        else:  # llama/vicuna/qwen2/mistral/mixtral families
+            cfg = llama_config_from_hf(hf_cfg)
+            params = llama_params_from_hf(
+                load_torch_state_dict(args.model_path), cfg, dtype)
         tokenizer = AutoTokenizer.from_pretrained(args.model_path)
 
     if args.weight_quant == "int8":

@@ -307,3 +307,57 @@ def gemma2_params_from_hf(sd: Dict[str, np.ndarray], cfg: Gemma2Config,
         },
         "final_norm": jnp.asarray(sd["norm.weight"], dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Serving-engine mapping (serve/engine.py universal config + param layout)
+# ---------------------------------------------------------------------------
+
+def gemma2_serving_config(cfg: Gemma2Config):
+    """Gemma2Config → the engine-facing LlamaConfig view (sglang serves
+    gemma2 through the same radix engine, srt/models/gemma2.py:1-120)."""
+    from aurora_tpu.models.llama import LlamaConfig
+    return LlamaConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        head_dim_override=cfg.head_dim,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rms_norm_eps=cfg.rms_norm_eps,
+        rope_theta=cfg.rope_theta,
+        tie_word_embeddings=True,
+        sliding_window=cfg.sliding_window,
+        swa_every_other=True,
+        attn_logit_softcap=cfg.attn_logit_softcapping,
+        final_logit_softcap=cfg.final_logit_softcapping,
+        scale_embeddings=True,
+        hidden_act="gelu_tanh",
+        query_pre_attn_scalar=cfg.query_pre_attn_scalar,
+        norm_upcast_mul=True)
+
+
+def gemma2_serving_params(params: Params) -> Params:
+    """Gemma2 pytree → engine layout. The (1 + w) RMSNorm convention is
+    absorbed into the stored weights (engine norms multiply by w in
+    fp32 via norm_upcast_mul), and the four per-layer norms map to
+    input_norm / post_attn_out_norm (attn output) / post_attn_norm
+    (pre-ffw, the engine's MLP pre-norm slot) / post_ffw_norm. The
+    per-layer `sliding` flags are dropped — the engine derives them
+    from swa_every_other."""
+    lp = params["layers"]
+    one = lambda w: (1.0 + w.astype(jnp.float32)).astype(w.dtype)  # noqa
+    return {
+        "embed_tokens": params["embed_tokens"],
+        "layers": {
+            "input_norm": one(lp["input_norm"]),
+            "post_attn_out_norm": one(lp["post_attn_norm"]),
+            "post_attn_norm": one(lp["pre_ffw_norm"]),
+            "post_ffw_norm": one(lp["post_ffw_norm"]),
+            "q": lp["q"], "k": lp["k"], "v": lp["v"], "o": lp["o"],
+            "gate": lp["gate"], "up": lp["up"], "down": lp["down"],
+        },
+        "final_norm": one(params["final_norm"]),
+    }

@@ -56,12 +56,28 @@ class LlamaConfig:
     # value would be wrong — e.g. TP-local configs (heads divided across
     # the mesh, hidden unchanged) or models with non-standard head dims.
     head_dim_override: Optional[int] = None
+    # --- Gemma2-family serving knobs (engine-facing universal config;
+    #     models/gemma2.py gemma2_serving_* maps a Gemma2Config here) ---
+    attn_logit_softcap: float = 0.0    # tanh softcap on attention logits
+    final_logit_softcap: float = 0.0   # tanh softcap on lm_head logits
+    scale_embeddings: bool = False     # embeds * sqrt(hidden)
+    hidden_act: str = "silu"           # "gelu_tanh" → GeGLU
+    query_pre_attn_scalar: Optional[float] = None  # attn scale override
+    swa_every_other: bool = False      # even layers sliding, odd global
+    norm_upcast_mul: bool = False      # RMSNorm weight mul in fp32
 
     @property
     def head_dim(self) -> int:
         if self.head_dim_override is not None:
             return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def attn_scale(self) -> float:
+        base = (self.query_pre_attn_scalar
+                if self.query_pre_attn_scalar is not None
+                else self.head_dim)
+        return float(base) ** -0.5
 
     @classmethod
     def qwen2_7b(cls) -> "LlamaConfig":

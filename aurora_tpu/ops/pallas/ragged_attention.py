@@ -63,7 +63,7 @@ def _interpret() -> bool:
 
 def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
             q_ref, k_ref, v_ref, *rest,
-            scale, chunk, t_q, qr, hb, quant, windowed):
+            scale, chunk, t_q, qr, hb, quant, windowed, logit_cap=0.0):
     if quant:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -99,6 +99,8 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
             # [hb, 1, chunk] vector — a sublane-vector broadcast cost
             # +0.39 ms/call in ablation (the relayout, not the DMA)
             s = s * ks_ref[0, 0]
+        if logit_cap > 0.0:  # Gemma2 attention softcapping
+            s = logit_cap * jnp.tanh(s / logit_cap)
         # query row qr = g * t_q + t → global query position off + t
         qr_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, qr, chunk), 1)
         qpos = off + qr_ids % t_q
@@ -147,7 +149,8 @@ def _pick_hb(Hkv: int, want: int) -> int:
 def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
                      scale=None, chunk: int = DEFAULT_CHUNK,
                      k_scales=None, v_scales=None, window=None,
-                     layer=None, head_block: int = 8):
+                     layer=None, head_block: int = 8,
+                     logit_cap: float = 0.0):
     """Causal attention of new tokens against row-contiguous KV.
 
     q:        [Bk, T, Hq, hd] — new-token queries for Bk batch lanes
@@ -252,7 +255,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
                           t_q=T, qr=qr_pad, hb=hb, quant=quant,
-                          windowed=windowed),
+                          windowed=windowed, logit_cap=float(logit_cap)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=grid,
@@ -275,7 +278,8 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 
 def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
                    q_ref, k_ref, v_ref, *rest,
-                   scale, chunk, qr, hb, quant, windowed):
+                   scale, chunk, qr, hb, quant, windowed,
+                   logit_cap=0.0):
     if quant:
         (ks_ref, vs_ref, kn_ref, vn_ref,
          o_ref, ok_ref, ov_ref, oks_ref, ovs_ref,
@@ -338,6 +342,8 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
                                 preferred_element_type=jnp.float32)
         if quant:
             s = s * ks_m
+        if logit_cap > 0.0:  # Gemma2 attention softcapping
+            s = logit_cap * jnp.tanh(s / logit_cap)
         spos = c * chunk + jax.lax.broadcasted_iota(
             jnp.int32, (hb, qr, chunk), 2)
         mask = (spos <= off) & (spos < ln)   # every query row sits at off
@@ -380,7 +386,7 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
                             row_ids, *, layer, scale=None,
                             chunk: int = DEFAULT_CHUNK,
                             k_scales=None, v_scales=None, window=None,
-                            head_block: int = 8):
+                            head_block: int = 8, logit_cap: float = 0.0):
     """Fused DECODE step: write each lane's new K/V token into its row
     (quantizing to int8 in-kernel when scales are given) AND attend over
     the row — one kernel, no XLA scatter/DUS, KV buffers updated in place
@@ -492,7 +498,8 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     res = pl.pallas_call(
         functools.partial(_decode_kernel, scale=float(scale),
                           chunk=chunk, qr=qr_pad, hb=hb, quant=quant,
-                          windowed=windowed),
+                          windowed=windowed,
+                          logit_cap=float(logit_cap)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=grid,
@@ -519,7 +526,8 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
 
 
 def ragged_attention_reference(q, k_rows, v_rows, kv_lens, q_offsets,
-                               row_ids, *, scale=None, window=None):
+                               row_ids, *, scale=None, window=None,
+                               logit_cap: float = 0.0):
     """Pure-XLA oracle for tests (same contract as ragged_attention)."""
     Bk, T, Hq, hd = q.shape
     _, Hkv, S, _ = k_rows.shape
@@ -533,6 +541,8 @@ def ragged_attention_reference(q, k_rows, v_rows, kv_lens, q_offsets,
         v = jnp.repeat(v, rep, axis=1)
     logits = jnp.einsum("bthd,bhsd->bhts", q.astype(jnp.float32) * scale,
                         k.astype(jnp.float32))
+    if logit_cap > 0.0:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
     qpos = q_offsets[:, None] + jnp.arange(T)[None, :]        # [Bk, T]
     spos = jnp.arange(S)
     mask = (spos[None, None, None, :] <= qpos[:, None, :, None]) & \

@@ -155,13 +155,34 @@ def _qkv(cfg: LlamaConfig, lp, h):
     return q, k, v
 
 
+def _norm(cfg: LlamaConfig, x, w):
+    return rms_norm(x, w, cfg.rms_norm_eps,
+                    upcast_weight_mul=cfg.norm_upcast_mul)
+
+
 def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
-    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    gate = _wdot(h, lp, "gate")
-    up = _wdot(h, lp, "up")
-    out = _wdot(jax.nn.silu(gate) * up, lp, "down")
+    """Family-aware MLP block: SiLU (llama) / GeGLU (gemma2) / sparse MoE
+    (mixtral), with Gemma2's post-feedforward norm when present."""
+    h = _norm(cfg, x, lp["post_attn_norm"])
+    if "moe_router" in lp:  # Mixtral-family sparse MLP (fused_moe parity)
+        from aurora_tpu.ops.moe import moe_mlp
+        out = moe_mlp(
+            {"router": lp["moe_router"], "gate": lp["moe_gate"],
+             "up": lp["moe_up"], "down": lp["moe_down"]},
+            h, cfg.num_experts_per_tok).astype(x.dtype)
+    else:
+        gate = _wdot(h, lp, "gate")
+        up = _wdot(h, lp, "up")
+        if cfg.hidden_act == "gelu_tanh":
+            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True
+                              ).astype(gate.dtype)
+        else:
+            act = jax.nn.silu(gate)
+        out = _wdot(act * up, lp, "down")
     if tp_axis is not None:  # row-parallel down-proj partial sum
         out = jax.lax.psum(out, tp_axis)
+    if "post_ffw_norm" in lp:  # Gemma2: norm the ffw output pre-residual
+        out = _norm(cfg, out, lp["post_ffw_norm"])
     return x + out
 
 
@@ -224,6 +245,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     valid length (query padding) go out of bounds and are dropped.
     """
     x = embeds
+    if cfg.scale_embeddings:  # Gemma2: normalizer cast to model dtype
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
     Bk, T, _ = x.shape
     S_row = rows["k"].shape[3]
     L = rows["k"].shape[0]
@@ -244,17 +267,27 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     # aliased outputs: the XLA write paths — advanced-index scatter and
     # per-lane DUS chains alike — measured 0.3-0.7 ms/layer regardless
     # of payload, dominating the 32-layer decode step.
+    # per-layer sliding window: Gemma2 alternates (even layers slide,
+    # odd are global); Mistral is uniform; the kernel takes a traced
+    # width (<=0 disables) so one compiled scan body serves all layers
+    def _window(l):
+        if cfg.swa_every_other:
+            return jnp.where(l % 2 == 0, cfg.sliding_window or 0, 0)
+        return cfg.sliding_window
+
     def layer(carry, xs):
         x, r = carry
         lp, l = xs
-        h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+        h = _norm(cfg, x, lp["input_norm"])
         q, k, v = _qkv(cfg, lp, h)
         q, k = apply_rope(q, k, cos, sin)
         if T == 1:  # decode: fused write+attend, in-place via aliasing
             res = ragged_decode_attention(
                 q, k[:, 0], v[:, 0], r["k"], r["v"], kv_lens, row_ids,
                 layer=l, chunk=chunk, k_scales=r.get("ks"),
-                v_scales=r.get("vs"), window=cfg.sliding_window)
+                v_scales=r.get("vs"), window=_window(l),
+                scale=cfg.attn_scale,
+                logit_cap=cfg.attn_logit_softcap)
             attn, r["k"], r["v"] = res[0], res[1], res[2]
             if quant:
                 r["ks"], r["vs"] = res[3], res[4]
@@ -278,16 +311,20 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
                                     q_offsets, row_ids, chunk=chunk,
                                     layer=l, k_scales=r.get("ks"),
                                     v_scales=r.get("vs"),
-                                    window=cfg.sliding_window)
+                                    window=_window(l),
+                                    scale=cfg.attn_scale,
+                                    logit_cap=cfg.attn_logit_softcap)
         attn = _wdot(attn.reshape(Bk, T, -1).astype(x.dtype), lp, "o")
         if tp_axis is not None:  # row-parallel o-proj partial sum
             attn = jax.lax.psum(attn, tp_axis)
+        if "post_attn_out_norm" in lp:  # Gemma2: norm the attn output
+            attn = _norm(cfg, attn, lp["post_attn_out_norm"])
         x = x + attn
         return (_mlp(cfg, lp, x, tp_axis), r), None
 
     (x, rows), _ = jax.lax.scan(
         layer, (x, rows), (params["layers"], jnp.arange(L)))
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = _norm(cfg, x, params["final_norm"])
     # last valid token per lane (lanes may be partially padded)
     last = jnp.clip(kv_lens - q_offsets - 1, 0, T - 1)
     x = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]
@@ -296,19 +333,27 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
 
 def _lm_head(params, cfg, x):
     if cfg.tie_word_embeddings:
-        return jnp.dot(x, params["embed_tokens"].T,
-                       preferred_element_type=jnp.float32)
-    head = params["lm_head"]
-    if head.dtype == jnp.int8:  # W8A8, see _wdot
-        xf = x.astype(jnp.float32)
-        s_a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-                          / 127.0, 1e-12)
-        x8 = jnp.clip(jnp.round(xf / s_a), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            x8, head, (((x8.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        return acc.astype(jnp.float32) * s_a * params["lm_head_scale"]
-    return jnp.dot(x, head, preferred_element_type=jnp.float32)
+        logits = jnp.dot(x, params["embed_tokens"].T,
+                         preferred_element_type=jnp.float32)
+    else:
+        head = params["lm_head"]
+        if head.dtype == jnp.int8:  # W8A8, see _wdot
+            xf = x.astype(jnp.float32)
+            s_a = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1,
+                                      keepdims=True) / 127.0, 1e-12)
+            x8 = jnp.clip(jnp.round(xf / s_a), -127,
+                          127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x8, head, (((x8.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            logits = (acc.astype(jnp.float32) * s_a
+                      * params["lm_head_scale"])
+        else:
+            logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap > 0.0:  # Gemma2
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
+    return logits
 
 
 # ---------------------------------------------------------------------------
@@ -558,6 +603,7 @@ class ServeEngine:
         self.seen = jnp.zeros((B, cfg.vocab_size), bool)
         self.chunk = min(ecfg.kv_chunk, S)
         self.row_reqs: List[Optional[Request]] = [None] * B
+        self.prefilling: List[Request] = []   # interleaved chunked
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
         self.mesh = None
@@ -610,9 +656,12 @@ class ServeEngine:
         (rows cleared, radix locks dropped); the waiting queue is
         untouched. Returns the failed requests."""
         failed = []
+        self.prefilling = []
         for req in list(self.sched.running):
             self.sched.running.remove(req)
             req.finished = FinishReason.ABORT
+            req.prefill_active = False
+            req.prefill_embeds = None
             if 0 <= req.batch_row < len(self.row_reqs) and \
                     self.row_reqs[req.batch_row] is req:
                 self.row_reqs[req.batch_row] = None
@@ -671,6 +720,7 @@ class ServeEngine:
     def step(self) -> List[Request]:
         """One engine iteration → requests finished this step."""
         self._admit()
+        self._prefill_tick()
         self._jump_forwards()
         self._decode()
         self._jump_forwards()
@@ -718,12 +768,19 @@ class ServeEngine:
                 self._abort_admission(req, row, e)
                 continue
             if req.extend_len_pending > max_bucket:
-                # oversize prompt: per-request chunked prefill
+                # oversize prompt: INTERLEAVED chunked prefill — one
+                # chunk per engine step alongside the running batch's
+                # decode (tp_worker.py:411-570 parity; round-2 ran the
+                # whole prompt inside _admit, stalling decode for its
+                # entire duration)
                 try:
-                    self._extend_chunked(req, n_cached)
+                    req.prefill_embeds = self._embeds_for(req, n_cached)
                 except Exception as e:
                     self._abort_admission(req, row, e)
                     continue
+                req.prefill_done = 0
+                req.prefill_active = True
+                self.prefilling.append(req)
                 self.sched.running.append(req)
             else:
                 wave.append(req)
@@ -825,28 +882,56 @@ class ServeEngine:
             jnp.asarray(offs), jnp.asarray(lens))
         self._emit(wave, logits[:len(wave)], row_ids[:len(wave)])
 
-    def _extend_chunked(self, req: Request, n_cached: int) -> None:
-        """Oversize prompt: chunk through the largest bucket, each chunk
-        extending the KV written by the previous one."""
+    def _prefill_tick(self) -> None:
+        """One chunk for every in-flight chunked prefill, batched into a
+        single extend call; requests whose final chunk lands this tick
+        sample their first token and join decode."""
+        work = [r for r in self.prefilling if r.finished is None]
+        self.prefilling = work
+        if not work:
+            return
         bucket = max(self.ecfg.prefill_buckets)
-        embeds = self._embeds_for(req, n_cached)
-        n_new = embeds.shape[0]
-        D = embeds.shape[1]
-        row = req.batch_row
-        logits = None
-        for start in range(0, n_new, bucket):
-            chunk_n = min(bucket, n_new - start)
-            cb = self._bucket(chunk_n)
-            pad = np.zeros((1, cb, D), np.float32)
-            pad[0, :chunk_n] = embeds[start:start + chunk_n]
-            base = n_cached + start
+        lanes = []
+        for req in work:
+            n_total = req.prefill_embeds.shape[0]
+            n = min(bucket, n_total - req.prefill_done)
+            lanes.append((req, req.prefill_done, n))
+        T = self._bucket(max(n for _, _, n in lanes))
+        Bk = self._lane_bucket(len(lanes))
+        D = self.params["embed_tokens"].shape[1]
+        embeds = np.zeros((Bk, T, D), np.float32)
+        row_ids = np.zeros((Bk,), np.int32)
+        offs = np.zeros((Bk,), np.int32)
+        lens = np.zeros((Bk,), np.int32)
+        for i, (req, start, n) in enumerate(lanes):
+            embeds[i, :n] = req.prefill_embeds[start:start + n]
+            row_ids[i] = req.batch_row
+            offs[i] = req.n_cached + start
+            lens[i] = req.n_cached + start + n
+        try:
             logits, self.rows = self._extend_fn(
                 self.params, self.rows,
-                jnp.asarray(pad, self.ecfg.kv_dtype),
-                jnp.asarray([row], np.int32),
-                jnp.asarray([base], np.int32),
-                jnp.asarray([base + chunk_n], np.int32))
-        self._emit([req], logits, np.asarray([row], np.int32))
+                jnp.asarray(embeds, self.ecfg.kv_dtype),
+                jnp.asarray(row_ids), jnp.asarray(offs),
+                jnp.asarray(lens))
+        except Exception as e:  # isolate: fail the prefilling requests
+            for req, _, _ in lanes:
+                req.finished = FinishReason.ABORT
+                req.error = str(e)
+            self.prefilling = []
+            return
+        emit_reqs, emit_idx = [], []
+        for i, (req, start, n) in enumerate(lanes):
+            req.prefill_done += n
+            if req.prefill_done >= req.prefill_embeds.shape[0]:
+                req.prefill_active = False
+                req.prefill_embeds = None
+                self.prefilling.remove(req)
+                emit_reqs.append(req)
+                emit_idx.append(i)
+        if emit_reqs:
+            sel = jnp.asarray(emit_idx, np.int32)
+            self._emit(emit_reqs, logits[sel], row_ids[emit_idx])
 
     def _allowed_mask(self, reqs, rows, n) -> Optional[jnp.ndarray]:
         """[n, V] allowed-token mask when any request is constrained or
@@ -916,6 +1001,33 @@ class ServeEngine:
             if not fired:
                 return
 
+    def _heal_tokens(self, new_out: List[int]) -> Optional[List[int]]:
+        """Re-tokenize the jump-forward output text so the KV matches the
+        canonical tokenization (srt/constrained/jump_forward.py:1-80
+        parity): forced ids come from single-token FSM steps, and a
+        non-canonical token split changes every subsequent logit. Returns
+        the healed ids, or None when healing is a no-op/unstable."""
+        if self.tokenizer is None:
+            return None
+        try:
+            text = self.tokenizer.decode(
+                new_out, skip_special_tokens=False,
+                clean_up_tokenization_spaces=False)
+            re_ids = list(self.tokenizer.encode(
+                text, add_special_tokens=False))
+            if re_ids == new_out:
+                return None
+            # stability guard: only heal when the healed ids decode back
+            # to the exact same text (some tokenizers aren't roundtrip-
+            # stable around byte fallbacks)
+            if self.tokenizer.decode(
+                    re_ids, skip_special_tokens=False,
+                    clean_up_tokenization_spaces=False) != text:
+                return None
+            return re_ids
+        except Exception:  # noqa: BLE001 — healing is best-effort
+            return None
+
     def _maybe_jump(self, req: Request) -> bool:
         budget = min(req.max_new_tokens - len(req.output_ids) - 1,
                      max(self.ecfg.prefill_buckets) - 1)
@@ -925,34 +1037,79 @@ class ServeEngine:
         if not forced:
             return False
         row = req.batch_row
-        off = req.seq_len - 1        # position of the unwritten last token
-        toks = [req.output_ids[-1]] + forced
-        req.output_ids.extend(forced)
-        # forced tokens must still feed the penalty histograms (they were
-        # never sampled, so _decode_step's on-device update missed them)
-        nb = self._lane_bucket(len(forced))
-        padded = np.full((nb,), -1, np.int64)
-        padded[:len(forced)] = forced
-        self.counts, self.seen = _count_tokens(
-            self.counts, self.seen, jnp.asarray(row, np.int32),
-            jnp.asarray(padded))
+        P = len(req.input_ids)
+        old_out = list(req.output_ids)
+        new_out = old_out + forced
+        healed = self._heal_tokens(new_out)
+        if healed is None:
+            final = new_out
+            d = len(old_out)             # append-only, no rewind
+        else:
+            final = healed[:req.max_new_tokens]
+            # rewind to the first divergence from the row's written
+            # tokens; the DFA state is text-derived, so it stays valid
+            # across the re-tokenization
+            d = 0
+            for a, b in zip(final, old_out):
+                if a != b:
+                    break
+                d += 1
+        req.output_ids = list(final)
+        if healed is None:
+            # forced tokens must still feed the penalty histograms (they
+            # were never sampled, so _decode_step's on-device update
+            # missed them)
+            nb = self._lane_bucket(len(forced))
+            padded = np.full((nb,), -1, np.int64)
+            padded[:len(forced)] = forced
+            self.counts, self.seen = _count_tokens(
+                self.counts, self.seen, jnp.asarray(row, np.int32),
+                jnp.asarray(padded))
+        else:
+            # token multiset changed: rebuild the row's histograms
+            prompt_seen = np.zeros((self.cfg.vocab_size,), bool)
+            valid = np.asarray(
+                [t for t in req.input_ids
+                 if 0 <= t < self.cfg.vocab_size], np.int64)
+            prompt_seen[valid] = True
+            self.counts, self.seen = _reset_row_stats(
+                self.counts, self.seen, row, jnp.asarray(prompt_seen))
+            nb = self._lane_bucket(max(len(final), 1))
+            padded = np.full((nb,), -1, np.int64)
+            padded[:len(final)] = final
+            self.counts, self.seen = _count_tokens(
+                self.counts, self.seen, jnp.asarray(row, np.int32),
+                jnp.asarray(padded))
         if req.constraint.finished:
             req.finished = FinishReason.EOS
         req.check_finished()
         self._check_stop_strs(req)
         if req.finished is not None:
             return True  # jump ended the request: KV no longer needed
-        T = self._bucket(len(toks))
-        ids = np.zeros((T,), np.int64)
-        ids[:len(toks)] = toks
-        embeds = jnp.take(self.params["embed_tokens"],
-                          jnp.asarray(np.clip(ids, 0,
-                                              self.cfg.vocab_size - 1)),
-                          axis=0)[None].astype(self.ecfg.kv_dtype)
-        logits, self.rows = self._extend_fn(
-            self.params, self.rows, embeds,
-            jnp.asarray([row], np.int32), jnp.asarray([off], np.int32),
-            jnp.asarray([off + len(toks)], np.int32))
+        # feed tokens from the divergence point (d == 0 → re-extend from
+        # the prompt's last token); positions ≥ d-1 are overwritten
+        if d == 0:
+            toks = [req.input_ids[-1]] + list(final)
+            off = P - 1
+        else:
+            toks = list(final[d - 1:])
+            off = P + d - 1
+        bucket = max(self.ecfg.prefill_buckets)
+        logits = None
+        for start in range(0, len(toks), bucket):
+            part = toks[start:start + bucket]
+            T = self._bucket(len(part))
+            ids = np.zeros((T,), np.int64)
+            ids[:len(part)] = part
+            embeds = jnp.take(
+                self.params["embed_tokens"],
+                jnp.asarray(np.clip(ids, 0, self.cfg.vocab_size - 1)),
+                axis=0)[None].astype(self.ecfg.kv_dtype)
+            logits, self.rows = self._extend_fn(
+                self.params, self.rows, embeds,
+                jnp.asarray([row], np.int32),
+                jnp.asarray([off + start], np.int32),
+                jnp.asarray([off + start + len(part)], np.int32))
         self._emit([req], logits, np.asarray([row], np.int32))
         return True
 
@@ -1050,6 +1207,15 @@ class ServeEngine:
                 req.prefix_locked = False
             req.prefix_node = None
 
+        if req.prefill_active:
+            # aborted mid-chunked-prefill: the row holds a PARTIAL prompt
+            # — caching it would poison the radix tree
+            if req in self.prefilling:
+                self.prefilling.remove(req)
+            req.prefill_active = False
+            req.prefill_embeds = None
+            unlock()
+            return
         if row < 0 or not req.prefix_locked:
             # aborted from the waiting queue / failed admission: nothing
             # was extended, nothing to cache

@@ -61,6 +61,12 @@ class Request:
     n_cached: int = 0              # locked prefix length at admission
     extend_len_pending: int = 0    # new prompt tokens at admission
     batch_row: int = -1
+    # interleaved chunked prefill (oversize prompts): stashed embeddings
+    # + progress cursor; prefill_active guards release-time caching (a
+    # partially prefilled row must never enter the radix cache)
+    prefill_embeds: Optional[np.ndarray] = None
+    prefill_done: int = 0
+    prefill_active: bool = False
     finished: Optional[FinishReason] = None
     error: Optional[str] = None    # per-request failure (isolation path)
     stop_trim: Optional[str] = None

@@ -615,3 +615,108 @@ def test_engine_tp_oversize_prompt_chunked(tiny_engine, rng):
     assert done["c"].output_ids == want
     with pytest.raises(Exception):
         ServeEngine(dict(params), cfg, dc.replace(ecfg, tp=4))
+
+
+def test_chunked_prefill_interleaves_with_decode(tiny_engine, rng):
+    """An oversize prompt must NOT stall the running batch: while its
+    chunks prefill (one per step), the incumbent request keeps producing
+    one token per step (tp_worker.py:411-570 interleaving parity)."""
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+    short = [int(x) for x in rng.integers(3, 128, size=8)]
+    long_ids = [int(x) for x in rng.integers(3, 128, size=48)]  # 3 chunks
+    want_a = _offline_greedy(params, cfg, short, 12)
+    want_b = _offline_greedy(params, cfg, long_ids, 6)
+
+    a = Request(rid="a", input_ids=list(short), max_new_tokens=12)
+    engine.add_request(a)
+    engine.step()                       # a admitted + first token
+    engine.step()                       # a decoding
+    n_before = len(a.output_ids)
+    b = Request(rid="b", input_ids=list(long_ids), max_new_tokens=6)
+    engine.add_request(b)
+    ticks = 0
+    while b.prefill_active or not b.output_ids:
+        engine.step()
+        ticks += 1
+        assert ticks < 10
+        # incumbent advanced every step despite the ongoing prefill
+        assert len(a.output_ids) >= n_before + ticks or \
+            a.finished is not None
+    assert ticks >= 2                   # prefill really was chunked
+                                        # (48 new tokens / 32 bucket)
+    done = _run_engine(engine, [])
+    outs = {r.rid: r.output_ids for r in
+            [a, b] if r.finished is not None}
+    while engine.has_work():
+        engine.step()
+    assert a.output_ids == want_a
+    assert b.output_ids == want_b
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_jump_forward_retokenization_healing(tiny_engine, rng):
+    """After a forced jump-forward stretch, the engine re-tokenizes the
+    output text and rewinds the row so the KV matches the canonical
+    tokenization (srt/constrained/jump_forward.py parity): forced ids
+    [5, 6] ('ab'+'cd') must be healed to the canonical [7] ('abcd') and
+    the continuation must equal greedy decoding from the healed ids."""
+    params, cfg, ecfg = tiny_engine
+
+    surfaces = {5: "ab", 6: "cd", 7: "abcd"}
+
+    class FakeTok:
+        def decode(self, ids, **kw):
+            return "".join(surfaces.get(int(t), f"<{int(t)}>")
+                           for t in ids)
+
+        def encode(self, text, **kw):
+            out = []
+            i = 0
+            toks = sorted(surfaces.items(), key=lambda kv: -len(kv[1]))
+            while i < len(text):
+                if text[i] == "<":
+                    j = text.index(">", i)
+                    out.append(int(text[i + 1:j]))
+                    i = j + 1
+                    continue
+                for tid, s in toks:
+                    if text.startswith(s, i):
+                        out.append(tid)
+                        i += len(s)
+                        break
+                else:
+                    raise ValueError(text[i:])
+            return out
+
+    class ForceOnce:
+        """Forces 'ab','cd' once, then unconstrained."""
+        def __init__(self):
+            self.fired = False
+            self.finished = False
+
+        def mask(self, v):
+            return np.ones((v,), bool)
+
+        def advance(self, tok):
+            pass
+
+        def forced_run(self, budget):
+            if self.fired:
+                return []
+            self.fired = True
+            return [5, 6]
+
+    engine = ServeEngine(params, cfg, ecfg, tokenizer=FakeTok())
+    ids = [int(x) for x in rng.integers(8, 128, size=10)]
+    req = Request(rid="h", input_ids=list(ids), max_new_tokens=6,
+                  constraint=ForceOnce(), eos_ids=(-1,))
+    done = _run_engine(engine, [req])
+    out = done["h"].output_ids
+    t0 = out[0]
+    # healed: [t0, 7], NOT [t0, 5, 6]
+    assert out[1] == 7 and 5 not in out[:2] and 6 not in out[:2], out
+    # continuation equals greedy decoding from prompt + healed ids
+    want_cont = _offline_greedy(params, cfg, ids + [t0, 7],
+                                6 - len(out[:2]))
+    assert out[2:] == want_cont, (out, want_cont)
