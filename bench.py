@@ -28,12 +28,15 @@ import time
 
 import numpy as np
 
-E2E_VIDEOS = 4
+E2E_VIDEOS = 8
 FRAMES = 8
 IMAGE_SIZE = 378
 KEPT_RATIO = 0.2
 CAPTION_TOKENS = 256
-LLM_BATCH = 4   # int8 KV rows: b4 is lighter than bf16 b2
+# W8 weights (6.75GB) + int8 KV rows (4.4GB at b8/s_row 1664) fit a
+# 15.75GB v5e together — round 3's carry/fused-write decode fix made the
+# quantized engine path fast as well as small
+LLM_BATCH = 8
 LLM_HIDDEN = 4096
 
 
@@ -109,22 +112,25 @@ def _llm_stage(jax, jnp, embeds, detail):
     from aurora_tpu.serve.engine import EngineConfig, ServeEngine
     from aurora_tpu.serve.scheduler import Request
 
+    from aurora_tpu.serve.engine import quantize_weights_int8
     cfg = LlamaConfig.vicuna_7b_v15_16k()
     print("[bench] init 7B params on device", file=sys.stderr)
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    # W8 halves the weight stream (decode is weight-bandwidth-bound);
+    # free_source keeps peak HBM ~1x the model during quantization
+    params = quantize_weights_int8(params, free_source=True)
 
     n_vis = embeds[0].shape[0]
     prompt_len = n_vis + 24           # visual tokens + instruction text
     max_seq = prompt_len + CAPTION_TOKENS
-    # b2 rows ≈ 1.6GB next to 13.5GB of weights on a 15.75GB v5e;
-    # kv_chunk=512 keeps s_row tight (1536, not 2048)
-    # int8 KV (per-token scales, dequant in-kernel): b4 rows ≈ 0.9GB vs
-    # bf16 b2's 1.6GB next to the 13.5GB of weights — double the decode
-    # parallelism AND more HBM headroom
+    # full production config: W8 weights + int8 KV (quantized in-kernel
+    # by the fused decode kernel) at batch 8 — 6.75GB weights + 4.4GB
+    # rows; kv_chunk=256 keeps s_row tight AND measured fastest for
+    # decode (round-3 sweep: 20.3ms @256 vs 22.4 @512 at b8/ctx1k)
     ecfg = EngineConfig(
         max_batch=LLM_BATCH, max_seq_len=max_seq, num_slots=128,
         prefill_buckets=(-(-prompt_len // 256) * 256,),
-        kv_chunk=512, decode_steps=16, kv_quant="int8")
+        kv_chunk=256, decode_steps=16, kv_quant="int8")
     host = np.random.default_rng(1)
 
     emb_table = {}
@@ -192,56 +198,18 @@ def _llm_stage(jax, jnp, embeds, detail):
     detail["e2e_kv_quant"] = "int8"
     emb_table.clear()
 
-    # steady-state batched decode throughput (b8, prompt 16, 160 new)
-    ecfg8 = EngineConfig(max_batch=8, max_seq_len=256, num_slots=64,
-                         prefill_buckets=(16,), kv_chunk=256,
-                         decode_steps=32)
-    engine8 = ServeEngine(params, cfg, ecfg8)
-
-    def batch8(tag, n_new):
-        return [Request(rid=f"{tag}{i}",
-                        input_ids=[int(x) for x in
-                                   host.integers(10, 30000, size=16)],
-                        max_new_tokens=n_new, eos_ids=(-1,))
-                for i in range(8)]
-
-    t0 = time.perf_counter()
-    for r in batch8("w", 8):
-        engine8.add_request(r)
-    while engine8.has_work():
-        engine8.step()
-    print(f"[bench] decode compile+warm {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
-    def decode_pass(tag):
-        t0 = time.perf_counter()
-        for r in batch8(tag, 160):
-            engine8.add_request(r)
-        while engine8.has_work():
-            engine8.step()
-        return time.perf_counter() - t0
-
-    t_dec = min(decode_pass("d1"), decode_pass("d2"))
-    detail["decode_tokens_per_s_b8"] = round(8 * 160 / t_dec, 1)
-    detail["decode_ms_per_step_b8"] = round(t_dec / 160 * 1e3, 2)
-    detail["backend"] = jax.default_backend()
-    del engine8
-
-    # W8A8 long-context decode: int8 weights (6.75GB, native int8 MXU
-    # dot) + bf16 KV. (The int8-KV KERNEL is faster than bf16 — 0.44 vs
-    # 0.55 ms/call — but the int8 engine path currently measures slower
-    # end-to-end at this shape; suspected donation/copy of the quantized
-    # row buffers, un-profilable through the relay. The e2e stage keeps
-    # int8 KV where its capacity wins the headline.)
-    try:
-        from aurora_tpu.serve.engine import quantize_weights_int8
-        qparams = quantize_weights_int8(params, free_source=True)
-        ecfg_q = EngineConfig(max_batch=8, max_seq_len=1280,
+    # steady-state b8/ctx1k decode: W8 weights, bf16 vs int8 KV (the
+    # round-2 int8 regression's exact shape — both now run the fused
+    # write+attend decode kernel)
+    def decode_stage(tag, kv_quant):
+        ecfg_d = EngineConfig(max_batch=8, max_seq_len=1280,
                               num_slots=128, prefill_buckets=(1024,),
-                              kv_chunk=256, decode_steps=32)
-        engine_q = ServeEngine(qparams, cfg, ecfg_q)
+                              kv_chunk=256, decode_steps=32,
+                              kv_quant=kv_quant)
+        eng = ServeEngine(params, cfg, ecfg_d)
 
-        def qbatch(tag, n_new):
-            return [Request(rid=f"{tag}{i}",
+        def batch(btag, n_new):
+            return [Request(rid=f"{tag}{btag}{i}",
                             input_ids=[int(x) for x in
                                        host.integers(10, 30000,
                                                      size=1024)],
@@ -249,28 +217,36 @@ def _llm_stage(jax, jnp, embeds, detail):
                     for i in range(8)]
 
         t0 = time.perf_counter()
-        for r in qbatch("qw", 8):
-            engine_q.add_request(r)
-        while engine_q.has_work():
-            engine_q.step()
-        print(f"[bench] w8 compile+warm "
+        for r in batch("w", 8):
+            eng.add_request(r)
+        while eng.has_work():
+            eng.step()
+        print(f"[bench] {tag} compile+warm "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-        def qpass(tag):
+        def one(btag):
             t0 = time.perf_counter()
-            for r in qbatch(tag, 160):
-                engine_q.add_request(r)
-            while engine_q.has_work():
-                engine_q.step()
+            for r in batch(btag, 160):
+                eng.add_request(r)
+            while eng.has_work():
+                eng.step()
             return time.perf_counter() - t0
 
-        t_q = min(qpass("q1"), qpass("q2"))
-        detail["decode_tokens_per_s_b8_ctx1k_w8"] = round(
-            8 * 160 / t_q, 1)
-        detail["decode_ms_per_step_b8_ctx1k_w8"] = round(
-            t_q / 160 * 1e3, 2)
+        t = min(one("p1"), one("p2"))
+        detail[f"decode_tokens_per_s_b8_ctx1k_{tag}"] = round(
+            8 * 160 / t, 1)
+        detail[f"decode_ms_per_step_b8_ctx1k_{tag}"] = round(
+            t / 160 * 1e3, 2)
+
+    detail["backend"] = jax.default_backend()
+    try:
+        decode_stage("w8", "none")        # W8 + bf16 KV
     except Exception as e:  # noqa: BLE001
         detail["w8_error"] = str(e)[:160]
+    try:
+        decode_stage("w8kv8", "int8")     # full quantized config
+    except Exception as e:  # noqa: BLE001
+        detail["w8kv8_error"] = str(e)[:160]
     return t_llm
 
 

@@ -71,3 +71,48 @@ def make_tiny_xtuner_dir(tmpdir, seed=0):
 def random_frames(rng, f=2, size=56):
     """uint8 RGB frames [F, H, W, 3]."""
     return rng.integers(0, 255, size=(f, size, size, 3)).astype(np.uint8)
+
+
+def make_xtuner_dir(tmpdir, seed=0, *, llm_kw=None, vit_kw=None,
+                    proj_hidden=None):
+    """Parametrized xtuner-layout dir (HF llama at root + visual_encoder/
+    + projector/). llm_kw/vit_kw override the tiny default configs —
+    used by the full-config parity slice (378px / true hidden sizes)."""
+    import json as _json
+    import torch
+    from transformers import (CLIPVisionConfig, CLIPVisionModel,
+                              LlamaConfig, LlamaForCausalLM)
+
+    torch.manual_seed(seed)
+    root = str(tmpdir)
+
+    lkw = dict(vocab_size=512, hidden_size=64, intermediate_size=128,
+               num_hidden_layers=3, num_attention_heads=4,
+               num_key_value_heads=4, max_position_embeddings=1024,
+               rms_norm_eps=1e-5, attn_implementation="eager",
+               tie_word_embeddings=False, bos_token_id=1,
+               eos_token_id=2, pad_token_id=0)
+    lkw.update(llm_kw or {})
+    llm = LlamaForCausalLM(LlamaConfig(**lkw)).eval()
+    llm.save_pretrained(root, safe_serialization=True)
+
+    vkw = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+               num_attention_heads=4, image_size=56, patch_size=14)
+    vkw.update(vit_kw or {})
+    vit = CLIPVisionModel(CLIPVisionConfig(**vkw)).eval()
+    vit.save_pretrained(os.path.join(root, "visual_encoder"))
+
+    vh, lh = (proj_hidden or (vkw["hidden_size"], lkw["hidden_size"]))
+    proj = torch.nn.Sequential(
+        torch.nn.Linear(vh, lh), torch.nn.GELU(),
+        torch.nn.Linear(lh, lh)).eval()
+    pj_dir = os.path.join(root, "projector")
+    os.makedirs(pj_dir, exist_ok=True)
+    sd = {f"model.{k}": v for k, v in proj.state_dict().items()}
+    torch.save(sd, os.path.join(pj_dir, "pytorch_model.bin"))
+    with open(os.path.join(pj_dir, "config.json"), "w") as f:
+        _json.dump({"model_type": "projector", "visual_hidden_size": vh,
+                    "llm_hidden_size": lh, "depth": 2,
+                    "hidden_act": "gelu", "bias": True}, f)
+    tokenizer = make_tiny_tokenizer(root)
+    return root, llm, vit, proj, tokenizer
