@@ -41,6 +41,9 @@ def main():
     p.add_argument("--prompt-len", type=int, default=512)
     p.add_argument("--decode-steps", type=int, default=64)
     p.add_argument("--max-seq-len", type=int, default=2048)
+    p.add_argument("--block-steps", type=int, default=1,
+                   help="decode steps fused into one compiled program "
+                        "(EngineConfig.decode_steps)")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args()
@@ -55,7 +58,8 @@ def main():
     ecfg = EngineConfig(
         max_batch=args.batch, max_seq_len=args.max_seq_len,
         num_slots=args.batch * args.max_seq_len + 1,
-        prefill_buckets=(args.prompt_len,), kv_dtype=dtype)
+        prefill_buckets=(args.prompt_len,), kv_dtype=dtype,
+        decode_steps=args.block_steps)
     engine = ServeEngine(params, cfg, ecfg)
 
     rng = np.random.default_rng(0)

@@ -145,3 +145,87 @@ def cider_d(candidates, references, *, n_max: int = 4,
             per_ref.append(val / n_max)
         scores.append(10.0 * (sum(per_ref) / max(len(per_ref), 1)))
     return (sum(scores) / max(N, 1)), scores
+
+
+def bleu(candidates, references, *, n: int = 4):
+    """Corpus BLEU-n with uniform weights and brevity penalty
+    (pycocoevalcap Bleu semantics, closest-reference length).
+    candidates: List[str]; references: List[List[str]].
+    Returns (corpus_score, per_sample_scores)."""
+    import math
+    from collections import Counter
+
+    assert len(candidates) == len(references)
+    # corpus-level accumulators
+    match = [0] * n
+    total = [0] * n
+    c_len = r_len = 0
+    per_sample = []
+    for cand, refs in zip(candidates, references):
+        ct = _caption_tokens(cand)
+        rts = [_caption_tokens(r) for r in refs]
+        c_len += len(ct)
+        r_len += min((abs(len(rt) - len(ct)), len(rt))
+                     for rt in rts)[1] if rts else 0
+        s_match, s_total = [0] * n, [0] * n
+        for k in range(1, n + 1):
+            cc = Counter(tuple(ct[i:i + k])
+                         for i in range(len(ct) - k + 1))
+            rmax = Counter()
+            for rt in rts:
+                rc = Counter(tuple(rt[i:i + k])
+                             for i in range(len(rt) - k + 1))
+                for g, v in rc.items():
+                    rmax[g] = max(rmax[g], v)
+            m = sum(min(v, rmax.get(g, 0)) for g, v in cc.items())
+            t = max(sum(cc.values()), 0)
+            match[k - 1] += m
+            total[k - 1] += t
+            s_match[k - 1], s_total[k - 1] = m, t
+        # per-sample smoothed score (for stderr only)
+        logs = [math.log((s_match[k] + 1e-9) / max(s_total[k], 1e-9))
+                for k in range(n)]
+        rl = (min((abs(len(rt) - len(ct)), len(rt)) for rt in rts)[1]
+              if rts else len(ct))
+        bp_s = 1.0 if len(ct) >= rl else math.exp(
+            1 - rl / max(len(ct), 1))
+        per_sample.append(bp_s * math.exp(sum(logs) / n))
+    if any(t == 0 for t in total) or any(m == 0 for m in match):
+        corpus = 0.0
+    else:
+        logs = [math.log(match[k] / total[k]) for k in range(n)]
+        bp = 1.0 if c_len >= r_len else math.exp(1 - r_len
+                                                 / max(c_len, 1))
+        corpus = bp * math.exp(sum(logs) / n)
+    return corpus, per_sample
+
+
+def rouge_l(candidates, references, *, beta: float = 1.2):
+    """ROUGE-L F-measure against the best reference (pycocoevalcap Rouge
+    semantics). Returns (corpus_mean, per_sample_scores)."""
+    def lcs(a, b):
+        m, n = len(a), len(b)
+        dp = [0] * (n + 1)
+        for i in range(1, m + 1):
+            prev = 0
+            for j in range(1, n + 1):
+                cur = dp[j]
+                dp[j] = prev + 1 if a[i - 1] == b[j - 1] \
+                    else max(dp[j], dp[j - 1])
+                prev = cur
+        return dp[n]
+
+    per = []
+    for cand, refs in zip(candidates, references):
+        ct = _caption_tokens(cand)
+        best = 0.0
+        for r in refs:
+            rt = _caption_tokens(r)
+            ll = lcs(ct, rt)
+            p = ll / max(len(ct), 1)
+            rr = ll / max(len(rt), 1)
+            if p > 0 and rr > 0:
+                f = ((1 + beta ** 2) * p * rr) / (rr + beta ** 2 * p)
+                best = max(best, f)
+        per.append(best)
+    return (sum(per) / max(len(per), 1)), per

@@ -34,7 +34,8 @@ def doc_to_text(doc, **_):
 
 
 def doc_to_target(doc):
-    caps = doc.get("captions") or [doc.get("caption", "")]
+    caps = (doc.get("captions") or doc.get("enCap")  # VATEX field
+            or [doc.get("caption", "")])
     return caps
 
 
@@ -72,3 +73,63 @@ for _name, _env in (("coco_cap", "AURORA_COCO_CAP"),
     _path = os.environ.get(_env, f"data/{_name}/val.jsonl")
     if os.path.exists(_path):
         register_caption_task(_name, _path)
+
+
+# --- VATEX video captioning (lmms-eval tasks/vatex parity) -----------------
+
+VATEX_PROMPT = ("Provide a one-sentence caption for the provided "
+                "video.")  # vatex/utils.py vatex_test_doc_to_text
+
+
+def vatex_doc_to_text(doc, **_):
+    return doc.get("prompt", VATEX_PROMPT)
+
+
+def vatex_process_results(doc, result):
+    rec = {"pred": result[0], "refs": doc_to_target(doc)}
+    # corpus-level metrics share one stash (vatex/utils.py:90-117)
+    return {"vatex_CIDEr": rec, "vatex_Bleu_4": rec,
+            "vatex_ROUGE_L": rec}
+
+
+def vatex_bleu4_aggregate(results: List[dict]) -> float:
+    from aurora_tpu.eval.metrics import bleu
+    corpus, _ = bleu([r["pred"] for r in results],
+                     [r["refs"] for r in results], n=4)
+    return corpus
+
+
+def vatex_rouge_aggregate(results: List[dict]) -> float:
+    from aurora_tpu.eval.metrics import rouge_l
+    corpus, _ = rouge_l([r["pred"] for r in results],
+                        [r["refs"] for r in results])
+    return corpus
+
+
+def register_vatex_task(dataset_path: str, name: str = "vatex_test",
+                        max_new_tokens: int = 64):
+    """VATEX English test captions: {"video_name"|"video_path": ...,
+    "captions"|"enCap": [...]} jsonl."""
+    return register_task(TaskConfig(
+        name=name,
+        dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.captions:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.captions:vatex_doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.captions:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.captions:"
+                        "vatex_process_results",
+        metric_aggregations={
+            "vatex_CIDEr": "aurora_tpu.eval.tasks.captions:"
+                           "cider_aggregate",
+            "vatex_Bleu_4": "aurora_tpu.eval.tasks.captions:"
+                            "vatex_bleu4_aggregate",
+            "vatex_ROUGE_L": "aurora_tpu.eval.tasks.captions:"
+                             "vatex_rouge_aggregate"},
+        generation_kwargs={"max_new_tokens": max_new_tokens,
+                           "temperature": 0.0},
+    ))
+
+
+_vatex_path = os.environ.get("AURORA_VATEX", "data/vatex/test.jsonl")
+if os.path.exists(_vatex_path):
+    register_vatex_task(_vatex_path)

@@ -186,4 +186,15 @@ def make_tp_steps(mesh: Mesh, cfg: LlamaConfig, chunk: int,
         seen = seen.at[row_ids, sampled].max(active)
         return (sampled, tok_lp, top_lp, top_ids, counts, seen, rows)
 
-    return extend_fn, decode_fn
+    @functools.partial(jax.jit,
+                       static_argnames=("K", "all_greedy",
+                                        "want_logprobs"),
+                       donate_argnums=(1, 2, 3))
+    def decode_block_fn(params, rows, counts, seen, tokens, positions,
+                        active, samp, key, K, all_greedy=True,
+                        want_logprobs=False):
+        return eng._decode_block_impl(
+            fwd, params, cfg, rows, counts, seen, tokens, positions,
+            active, samp, key, K, all_greedy, want_logprobs)
+
+    return extend_fn, decode_fn, decode_block_fn

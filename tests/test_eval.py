@@ -413,3 +413,109 @@ def test_videoqa_judge_scoring(fake_judge):
     assert set(out) == {"qa_acc", "qa_score"}
     assert 0.0 <= out["qa_acc"] <= 1.0
     assert 0.0 <= out["qa_score"] <= 5.0
+
+
+def test_vatex_task_pipeline(tmp_path, rng):
+    """VATEX captioning (lmms-eval tasks/vatex parity): enCap refs,
+    corpus CIDEr/BLEU-4/ROUGE-L through the evaluator + engine."""
+    from aurora_tpu.eval.tasks.captions import register_vatex_task
+    data_dir = tmp_path / "vatex"
+    os.makedirs(data_dir)
+    with open(data_dir / "test.jsonl", "w") as f:
+        for i in range(3):
+            vid = rng.integers(0, 255, (2, 56, 56, 3)).astype(np.uint8)
+            np.save(data_dir / f"vid{i}.npy", vid)
+            f.write(json.dumps({
+                "video_name": f"vid{i}",
+                "enCap": [f"a person does thing {i}",
+                          f"someone performing action {i}"],
+                "_root": str(data_dir)}) + "\n")
+    register_vatex_task(str(data_dir / "test.jsonl"),
+                        name="vatex_tiny", max_new_tokens=4)
+
+    root, *_ = make_tiny_xtuner_dir(tmp_path / "model")
+    from aurora_tpu.eval.models import AuroraCapEval
+    model = AuroraCapEval(pretrained=root, token_merge_ratio=1.0,
+                          num_frames=2, image_size=56, dtype=jnp.float32)
+    res = simple_evaluate(model, ["vatex_tiny"])
+    out = res["results"]["vatex_tiny"]
+    for metric in ("vatex_CIDEr", "vatex_Bleu_4", "vatex_ROUGE_L"):
+        assert metric in out, out.keys()
+        assert out[metric]["value"] >= 0.0
+
+
+def test_videochatgpt_judge_protocol(fake_judge):
+    """videochatgpt utils.py:108-426 parity: per-axis judge calls,
+    dict-string score parsing, consistency pairing."""
+    from aurora_tpu.eval.tasks import videochatgpt as vcg
+    assert vcg.parse_score("{'score': 4}") == 4
+    assert vcg.parse_score("{'score': 4.8}") == 4
+    assert vcg.parse_score("garbage") == 0
+    # prompt structure carries all protocol fields
+    up = vcg.judge_user_prompt("correctness", "q?", "gt", "pred")
+    assert "Question: q?" in up and "Correct Answer: gt" in up \
+        and "Predicted Answer: pred" in up
+
+    preds = [{"question": "what?", "answer": "a dog", "pred": "a dog"}]
+    gen = vcg.score_generic(preds, judge_url=fake_judge.url)
+    for axis in ("correctness", "detailed_orientation", "context"):
+        assert 0 <= gen[axis] <= 5
+    assert len(gen["per_sample"]) == 1
+    tmp = vcg.score_temporal(preds, judge_url=fake_judge.url)
+    assert 0 <= tmp["temporal"] <= 5
+
+    rows = [{"video_name": "v1", "question_1": "q1", "question_2":
+             "None", "answer": "gt", "pred": "p1"},
+            {"video_name": "v1", "question_1": "None", "question_2":
+             "q2", "answer": "gt", "pred": "p2"},
+            {"video_name": "v2", "question_1": "qA", "question_2":
+             "None", "answer": "gt", "pred": "pA"}]  # unpaired → dropped
+    paired = vcg.pair_consistency(rows)
+    assert len(paired) == 1
+    assert paired[0]["pred1"] == "p1" and paired[0]["pred2"] == "p2"
+    cons = vcg.score_consistency(rows, judge_url=fake_judge.url)
+    assert 0 <= cons["consistency"] <= 5
+    assert len(cons["per_sample"]) == 1
+
+
+def test_videochatgpt_generation_tasks(tmp_path, rng):
+    """Generation phase of the two-phase videochatgpt flow through the
+    evaluator (judge scoring is the decoupled score_* step)."""
+    from aurora_tpu.eval.tasks.videochatgpt import (
+        doc_to_text_consistency, register_videochatgpt_tasks)
+    base = tmp_path / "vcg"
+    os.makedirs(base)
+    vid = rng.integers(0, 255, (2, 56, 56, 3)).astype(np.uint8)
+    np.save(base / "v0.npy", vid)
+    for dim, rows in (
+            ("generic", [{"question": "what happens?", "answer": "x"}]),
+            ("temporal", [{"question": "what first?", "answer": "y"}]),
+            ("consistency", [
+                {"question_1": "q1?", "question_2": "None", "answer": "z"},
+                {"question_1": "None", "question_2": "q2?", "answer": "z"},
+            ])):
+        with open(base / f"{dim}.jsonl", "w") as f:
+            for r in rows:
+                r = dict(r, video_name="v0", _root=str(base))
+                f.write(json.dumps(r) + "\n")
+    tasks = register_videochatgpt_tasks(str(base), max_new_tokens=4)
+    assert [t.name for t in tasks] == [
+        "videochatgpt_generic", "videochatgpt_temporal",
+        "videochatgpt_consistency"]
+    assert doc_to_text_consistency(
+        {"question_1": "None", "question_2": "q2?"}) == "q2?"
+    assert doc_to_text_consistency(
+        {"question_1": "q1?", "question_2": "None"}) == "q1?"
+
+    root, *_ = make_tiny_xtuner_dir(tmp_path / "model")
+    from aurora_tpu.eval.models import AuroraCapEval
+    model = AuroraCapEval(pretrained=root, token_merge_ratio=1.0,
+                          num_frames=2, image_size=56, dtype=jnp.float32)
+    res = simple_evaluate(model, ["videochatgpt_generic",
+                                  "videochatgpt_consistency"],
+                          log_samples=True)
+    assert res["results"]["videochatgpt_generic"]["_n"] == 1
+    assert res["results"]["videochatgpt_consistency"]["_n"] == 2
+    # every sample carries its generated pred for the judge phase
+    for s in res["samples"]["videochatgpt_consistency"]:
+        assert isinstance(s["pred"], (str, list))

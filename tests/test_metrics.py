@@ -79,3 +79,52 @@ def test_cider_d_length_penalty():
     lo, per_lo = cider_d(padded, refs)
     assert per_lo[0] < per_hi[0]
     assert lo < hi
+
+
+def test_bleu_exact_match_and_hand_computed():
+    from aurora_tpu.eval.metrics import bleu
+    # identical candidate/reference → 1.0 at every order
+    corpus, per = bleu(["the cat sat on the mat"],
+                       [["the cat sat on the mat"]], n=4)
+    assert abs(corpus - 1.0) < 1e-9
+    assert abs(per[0] - 1.0) < 1e-6
+    # hand-computed BLEU-2: cand "the cat the cat" vs ref "the cat sat"
+    # p1 = 2/4 (the,cat clipped to 1 each), p2 = 1/3, bp = 1 (4 >= 3)
+    import math
+    corpus, _ = bleu(["the cat the cat"], [["the cat sat"]], n=2)
+    want = math.exp((math.log(0.5) + math.log(1 / 3)) / 2)
+    assert abs(corpus - want) < 1e-9
+    # zero 4-gram overlap → corpus BLEU-4 is 0 (no smoothing at corpus level)
+    corpus, _ = bleu(["the cat the cat"], [["the cat sat"]], n=4)
+    assert corpus == 0.0
+
+
+def test_bleu_brevity_penalty():
+    import math
+    from aurora_tpu.eval.metrics import bleu
+    # cand is a strict 3-token prefix of the 6-token ref: precisions all
+    # 1, bp = exp(1 - 6/3)
+    corpus, _ = bleu(["the cat sat"], [["the cat sat on the mat"]], n=2)
+    assert abs(corpus - math.exp(1 - 6 / 3)) < 1e-9
+    # closest-reference length: a 3-token ref is available → bp = 1
+    corpus, _ = bleu(["the cat sat"],
+                     [["the cat sat on the mat", "the cat sat"]], n=2)
+    assert abs(corpus - 1.0) < 1e-9
+
+
+def test_rouge_l_hand_computed():
+    from aurora_tpu.eval.metrics import rouge_l
+    corpus, per = rouge_l(["the cat sat"], [["the cat sat"]])
+    assert abs(corpus - 1.0) < 1e-9
+    # lcs=3, P=3/3, R=3/6, beta=1.2 → F = (1+b^2)PR / (R + b^2 P)
+    b2 = 1.2 ** 2
+    want = (1 + b2) * 1.0 * 0.5 / (0.5 + b2 * 1.0)
+    corpus, _ = rouge_l(["the cat sat"], [["the cat sat on the mat"]])
+    assert abs(corpus - want) < 1e-9
+    # best-reference semantics: adding a worse ref can't lower the score
+    corpus2, _ = rouge_l(["the cat sat"],
+                         [["zz yy xx", "the cat sat on the mat"]])
+    assert abs(corpus2 - want) < 1e-9
+    # disjoint → 0
+    corpus, _ = rouge_l(["aa bb"], [["cc dd"]])
+    assert corpus == 0.0

@@ -588,7 +588,11 @@ def test_engine_tp2_matches_tp1(tiny_engine, rng, kv_quant):
     p2 = base + [int(x) for x in rng.integers(3, 128, size=4)]
 
     def run(tp):
-        eng = ServeEngine(dict(params), cfg, dc.replace(ecfg, tp=tp))
+        # tp run also uses a multi-step decode block (K=3) so the
+        # shard_map'd scan-over-steps path is covered
+        eng = ServeEngine(dict(params), cfg,
+                          dc.replace(ecfg, tp=tp,
+                                     decode_steps=3 if tp > 1 else 1))
         done = _run_engine(eng, [
             Request(rid="a", input_ids=list(base), max_new_tokens=6),
             Request(rid="b", input_ids=list(p2), max_new_tokens=6)])
