@@ -58,6 +58,15 @@ def main():
                         "tokenization across runs)")
     p.add_argument("--wandb_project", default=None,
                    help="mirror metrics to Weights & Biases (optional)")
+    p.add_argument("--lora_r", type=int, default=0,
+                   help=">0 trains LoRA adapters over a frozen base "
+                        "(reference llm_lora, xtuner/model/aurora.py)")
+    p.add_argument("--lora_alpha", type=int, default=16)
+    p.add_argument("--quant", default="none",
+                   choices=["none", "int8", "int4"],
+                   help="store the frozen LLM quantized and dequantize "
+                        "per-layer in the scan (QLoRA analog; needs "
+                        "--lora_r)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--float32", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -136,18 +145,60 @@ def main():
 
     # ---- state
     tcfg = stage.train
-    opt = make_optimizer(params, tcfg)
-    state = init_train_state(params, tcfg)
     ckpt_dir = os.path.join(args.work_dir, "checkpoints")
     start = 0
-    if args.resume and latest_step(ckpt_dir) is not None:
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
-        state = restore_checkpoint(ckpt_dir, abstract)
-        start = int(jax.device_get(state.step))
-        print(f"resumed from step {start}")
+    use_lora = args.lora_r > 0
+    if args.quant != "none" and not use_lora:
+        p.error("--quant requires --lora_r (quantized base is frozen; "
+                "full-parameter training needs a float base)")
+    if use_lora:
+        # (Q)LoRA: adapters-only optimizer; the (optionally int8/int4)
+        # base never enters the optimizer (train/lora.py, train/quant.py)
+        import optax
+        from aurora_tpu.train.lora import (LoraConfig, init_lora_params,
+                                           make_lora_train_step)
+        from aurora_tpu.train.quant import (make_qlora_train_step,
+                                            quantize_base, tree_nbytes)
+        from aurora_tpu.train.trainer import lr_schedule
+        lcfg = LoraConfig(r=args.lora_r, alpha=args.lora_alpha)
+        adapters = init_lora_params(
+            jax.random.PRNGKey(args.seed + 1), params, lcfg)
+        base = params
+        if args.quant != "none":
+            bits = 8 if args.quant == "int8" else 4
+            base = quantize_base(params, bits=bits)
+            base = jax.tree.map(jnp.asarray, base)  # materialize now
+            print(f"quantized base: {tree_nbytes(base)/1e9:.2f} GB "
+                  f"(int{bits}) vs {tree_nbytes(params)/1e9:.2f} GB")
+            params = None  # free the float copies of the layer stack
+        opt = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip),
+                          optax.adamw(lr_schedule(tcfg)))
+        make = (make_qlora_train_step if args.quant != "none"
+                else make_lora_train_step)
+        raw = make(acfg, tcfg, base, lcfg, opt)
+        jstep = jax.jit(raw.with_base, donate_argnums=(0, 1))
+        state = {"adapters": adapters, "opt_state": opt.init(adapters)}
+        if args.resume and latest_step(ckpt_dir) is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+            state = restore_checkpoint(ckpt_dir, abstract)
+            start = latest_step(ckpt_dir)
+            print(f"resumed from step {start}")
 
-    step_fn = jax.jit(make_train_step(acfg, tcfg, opt))
+        def step_fn(st, batch):
+            ad, ost, m = jstep(st["adapters"], st["opt_state"], batch,
+                               base)
+            return {"adapters": ad, "opt_state": ost}, m
+    else:
+        opt = make_optimizer(params, tcfg)
+        state = init_train_state(params, tcfg)
+        if args.resume and latest_step(ckpt_dir) is not None:
+            abstract = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), state)
+            state = restore_checkpoint(ckpt_dir, abstract)
+            start = int(jax.device_get(state.step))
+            print(f"resumed from step {start}")
+        step_fn = jax.jit(make_train_step(acfg, tcfg, opt))
     thr = Throughput(acfg.llm.hidden_size, acfg.llm.num_hidden_layers,
                      acfg.llm.vocab_size,
                      num_devices=jax.device_count(),
@@ -188,7 +239,8 @@ def main():
             rec = {"step": step_i + 1, "loss": round(loss, 4),
                    "grad_norm": round(float(jax.device_get(
                        metrics["grad_norm"])), 4),
-                   "lr": float(jax.device_get(metrics["lr"])),
+                   "lr": float(jax.device_get(metrics["lr"]))
+                   if "lr" in metrics else None,
                    "tgs": round(m["tgs"], 1),
                    "tflops": round(m["tflops"], 2),
                    "eta_s": int(m["eta_s"])}
@@ -197,6 +249,11 @@ def main():
         if (step_i + 1) % args.checkpoint_interval == 0:
             save_checkpoint(ckpt_dir, state, step_i + 1)
     save_checkpoint(ckpt_dir, state, tcfg.max_steps)
+    if use_lora:
+        # merge recipe for export: cli.convert reads this marker
+        with open(os.path.join(args.work_dir, "lora.json"), "w") as f:
+            json.dump({"r": args.lora_r, "alpha": args.lora_alpha,
+                       "quant": args.quant}, f)
     logger.finish()
     print(f"done; checkpoints at {ckpt_dir}")
 

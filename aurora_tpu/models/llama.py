@@ -167,6 +167,13 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
            attention_mask, segment_ids, cache_len, use_flash,
            sp_attn=None):
     """One decoder layer. cache_k/v: [B, S, Hkv, hd] or None."""
+    if any(isinstance(v, dict) and ("q8" in v or "q4" in v)
+           for v in lp.values()):
+        # QLoRA frozen base: int8/int4 kernels (+ injected LoRA factors)
+        # dequantized here, inside the scan body — one layer's float
+        # weights live at a time (train/quant.py)
+        from aurora_tpu.train.quant import dequant_layer_params
+        lp = dequant_layer_params(lp, x.dtype)
     B, T, D = x.shape
     hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)

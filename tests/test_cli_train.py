@@ -112,3 +112,36 @@ def test_convert_cli_xtuner_roundtrip(workdir):
 def test_top_level_dispatcher():
     r = _run(["aurora_tpu", "--help"], timeout=60)
     assert "modes:" in r.stdout
+
+
+def test_train_cli_qlora_int4(workdir):
+    """QLoRA path: int4 frozen base + LoRA adapters through the CLI
+    (reference sft QLoRA configs, xtuner/model/aurora.py:24)."""
+    base, root, data, imgs = workdir
+    wd = str(base / "run_qlora")
+    r = _run(["aurora_tpu.cli.train", "--stage", "pretrain",
+              "--model_path", root, "--data", data,
+              "--image_folder", imgs, "--work_dir", wd,
+              "--max_steps", "3", "--batch_size", "2",
+              "--image_size", "56", "--max_length", "128",
+              "--lora_r", "4", "--lora_alpha", "8", "--quant", "int4",
+              "--checkpoint_interval", "3", "--log_interval", "1",
+              "--float32"])
+    assert "quantized base" in r.stdout
+    with open(os.path.join(wd, "train_log.jsonl")) as f:
+        recs = [json.loads(ln) for ln in f]
+    assert recs[-1]["step"] == 3
+    assert np.isfinite(recs[-1]["loss"])
+    with open(os.path.join(wd, "lora.json")) as f:
+        assert json.load(f) == {"r": 4, "alpha": 8, "quant": "int4"}
+
+
+def test_train_cli_quant_without_lora_rejected(workdir):
+    base, root, data, imgs = workdir
+    r = subprocess.run(
+        [sys.executable, "-m", "aurora_tpu.cli.train", "--stage",
+         "pretrain", "--model_path", root, "--data", data,
+         "--work_dir", str(base / "bad"), "--quant", "int8"],
+        env=ENV, capture_output=True, text=True, timeout=180)
+    assert r.returncode != 0
+    assert "--lora_r" in r.stderr
