@@ -21,10 +21,12 @@ def main():
                    help="HF llama dir or xtuner-format AuroraCap dir")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=30000)
-    p.add_argument("--max-batch", type=int, default=8)
+    p.add_argument("--max-batch", type=int, default=8,
+                   help="running-batch rows; 0 → auto from free HBM")
     p.add_argument("--max-seq-len", type=int, default=4096)
     p.add_argument("--num-slots", type=int, default=0,
-                   help="KV slots; 0 → sized from --mem-fraction")
+                   help="KV slots; 0 → sized from profiled free HBM "
+                        "x --mem-fraction")
     p.add_argument("--mem-fraction", type=float, default=0.8)
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel replicas, one per local device "
@@ -68,7 +70,6 @@ def main():
                                            _read_config)
     from aurora_tpu.serve.api import launch_server
     from aurora_tpu.serve.engine import EngineConfig
-    from aurora_tpu.serve.kv_pool import kv_pool_size_for_memory
     from aurora_tpu.serve.scheduler import SchedulePolicy
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
@@ -106,27 +107,23 @@ def main():
         from aurora_tpu.serve.engine import quantize_weights_int8
         params = quantize_weights_int8(params, free_source=True)
 
-    num_slots = args.num_slots
-    dtype_bytes = 2 if dtype == jnp.bfloat16 else 4
-    if num_slots <= 0:
-        # budget covers row buffers (per-request contiguous KV) first;
-        # the remainder sizes the radix cache pool
-        budget = int(4e9 * args.mem_fraction)  # conservative default
-        probe = EngineConfig(max_batch=args.max_batch,
-                             max_seq_len=args.max_seq_len, num_slots=1)
-        rows_bytes = (2 * cfg.num_hidden_layers * args.max_batch
-                      * cfg.num_key_value_heads * probe.s_row
-                      * cfg.head_dim * dtype_bytes)
-        num_slots = kv_pool_size_for_memory(
-            cfg, max(budget - rows_bytes, 1), dtype_bytes)
     ecfg = EngineConfig(max_batch=args.max_batch,
                         max_seq_len=args.max_seq_len,
-                        num_slots=num_slots,
+                        num_slots=args.num_slots,
                         policy=SchedulePolicy(args.schedule_policy),
                         kv_dtype=dtype,
                         kv_quant=args.kv_quant,
                         decode_steps=args.decode_steps,
                         tp=args.tp)
+    if args.max_batch <= 0 or args.num_slots <= 0:
+        # profile free HBM NOW (weights are resident, so they're already
+        # subtracted) and size batch rows + radix pool from the rest —
+        # sglang model_runner.py:317 profile_max_num_token analog
+        from aurora_tpu.serve.engine import auto_engine_config
+        ecfg = auto_engine_config(cfg, ecfg,
+                                  mem_fraction=args.mem_fraction)
+        print(f"[serve] auto-sized from free HBM: max_batch="
+              f"{ecfg.max_batch} num_slots={ecfg.num_slots}")
     launch_server(params, cfg, tokenizer, host=args.host, port=args.port,
                   engine_cfg=ecfg, mm=mm, dp=args.dp,
                   dispatch=args.dispatch)

@@ -237,7 +237,10 @@ class AuroraDataset:
 
 
 def _read_json_or_jsonl(path: str) -> List[dict]:
-    with open(path) as f:
-        if path.endswith(".jsonl"):
-            return [json.loads(ln) for ln in f if ln.strip()]
-        return json.load(f)
+    # annotation files may live on remote storage (gs://...) — the
+    # xtuner Ceph-fileio analog (utils/fileio.py)
+    from aurora_tpu.utils.fileio import read_text
+    text = read_text(path)
+    if path.endswith(".jsonl"):
+        return [json.loads(ln) for ln in text.splitlines() if ln.strip()]
+    return json.loads(text)

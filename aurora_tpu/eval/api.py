@@ -42,6 +42,11 @@ class TaskConfig:
     generation_kwargs: Dict[str, Any] = dataclasses.field(
         default_factory=dict)
     limit: Optional[int] = None
+    # "generate" → model.generate_*; "loglikelihood" → per-choice
+    # Σ log p(choice | context) via model.loglikelihood_choices
+    # (lmms-eval output_type generate_until / multiple_choice parity)
+    output_type: str = "generate"
+    doc_to_choice: Any = None              # doc → list of choice strings
 
     @classmethod
     def from_yaml(cls, path: str) -> "TaskConfig":
@@ -86,6 +91,7 @@ class Task:
         self.doc_to_visual = resolve_fn(cfg.doc_to_visual)
         self.doc_to_text = resolve_fn(cfg.doc_to_text)
         self.doc_to_target = resolve_fn(cfg.doc_to_target)
+        self.doc_to_choice = resolve_fn(cfg.doc_to_choice)
         self.process_results = resolve_fn(cfg.process_results)
 
     def docs(self) -> List[dict]:

@@ -40,8 +40,15 @@ def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
         # serving engine's continuous batching — the round-1 harness was
         # serial one-doc-at-a-time (lmms-eval accelerate-DP analog)
         t_batch0 = time.monotonic()
-        preds = (model.generate_batch(docs, task)
-                 if hasattr(model, "generate_batch") else None)
+        if task.cfg.output_type == "loglikelihood":
+            # multiple-choice: per-choice Σ log p(choice | context);
+            # process_results receives the loglikelihood list
+            # (lmms-eval output_type multiple_choice / mc_ppl parity)
+            preds = [model.loglikelihood_choices(doc, task)
+                     for doc in docs]
+        else:
+            preds = (model.generate_batch(docs, task)
+                     if hasattr(model, "generate_batch") else None)
         batch_latency = ((time.monotonic() - t_batch0) / max(len(docs), 1)
                          if preds is not None else None)
         for i, doc in enumerate(docs):

@@ -151,6 +151,32 @@ class AuroraCapEval:
             lp[-n - 1:-1], jnp.asarray(cont)[:, None], axis=1)[:, 0]
         return float(jnp.sum(tok_lp))
 
+    def loglikelihood_choices(self, doc, task) -> list:
+        """Σ log p(choice | video+question) for every task choice — the
+        lmms-eval multiple_choice/mc_ppl request type
+        (auroracap.py:232-297 loglikelihood flow). Returns a list of
+        floats aligned with task.doc_to_choice(doc)."""
+        from aurora_tpu.data.text import (build_video_prompt,
+                                          encode_with_image_tokens)
+        from aurora_tpu.utils.templates import PROMPT_TEMPLATE
+        choices = task.doc_to_choice(doc)
+        visual = (task.doc_to_visual(doc)[0] if task.doc_to_visual
+                  else None)
+        px = self._frames(visual) if visual is not None else None
+        prompt = task.doc_to_text(doc)
+        if px is not None:
+            prompt = build_video_prompt(prompt, px.shape[0],
+                                        PROMPT_TEMPLATE.vicuna)
+            ctx = encode_with_image_tokens(prompt, self.tokenizer)
+        else:
+            ctx = self.tokenizer.encode(prompt)
+        out = []
+        for choice in choices:
+            cont = self.tokenizer.encode(str(choice),
+                                         add_special_tokens=False)
+            out.append(self.loglikelihood(ctx, cont, pixel_values=px))
+        return out
+
 
 class HTTPModelEval:
     """Adapter that evaluates a served model over the OpenAI API — lets

@@ -115,6 +115,74 @@ class EngineConfig:
 
 
 # ---------------------------------------------------------------------------
+# HBM profiling + auto-sizing
+# (sglang model_runner.py:317-360 profile_max_num_token analog)
+# ---------------------------------------------------------------------------
+
+def free_hbm_bytes(device=None) -> Optional[int]:
+    """Free accelerator memory right now, or None when the backend does
+    not report stats (CPU). Call AFTER weights are resident so the model
+    is already accounted in bytes_in_use."""
+    if device is None:
+        device = jax.devices()[0]
+    try:
+        stats = device.memory_stats()
+        return int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+    except Exception:  # noqa: BLE001 — cpu backend has no stats
+        return None
+
+
+def kv_bytes_per_token_layer(cfg, kv_quant: str, kv_dtype) -> int:
+    """K+V bytes for ONE token in ONE layer (incl. int8 scale rows)."""
+    hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    if kv_quant == "int8":
+        return 2 * hkv * hd * 1 + 2 * hkv * 4     # values + fp32 scales
+    return 2 * hkv * hd * jnp.dtype(kv_dtype).itemsize
+
+
+def row_buffer_bytes(cfg, ecfg: "EngineConfig") -> int:
+    """HBM for the per-request contiguous KV rows + sampler histograms."""
+    per_tok = kv_bytes_per_token_layer(cfg, ecfg.kv_quant, ecfg.kv_dtype)
+    rows = cfg.num_hidden_layers * ecfg.max_batch * ecfg.s_row * per_tok
+    hist = ecfg.max_batch * cfg.vocab_size * 5     # counts i32 + seen b8
+    return rows + hist
+
+
+def auto_engine_config(cfg, base: "EngineConfig", *,
+                       budget_bytes: Optional[int] = None,
+                       mem_fraction: float = 0.85,
+                       device=None) -> "EngineConfig":
+    """Fill in max_batch (if <=0) and num_slots (if <=0) from profiled
+    free HBM. Weights must already be on device (they are subtracted by
+    the memory_stats probe itself); falls back to a conservative 4GB
+    budget when the backend reports no stats."""
+    if budget_bytes is None:
+        free = free_hbm_bytes(device)
+        budget_bytes = int((free if free is not None else 4.7e9)
+                           * mem_fraction)
+    out = base
+    if out.max_batch <= 0:
+        b = 1
+        while b < 256:
+            probe = dataclasses.replace(out, max_batch=b * 2,
+                                        num_slots=1)
+            # keep ≥12% of budget for the radix pool + workspace
+            if row_buffer_bytes(cfg, probe) > budget_bytes * 0.88:
+                break
+            b *= 2
+        out = dataclasses.replace(out, max_batch=b)
+    if out.num_slots <= 0:
+        left = budget_bytes - row_buffer_bytes(cfg, out)
+        per_slot = (cfg.num_hidden_layers
+                    * kv_bytes_per_token_layer(cfg, out.kv_quant,
+                                               out.kv_dtype))
+        out = dataclasses.replace(
+            out, num_slots=int(max(out.max_batch * out.s_row + 1,
+                                   left // per_slot)))
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Row-KV llama forward
 # ---------------------------------------------------------------------------
 

@@ -24,8 +24,9 @@ import numpy as np
 
 def _mgr(ckpt_dir: str, max_keep: int = 2):
     import orbax.checkpoint as ocp
+    from aurora_tpu.utils.fileio import normalize_ckpt_dir
     return ocp.CheckpointManager(
-        os.path.abspath(ckpt_dir),
+        normalize_ckpt_dir(ckpt_dir),  # gs:// URIs pass through verbatim
         options=ocp.CheckpointManagerOptions(max_to_keep=max_keep,
                                              create=True))
 
@@ -43,7 +44,8 @@ def save_checkpoint(ckpt_dir: str, state, step: int,
 
 def latest_step(ckpt_dir: str) -> Optional[int]:
     import orbax.checkpoint as ocp
-    if not os.path.isdir(ckpt_dir):
+    from aurora_tpu.utils.fileio import is_remote
+    if not is_remote(ckpt_dir) and not os.path.isdir(ckpt_dir):
         return None
     mgr = _mgr(ckpt_dir)
     step = mgr.latest_step()

@@ -1,0 +1,140 @@
+"""apis builders (xtuner/apis analog) + remote fileio backend tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from utils import make_tiny_xtuner_dir  # noqa: E402
+
+
+# --- fileio ----------------------------------------------------------------
+
+def test_fileio_scheme_and_normalize(tmp_path):
+    from aurora_tpu.utils import fileio
+    assert fileio.scheme_of("/a/b.json") == "file"
+    assert fileio.scheme_of("gs://bucket/ckpt") == "gs"
+    assert fileio.is_remote("gs://bucket/ckpt")
+    assert not fileio.is_remote(str(tmp_path))
+    # gs:// URIs must NOT be abspath-mangled (orbax/tensorstore route)
+    assert fileio.normalize_ckpt_dir("gs://b/ckpts") == "gs://b/ckpts"
+    assert os.path.isabs(fileio.normalize_ckpt_dir("rel/dir"))
+
+
+def test_fileio_local_roundtrip(tmp_path):
+    from aurora_tpu.utils import fileio
+    p = str(tmp_path / "sub" / "x.bin")
+    fileio.write_bytes(p, b"hello")
+    assert fileio.exists(p)
+    assert fileio.read_bytes(p) == b"hello"
+    assert fileio.read_text(p) == "hello"
+    with fileio.open_file(p, "rb") as f:
+        assert f.read() == b"hello"
+
+
+def test_fileio_custom_backend_registry():
+    """register_backend: the petrel-analog extension point. A fake
+    scheme routes reads/writes through the custom backend, including
+    dataset annotation loading."""
+    from aurora_tpu.data.dataset import _read_json_or_jsonl
+    from aurora_tpu.utils import fileio
+
+    store = {}
+
+    class Mem:
+        def get(self, path):
+            return store[path]
+
+        def put(self, path, data):
+            store[path] = data
+
+        def exists(self, path):
+            return path in store
+
+        def listdir(self, path):
+            return sorted(store)
+
+    fileio.register_backend("mem", Mem())
+    fileio.write_bytes("mem://x/a.jsonl", b'{"q": 1}\n{"q": 2}\n')
+    assert fileio.read_bytes("mem://x/a.jsonl").startswith(b'{"q": 1}')
+    docs = _read_json_or_jsonl("mem://x/a.jsonl")
+    assert [d["q"] for d in docs] == [1, 2]
+    # remote write path through open_file flushes on close
+    with fileio.open_file("mem://x/b.bin", "wb") as f:
+        f.write(b"zz")
+    assert store["mem://x/b.bin"] == b"zz"
+
+
+def test_checkpoint_latest_step_remote_guard():
+    """latest_step must not os.path.isdir-reject remote URIs (it should
+    reach orbax, which raises for the unreachable bucket here)."""
+    from aurora_tpu.train.checkpoint import latest_step
+    assert latest_step("definitely/not/a/dir") is None
+    with pytest.raises(Exception):
+        latest_step("gs://nonexistent-aurora-bucket-xyz/ckpts")
+
+
+# --- apis ------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def tiny_root(tmp_path_factory):
+    root, *_ = make_tiny_xtuner_dir(
+        tmp_path_factory.mktemp("apis") / "model")
+    return root
+
+
+def test_apis_build_model_and_dataset(tiny_root, tmp_path):
+    from aurora_tpu import apis
+    params, cfg, tok = apis.build_model(tiny_root, dtype=jnp.float32)
+    assert set(params) == {"llm", "visual_encoder", "projector"}
+    data = [{"conversations": [
+        {"from": "human", "value": "hi"},
+        {"from": "gpt", "value": "hello there"}]}]
+    dpath = tmp_path / "d.json"
+    dpath.write_text(json.dumps(data))
+    ds = apis.build_dataset(str(dpath), tok, max_length=64,
+                            image_size=56)
+    assert len(ds) == 1
+    assert "input_ids" in ds[0]
+
+
+def test_apis_build_trainer_one_step(tiny_root, tmp_path, rng):
+    from aurora_tpu import apis
+    params, cfg, tok = apis.build_model(tiny_root, dtype=jnp.float32)
+    step_fn, state, stage_cfg = apis.build_trainer(params, cfg,
+                                                   stage="pretrain",
+                                                   max_steps=2)
+    ids = rng.integers(3, 250, size=(1, 8))
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids),
+             "attention_mask": jnp.ones((1, 8), bool)}
+    state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_apis_build_lora_model(tiny_root):
+    from aurora_tpu import apis
+    base, adapters, cfg, lcfg, tok = apis.build_lora_model(
+        tiny_root, r=4, alpha=8, quant="int4", dtype=jnp.float32)
+    assert lcfg.r == 4
+    assert adapters  # non-empty adapter tree
+    assert base["llm"]["layers"]["q"].keys() >= {"q4", "s"}
+
+
+def test_apis_build_runtime(tiny_root):
+    from aurora_tpu import apis
+    from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+    from aurora_tpu.serve.engine import EngineConfig
+    import jax
+    from transformers import AutoTokenizer
+    cfg = LlamaConfig.tiny(vocab_size=32000)
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tok = AutoTokenizer.from_pretrained(tiny_root)
+    rt = apis.build_runtime(params, cfg, tok, engine_config=EngineConfig(
+        max_batch=2, max_seq_len=128, num_slots=512,
+        prefill_buckets=(32,), kv_dtype=jnp.float32))
+    outs = rt.generate(["hello world"], max_new_tokens=4)
+    assert len(outs) == 1 and isinstance(outs[0]["text"], str)
+    rt.shutdown()

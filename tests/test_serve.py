@@ -724,3 +724,37 @@ def test_jump_forward_retokenization_healing(tiny_engine, rng):
     want_cont = _offline_greedy(params, cfg, ids + [t0, 7],
                                 6 - len(out[:2]))
     assert out[2:] == want_cont, (out, want_cont)
+
+
+def test_auto_engine_config_sizing():
+    """HBM auto-sizing (sglang model_runner profile analog): batch and
+    pool sized from an explicit budget; accounting matches the real
+    row-buffer shapes."""
+    import dataclasses as dc
+    from aurora_tpu.models.llama import LlamaConfig
+    from aurora_tpu.serve.engine import (EngineConfig, auto_engine_config,
+                                         kv_bytes_per_token_layer,
+                                         row_buffer_bytes)
+    cfg = LlamaConfig.vicuna_7b_v15_16k()
+    base = EngineConfig(max_batch=0, max_seq_len=2048, num_slots=0,
+                        kv_quant="int8")
+    # ~2.2GB free after a W8 7B on a 16GB chip
+    ecfg = auto_engine_config(cfg, base, budget_bytes=int(2.2e9))
+    assert ecfg.max_batch >= 2
+    assert ecfg.num_slots > ecfg.max_batch * ecfg.s_row  # pool non-trivial
+    per_slot = (cfg.num_hidden_layers
+                * kv_bytes_per_token_layer(cfg, "int8", None))
+    total = row_buffer_bytes(cfg, ecfg) + ecfg.num_slots * per_slot
+    assert total <= 2.2e9 * 1.01
+    # int8 KV fits ~2x the batch of bf16 at the same budget
+    bf16 = auto_engine_config(
+        cfg, dc.replace(base, kv_quant="none"), budget_bytes=int(2.2e9))
+    assert ecfg.max_batch >= 2 * bf16.max_batch
+    # explicit values are left untouched
+    fixed = EngineConfig(max_batch=4, max_seq_len=2048, num_slots=999)
+    assert auto_engine_config(cfg, fixed,
+                              budget_bytes=int(2.2e9)) == fixed
+    # no-stats fallback path (budget_bytes=None on CPU) still returns a
+    # usable config
+    auto = auto_engine_config(cfg, base)
+    assert auto.max_batch >= 1 and auto.num_slots >= 1

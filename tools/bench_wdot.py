@@ -1,0 +1,113 @@
+"""W8 matmul-variant shootout on TPU: why is the decode weight stream
+2x off speed-of-light?
+
+Times a 32-layer scan of the 7B's 7 matmuls at decode batch (B=8) for:
+  w8a8     : current engine path — dynamic int8 activations, int8xint8
+             MXU dot, fp32 rescale (serve/engine.py:_wdot)
+  w8_deq   : int8 weights dequantized IN the dot (h_bf16 @ (w_i8 * s))
+             — XLA fuses convert+scale into the HBM read if it can
+  w8_mixed : bf16 h x int8 w via dot_general with f32 accumulation
+  bf16     : plain bf16 weights (2x the bytes — the baseline stream)
+
+Usage: python tools/bench_wdot.py [--batch 8]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+    from aurora_tpu.serve.engine import quantize_weights_int8, _wdot
+
+    cfg = LlamaConfig.vicuna_7b_v15_16k()
+    B = args.batch
+    out = {"B": B}
+
+    NAMES = ("q", "k", "v", "o", "gate", "up", "down")
+
+    def body_with(dot):
+        def body(h, lp):
+            s = (dot(h, lp, "q") + dot(h, lp, "k") + dot(h, lp, "v")
+                 + dot(h, lp, "o"))
+            g = dot(h, lp, "gate")
+            u = dot(h, lp, "up")
+            h = (h + s + dot(jax.nn.silu(g) * u, lp, "down")
+                 ).astype(h.dtype)
+            return h, None
+        return body
+
+    def timed(tag, fn, *a):
+        f = jax.jit(fn)
+        r = f(*a)
+        jax.device_get(jax.tree.leaves(r)[0].ravel()[0])
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            r = f(*a)
+        jax.device_get(jax.tree.leaves(r)[0].ravel()[0])
+        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        out[tag + "_ms"] = round(ms, 2)
+        print(f"[wdot] {tag}: {ms:.2f} ms", file=sys.stderr)
+
+    x = jnp.zeros((B, cfg.hidden_size), jnp.bfloat16)
+
+    # --- bf16 baseline (13.5GB stream) ----------------------------------
+    params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+
+    def dot_bf16(h, lp, name):
+        return jnp.dot(h, lp[name],
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+
+    timed("bf16", lambda p, x: jax.lax.scan(
+        body_with(dot_bf16), x, p["layers"])[0], params, x)
+
+    # --- int8 variants (6.75GB stream) ----------------------------------
+    qparams = quantize_weights_int8(params, free_source=True)
+    del params
+
+    timed("w8a8", lambda p, x: jax.lax.scan(
+        body_with(_wdot), x, p["layers"])[0], qparams, x)
+
+    def dot_deq(h, lp, name):
+        w = (lp[name].astype(h.dtype)
+             * lp[name + "_scale"].astype(h.dtype))
+        return jnp.dot(h, w,
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+
+    timed("w8_deq", lambda p, x: jax.lax.scan(
+        body_with(dot_deq), x, p["layers"])[0], qparams, x)
+
+    def dot_mixed(h, lp, name):
+        acc = jax.lax.dot_general(
+            h.astype(jnp.bfloat16), lp[name],
+            (((h.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return (acc * lp[name + "_scale"]).astype(h.dtype)
+
+    timed("w8_mixed", lambda p, x: jax.lax.scan(
+        body_with(dot_mixed), x, p["layers"])[0], qparams, x)
+
+    # theoretical bounds for context
+    bytes_w8 = sum(v.nbytes for k, v in qparams["layers"].items()
+                   if k in NAMES)
+    out["w8_stream_gb"] = round(bytes_w8 / 1e9, 2)
+    out["sol_ms_at_820gbps"] = round(bytes_w8 / 820e9 * 1e3, 2)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
