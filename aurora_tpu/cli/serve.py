@@ -95,6 +95,16 @@ def main():
                 load_torch_state_dict(args.model_path), gcfg, dtype)
             cfg = gemma2_serving_config(gcfg)
             params = gemma2_serving_params(gparams)
+        elif any("DeepseekV2" in a for a in archs):
+            from aurora_tpu.models.deepseek_v2 import (
+                deepseek_v2_config_from_hf, deepseek_v2_params_from_hf)
+            from aurora_tpu.serve.mla import (deepseek_serving_config,
+                                              deepseek_serving_params)
+            dcfg = deepseek_v2_config_from_hf(hf_cfg)
+            dparams = deepseek_v2_params_from_hf(
+                load_torch_state_dict(args.model_path), dcfg, dtype)
+            cfg = deepseek_serving_config(dcfg)
+            params = deepseek_serving_params(dparams, dcfg)
         else:  # llama/vicuna/qwen2/mistral/mixtral families
             cfg = llama_config_from_hf(hf_cfg)
             params = llama_params_from_hf(

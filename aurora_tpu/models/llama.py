@@ -65,6 +65,29 @@ class LlamaConfig:
     query_pre_attn_scalar: Optional[float] = None  # attn scale override
     swa_every_other: bool = False      # even layers sliding, odd global
     norm_upcast_mul: bool = False      # RMSNorm weight mul in fp32
+    # --- DeepSeek-V2 MLA serving knobs (engine-facing universal config;
+    #     models/deepseek_v2.py deepseek_serving_* maps here). When
+    #     mla_kv_lora_rank is set the engine caches ONLY the compressed
+    #     latent + shared rope sub-head per token (num_key_value_heads=1,
+    #     head_dim_override=rank+rope — the MQA-like layout sglang's
+    #     MLATokenToKVPool exploits, memory_pool.py:180-251) and runs
+    #     weight-absorbed attention (serve/mla.py) ---
+    mla_kv_lora_rank: Optional[int] = None
+    mla_q_lora_rank: Optional[int] = None
+    mla_qk_nope_head_dim: int = 0
+    mla_qk_rope_head_dim: int = 0
+    mla_v_head_dim: int = 0
+    mla_first_k_dense: int = 0         # leading dense layers (unrolled)
+    rope_inv_freq: Optional[tuple] = None   # YaRN explicit freqs
+    rope_attention_scaling: float = 1.0
+    # DeepSeek MoE routing (vs the Mixtral default): fp32 softmax over
+    # ALL experts, greedy/group-limited top-k, scaling + shared experts
+    moe_router_mode: str = "mixtral"   # "mixtral" | "deepseek"
+    moe_routed_scaling: float = 1.0
+    moe_norm_topk: bool = False
+    moe_topk_method: str = "greedy"
+    moe_n_group: int = 1
+    moe_topk_group: int = 1
 
     @property
     def head_dim(self) -> int:

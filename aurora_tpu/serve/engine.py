@@ -133,11 +133,13 @@ def free_hbm_bytes(device=None) -> Optional[int]:
 
 
 def kv_bytes_per_token_layer(cfg, kv_quant: str, kv_dtype) -> int:
-    """K+V bytes for ONE token in ONE layer (incl. int8 scale rows)."""
+    """K+V bytes for ONE token in ONE layer (incl. int8 scale rows).
+    MLA configs cache a single latent vector (no V plane)."""
     hkv, hd = cfg.num_key_value_heads, cfg.head_dim
+    planes = 1 if getattr(cfg, "mla_kv_lora_rank", None) else 2
     if kv_quant == "int8":
-        return 2 * hkv * hd * 1 + 2 * hkv * 4     # values + fp32 scales
-    return 2 * hkv * hd * jnp.dtype(kv_dtype).itemsize
+        return planes * hkv * (hd + 4)            # values + fp32 scales
+    return planes * hkv * hd * jnp.dtype(kv_dtype).itemsize
 
 
 def row_buffer_bytes(cfg, ecfg: "EngineConfig") -> int:
@@ -312,6 +314,11 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     Returns (last hidden [Bk, D], rows). Write positions past a lane's
     valid length (query padding) go out of bounds and are dropped.
     """
+    if cfg.mla_kv_lora_rank:  # DeepSeek-V2: latent rows, absorbed attn
+        from aurora_tpu.serve.mla import forward_rows_mla
+        return forward_rows_mla(params, cfg, embeds, rows, row_ids,
+                                q_offsets, kv_lens, chunk,
+                                tp_axis=tp_axis)
     x = embeds
     if cfg.scale_embeddings:  # Gemma2: normalizer cast to model dtype
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
@@ -699,6 +706,13 @@ class ServeEngine:
         self.cfg = cfg
         self.ecfg = ecfg
         self.tokenizer = tokenizer  # needed only for stop_strs matching
+        if cfg.mla_kv_lora_rank:
+            # MLA (DeepSeek-V2): latent rows, absorbed attention
+            # (serve/mla.py). Already 14x smaller KV — quant/TP are
+            # follow-ups, not silent no-ops.
+            assert ecfg.kv_quant == "none" and \
+                ecfg.weight_quant == "none" and ecfg.tp == 1, \
+                "MLA serving supports bf16 latents on one device only"
         if ecfg.weight_quant == "int8":
             self.params = params = quantize_weights_int8(params)
         quant = ecfg.kv_quant == "int8"
@@ -714,8 +728,12 @@ class ServeEngine:
         L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                       cfg.head_dim)
         store_dt = jnp.int8 if quant else ecfg.kv_dtype
-        self.rows = {"k": jnp.zeros((L, B, Hkv, S, hd), store_dt),
-                     "v": jnp.zeros((L, B, Hkv, S, hd), store_dt)}
+        if cfg.mla_kv_lora_rank:
+            # one latent vector per token (Hkv=1, hd=rank+rope); no "v"
+            self.rows = {"k": jnp.zeros((L, B, 1, S, hd), store_dt)}
+        else:
+            self.rows = {"k": jnp.zeros((L, B, Hkv, S, hd), store_dt),
+                         "v": jnp.zeros((L, B, Hkv, S, hd), store_dt)}
         if quant:
             self.rows["ks"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
             self.rows["vs"] = jnp.zeros((L, B, Hkv, S), jnp.float32)

@@ -54,22 +54,27 @@ class KVPool:
         self.cfg = cfg
         self.num_slots = num_slots
         self.quant = quant
-        shape = (cfg.num_hidden_layers, num_slots,
-                 cfg.num_key_value_heads, cfg.head_dim)
+        # MLA (mla_kv_lora_rank set): one latent vector per token — no
+        # "v" plane (sglang MLATokenToKVPool parity, memory_pool.py:180)
+        self.mla = bool(getattr(cfg, "mla_kv_lora_rank", None))
+        heads = 1 if self.mla else cfg.num_key_value_heads
+        shape = (cfg.num_hidden_layers, num_slots, heads, cfg.head_dim)
         store = jnp.int8 if quant else dtype
         self.k = jnp.zeros(shape, store)
-        self.v = jnp.zeros(shape, store)
+        self.v = None if self.mla else jnp.zeros(shape, store)
         self.ks = jnp.zeros(shape[:3], jnp.float32) if quant else None
         self.vs = jnp.zeros(shape[:3], jnp.float32) if quant else None
 
     def as_dict(self):
-        d = {"k": self.k, "v": self.v}
+        d = {"k": self.k} if self.mla else {"k": self.k, "v": self.v}
         if self.quant:
             d["ks"], d["vs"] = self.ks, self.vs
         return d
 
     def set_dict(self, d) -> None:
-        self.k, self.v = d["k"], d["v"]
+        self.k = d["k"]
+        if not self.mla:
+            self.v = d["v"]
         if self.quant:
             self.ks, self.vs = d["ks"], d["vs"]
 
@@ -82,7 +87,8 @@ class KVPool:
         self.v = self.v.at[:, slots].set(v_new.astype(self.v.dtype))
 
     def hbm_bytes(self) -> int:
-        return 2 * int(np.prod(self.k.shape)) * self.k.dtype.itemsize
+        n = int(np.prod(self.k.shape)) * self.k.dtype.itemsize
+        return n if self.mla else 2 * n
 
 
 def kv_pool_size_for_memory(cfg: LlamaConfig, budget_bytes: int,
