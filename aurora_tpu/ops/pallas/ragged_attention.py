@@ -63,14 +63,16 @@ def _interpret() -> bool:
 
 def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
             q_ref, k_ref, v_ref, *rest,
-            scale, chunk, t_q, qr, hb, quant, windowed, logit_cap=0.0):
+            scale, chunk, t_q, qb, hb, quant, windowed, aligned,
+            logit_cap=0.0):
     if quant:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
         o_ref, acc_ref, m_ref, l_ref = rest
     i = pl.program_id(0)          # batch lane (indexes lens/offs/rows)
-    c = pl.program_id(2)          # kv chunk
-    nc = pl.num_programs(2)
+    b = pl.program_id(2)          # query-row block
+    c = pl.program_id(3)          # kv chunk
+    nc = pl.num_programs(3)
     ln = lens_ref[i]
     off = offs_ref[i]
     w = win_ref[0]                # sliding window (<=0 disables)
@@ -85,10 +87,16 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
     # carry no live keys — predicated away (and their fetch is deduped by
     # the index map's clamp)
     lo = jnp.where(windowed & (w > 0), jnp.maximum(off - w + 1, 0), 0)
+    # causal upper bound: the LAST query position in this row block
+    # (query row g*t_q + t sits at global position off + t). When the
+    # block tiling is t-aligned (t_q % qb == 0) the block's t range is
+    # contiguous; otherwise fall back to the conservative bound.
+    qmax = off + ((b * qb) % t_q + qb - 1 if aligned else t_q - 1)
 
-    @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo))
+    @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo)
+             & (c * chunk <= qmax))
     def _compute():
-        q = q_ref[0].astype(jnp.float32)           # [hb, QR, hd]
+        q = q_ref[0].astype(jnp.float32)           # [hb, qb, hd]
         k = k_ref[0, 0].astype(jnp.float32)        # [hb, chunk, hd]
         s = jax.lax.dot_general(q * scale, k,
                                 (((2,), (2,)), ((0,), (0,))),
@@ -101,21 +109,23 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
             s = s * ks_ref[0, 0]
         if logit_cap > 0.0:  # Gemma2 attention softcapping
             s = logit_cap * jnp.tanh(s / logit_cap)
-        # query row qr = g * t_q + t → global query position off + t
-        qr_ids = jax.lax.broadcasted_iota(jnp.int32, (hb, qr, chunk), 1)
-        qpos = off + qr_ids % t_q
+        # head-independent [qb, chunk] mask (broadcast over hb) — the
+        # [hb, qr, chunk] iotas of the untiled kernel were what blew the
+        # 16MB scoped-vmem limit at T=1024
+        qr_ids = jax.lax.broadcasted_iota(jnp.int32, (qb, chunk), 0)
+        qpos = off + (b * qb + qr_ids) % t_q
         spos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (hb, qr, chunk), 2)
+            jnp.int32, (qb, chunk), 1)
         mask = (spos <= qpos) & (spos < ln)
         if windowed:
             # Mistral/Gemma2 SWA: key must lie within the last w
             # positions of its query (spos > qpos - w)
             mask &= (w <= 0) | (spos > qpos - w)
-        s = jnp.where(mask, s, _NEG_INF)
+        s = jnp.where(mask[None], s, _NEG_INF)
 
         m_prev = m_ref[:, :, 0]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
-        p = jnp.where(mask, jnp.exp(s - m_new[:, :, None]), 0.0)
+        p = jnp.where(mask[None], jnp.exp(s - m_new[:, :, None]), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
         v = v_ref[0, 0].astype(jnp.float32)        # [hb, chunk, hd]
@@ -198,27 +208,46 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         scale = hd ** -0.5
     chunk = min(chunk, S)
     assert S % chunk == 0, (S, chunk)
+    qr = G * T
+    # 2D flash tiling: query-row blocks of qb rows bound the kernel's
+    # working set (the untiled kernel at T=1024 requested 21MB of
+    # scoped vmem against the 16MB limit) AND let causal upper-triangle
+    # (block, chunk) pairs be skipped entirely — ~2x less compute on
+    # long extends. aligned (T % qb == 0) makes each block's t-range
+    # contiguous so the causal skip bound is tight.
+    qb = 256
+    if qr <= qb:
+        qb = max(8, -(-qr // 8) * 8)
+    aligned = T % qb == 0
+    qr_pad = -(-qr // qb) * qb
     hb = _pick_hb(Hkv, head_block)
+    import os as _os
+    if _os.environ.get("AURORA_KERNEL_DEBUG"):
+        import sys as _sys
+        print(f"[ragged] extend hb={hb} qb={qb} qr_pad={qr_pad} "
+              f"chunk={chunk} quant={quant} aligned={aligned}",
+              file=_sys.stderr)
 
     # [Bk, T, Hq, hd] → [Bk, Hkv, G*T, hd]; fp32 q rows (min tile (8,128))
     qh = q.reshape(Bk, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4)
     qh = qh.reshape(Bk, Hkv, G * T, hd).astype(jnp.float32)
-    qr = G * T
-    qr_pad = max(8, -(-qr // 8) * 8)
     if qr_pad != qr:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, qr_pad - qr), (0, 0)))
 
-    grid = (Bk, Hkv // hb, S // chunk)
+    grid = (Bk, Hkv // hb, qr_pad // qb, S // chunk)
     kv_lens = kv_lens.astype(jnp.int32)
     q_offsets = q_offsets.astype(jnp.int32)
     row_ids = row_ids.astype(jnp.int32)
 
-    def _chunk_clamp(c, i, lens, offs, win_arr):
-        # clamp skipped chunks (past the row's length, or below the
-        # sliding window) to a fetched one: the block index repeats, so
-        # Pallas elides the re-fetch
+    def _chunk_clamp(c, i, b, lens, offs, win_arr):
+        # clamp skipped chunks (past the row's length, above the query
+        # block's causal bound, or below the sliding window) to a
+        # fetched one: the block index repeats, so Pallas elides the
+        # re-fetch
         last = jnp.maximum(pl.cdiv(lens[i], chunk) - 1, 0)
-        c = jnp.minimum(c, last)
+        qmax = offs[i] + ((b * qb) % T + qb - 1 if aligned else T - 1)
+        c = jnp.minimum(jnp.minimum(c, last),
+                        jnp.maximum(qmax // chunk, 0))
         if windowed:
             w = win_arr[0]
             first = jnp.where(
@@ -226,19 +255,19 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
             c = jnp.maximum(c, jnp.minimum(first, last))
         return c
 
-    def kv_map(i, g, c, lens, offs, rows, win_arr, lay_arr):
+    def kv_map(i, g, b, c, lens, offs, rows, win_arr, lay_arr):
         return (lay_arr[0], rows[i], g,
-                _chunk_clamp(c, i, lens, offs, win_arr), 0)
+                _chunk_clamp(c, i, b, lens, offs, win_arr), 0)
 
-    def scale_map(i, g, c, lens, offs, rows, win_arr, lay_arr):
+    def scale_map(i, g, b, c, lens, offs, rows, win_arr, lay_arr):
         return (lay_arr[0], rows[i], g, 0,
-                _chunk_clamp(c, i, lens, offs, win_arr))
+                _chunk_clamp(c, i, b, lens, offs, win_arr))
 
-    def q_map(i, g, c, lens, offs, rows, win_arr, lay_arr):
-        return (i, g, 0, 0)
+    def q_map(i, g, b, c, lens, offs, rows, win_arr, lay_arr):
+        return (i, g, b, 0)
 
     in_specs = [
-        pl.BlockSpec((1, hb, qr_pad, hd), q_map),
+        pl.BlockSpec((1, hb, qb, hd), q_map),
         pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
         pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
     ]
@@ -254,17 +283,18 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
-                          t_q=T, qr=qr_pad, hb=hb, quant=quant,
-                          windowed=windowed, logit_cap=float(logit_cap)),
+                          t_q=T, qb=qb, hb=hb, quant=quant,
+                          windowed=windowed, aligned=aligned,
+                          logit_cap=float(logit_cap)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, hb, qr_pad, hd), q_map),
+            out_specs=pl.BlockSpec((1, hb, qb, hd), q_map),
             scratch_shapes=[
-                pltpu.VMEM((hb, qr_pad, hd), jnp.float32),
-                pltpu.VMEM((hb, qr_pad, 1), jnp.float32),
-                pltpu.VMEM((hb, qr_pad, 1), jnp.float32),
+                pltpu.VMEM((hb, qb, hd), jnp.float32),
+                pltpu.VMEM((hb, qb, 1), jnp.float32),
+                pltpu.VMEM((hb, qb, 1), jnp.float32),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((Bk, Hkv, qr_pad, hd), q.dtype),

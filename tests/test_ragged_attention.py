@@ -250,3 +250,54 @@ def test_fused_decode_int8_quantizes_in_kernel():
                * np.asarray(ksb)[0, b, :, pos][:, None])
         np.testing.assert_allclose(deq, np.asarray(k_new)[b], atol=0.02,
                                    rtol=0.02)
+
+
+@pytest.mark.parametrize("T,G", [(512, 2), (384, 1)])
+def test_extend_long_t_query_blocks(T, G):
+    """T > 256 activates the 2D query-block tiling (scoped-vmem fix):
+    aligned (512, multi-g) and unaligned (384 → conservative causal
+    bound) both must match the reference exactly."""
+    rng = np.random.default_rng(9)
+    B, Hkv, S, hd = 2, 2, 1024, 128
+    k, v = _rows(rng, B, Hkv, S, hd)
+    offs = jnp.asarray([0, 203], jnp.int32)
+    lens = offs + T
+    q = jnp.asarray(rng.standard_normal((B, T, Hkv * G, hd)),
+                    jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    got = ragged_attention(q, k, v, lens, offs, rows, chunk=256)
+    want = ragged_attention_reference(q, k, v, lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)
+
+
+def test_extend_long_t_int8_and_window(rng):
+    """Long-T tiling composed with int8 KV scales and a sliding
+    window."""
+    from aurora_tpu.ops.pallas.ragged_attention import (
+        ragged_attention_reference)
+    B, Hkv, S, hd, T = 2, 2, 1024, 128, 512
+    k, v = _rows(rng, B, Hkv, S, hd)
+    ks = jnp.asarray(
+        np.abs(np.random.default_rng(3).standard_normal((B, Hkv, S)))
+        * 0.05 + 0.01, jnp.float32)
+    vs = jnp.asarray(
+        np.abs(np.random.default_rng(4).standard_normal((B, Hkv, S)))
+        * 0.05 + 0.01, jnp.float32)
+    k8 = jnp.clip(jnp.round(k / ks[..., None]), -127, 127
+                  ).astype(jnp.int8)
+    v8 = jnp.clip(jnp.round(v / vs[..., None]), -127, 127
+                  ).astype(jnp.int8)
+    offs = jnp.asarray([0, 150], jnp.int32)
+    lens = offs + T
+    q = jnp.asarray(np.random.default_rng(5).standard_normal(
+        (B, T, Hkv, hd)), jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    got = ragged_attention(q, k8, v8, lens, offs, rows, chunk=256,
+                           k_scales=ks, v_scales=vs, window=256)
+    want = ragged_attention_reference(
+        q, (k8.astype(jnp.float32) * ks[..., None]),
+        (v8.astype(jnp.float32) * vs[..., None]),
+        lens, offs, rows, window=256)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=3e-5, rtol=3e-5)

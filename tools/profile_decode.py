@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--weight-quant", default="int8",
                     choices=["int8", "none"])
     ap.add_argument("--kv-quant", default="int8", choices=["int8", "none"])
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny config (CPU smoke of the harness itself)")
     args = ap.parse_args()
 
     import jax
@@ -39,7 +41,8 @@ def main():
                                          quantize_weights_int8, _wdot)
     from aurora_tpu.serve.scheduler import Request
 
-    cfg = LlamaConfig.vicuna_7b_v15_16k()
+    cfg = (LlamaConfig.tiny(vocab_size=1024) if args.tiny
+           else LlamaConfig.vicuna_7b_v15_16k())
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if args.weight_quant == "int8":
         params = quantize_weights_int8(params, free_source=True)
@@ -76,10 +79,11 @@ def main():
         return h
 
     x = jnp.zeros((B, cfg.hidden_size), jnp.bfloat16)
-    timed("matmul_bound", lambda: matmul_only(params, x))
+    if not args.tiny:  # tiny GQA shapes break the q+k+v+o sum
+        timed("matmul_bound", lambda: matmul_only(params, x))
 
     # --- engine setup ---------------------------------------------------
-    ecfg = EngineConfig(max_batch=B, max_seq_len=args.ctx + K * 16 + 8,
+    ecfg = EngineConfig(max_batch=B, max_seq_len=args.ctx + 256,
                         num_slots=128, prefill_buckets=(args.ctx,),
                         kv_chunk=256, decode_steps=K,
                         kv_quant=args.kv_quant)
@@ -97,9 +101,20 @@ def main():
     # prefill B long-lived rows (eos -1; budget sized to the row space —
     # an unbounded max_new would fail sglang-style token-budget
     # admission); every later measurement reuses this live batch
-    submit("s", K * 14)
-    while any(r is None or not r.output_ids for r in eng.row_reqs):
-        eng.step()
+    submit("s", 200)
+    for _ in range(10000):
+        finished = eng.step()
+        bad = [r for r in finished if r.error is not None]
+        if bad:
+            raise RuntimeError(
+                f"{len(bad)} requests failed in admission/extend: "
+                f"{bad[0].rid}: {bad[0].error}")
+        if all(r is not None and r.output_ids for r in eng.row_reqs):
+            break
+        if not eng.has_work():
+            raise RuntimeError(
+                "engine drained without a live batch (all requests "
+                "finished or failed before timing)")
     print("[prof] batch live", file=sys.stderr)
 
     from aurora_tpu.serve.engine import _samp_arrays
@@ -138,15 +153,15 @@ def main():
     # --- 4. full engine decode loop (admission/prefill excluded) --------
     def engine_blocks():
         t0 = time.perf_counter()
-        for _ in range(4):
+        for _ in range(2):
             eng.step()
-        return (time.perf_counter() - t0) / (4 * K) * 1e3
+        return (time.perf_counter() - t0) / (2 * K) * 1e3
 
     engine_blocks()  # warm any remaining shape
     ms = min(engine_blocks(), engine_blocks())
     out["engine_ms_per_step"] = round(ms, 2)
     print(f"[prof] engine: {ms:.2f} ms/step", file=sys.stderr)
-    eng.fail_running("profiler done")
+    eng.fail_running()
 
     import json
     print(json.dumps(out))
