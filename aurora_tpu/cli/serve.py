@@ -116,6 +116,13 @@ def main():
         # ~1x the model (the engine-side flag would hold both copies)
         from aurora_tpu.serve.engine import quantize_weights_int8
         params = quantize_weights_int8(params, free_source=True)
+    if args.tp == 1 and "layers" in params \
+            and "q" in params.get("layers", {}):
+        # pre-fuse qkv/gateup streams with free_source (same peak-HBM
+        # argument); the engine skips its non-mutating fusion when the
+        # tree is already fused
+        from aurora_tpu.serve.engine import fuse_serving_weights
+        params = fuse_serving_weights(params, free_source=True)
 
     ecfg = EngineConfig(max_batch=args.max_batch,
                         max_seq_len=args.max_seq_len,

@@ -202,16 +202,27 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                    cfg.head_dim)
 
     h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
-    q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32
-                ).astype(h.dtype)
-    k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32
-                ).astype(h.dtype)
-    v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32
-                ).astype(h.dtype)
-    if "q_bias" in lp:  # Qwen2 family
-        q = q + lp["q_bias"]
-        k = k + lp["k_bias"]
-        v = v + lp["v_bias"]
+    if "qkv" in lp:  # serving-fused stream (serve.engine
+        # fuse_serving_weights) — the embeddings endpoint runs
+        # llama_apply over the live engine params
+        fused = jnp.dot(h, lp["qkv"], preferred_element_type=jnp.float32
+                        ).astype(h.dtype)
+        if "qkv_bias" in lp:
+            fused = fused + lp["qkv_bias"]
+        nq, nkv = hq * hd, hkv * hd
+        q, k, v = (fused[..., :nq], fused[..., nq:nq + nkv],
+                   fused[..., nq + nkv:])
+    else:
+        q = jnp.dot(h, lp["q"], preferred_element_type=jnp.float32
+                    ).astype(h.dtype)
+        k = jnp.dot(h, lp["k"], preferred_element_type=jnp.float32
+                    ).astype(h.dtype)
+        v = jnp.dot(h, lp["v"], preferred_element_type=jnp.float32
+                    ).astype(h.dtype)
+        if "q_bias" in lp:  # Qwen2 family
+            q = q + lp["q_bias"]
+            k = k + lp["k_bias"]
+            v = v + lp["v_bias"]
     q = q.reshape(B, T, hq, hd)
     k = k.reshape(B, T, hkv, hd)
     v = v.reshape(B, T, hkv, hd)
@@ -262,6 +273,13 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
         h = moe_mlp({"router": lp["moe_router"], "gate": lp["moe_gate"],
                      "up": lp["moe_up"], "down": lp["moe_down"]},
                     h, cfg.num_experts_per_tok).astype(x.dtype)
+    elif "gateup" in lp:  # serving-fused stream
+        fused = jnp.dot(h, lp["gateup"],
+                        preferred_element_type=jnp.float32).astype(h.dtype)
+        inter = fused.shape[-1] // 2
+        gate, up = fused[..., :inter], fused[..., inter:]
+        h = jnp.dot(jax.nn.silu(gate) * up, lp["down"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
     else:
         gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
                        ).astype(h.dtype)

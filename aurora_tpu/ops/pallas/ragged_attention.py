@@ -450,7 +450,20 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
         scale = hd ** -0.5
     chunk = min(chunk, S)
     assert S % chunk == 0, (S, chunk)
-    hb = _pick_hb(Hkv, head_block)
+    # vmem-aware head block: the decode step is dominated by grid-cell
+    # overhead, not DMA (per-layer call ~0.44ms at b8/ctx1k while the KV
+    # bytes are ~0.1ms) — fewer, fatter cells are strictly better as
+    # long as the double-buffered in+out (aliased) KV blocks fit scoped
+    # vmem. int8 KV at chunk=256 fits all 32 heads in ONE block.
+    kvb = 1 if quant else k_rows.dtype.itemsize
+    per_head = 8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
+    want = max(head_block, min(Hkv, (11 << 20) // per_head))
+    hb = _pick_hb(Hkv, want)
+    import os as _os
+    if _os.environ.get("AURORA_KERNEL_DEBUG"):
+        import sys as _sys
+        print(f"[ragged] decode hb={hb} want={want} chunk={chunk} "
+              f"quant={quant}", file=_sys.stderr)
 
     qh = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
     qr = G

@@ -516,7 +516,8 @@ async function go(){
         eng = loop_.engine
         params = (eng.engines[0].params if hasattr(eng, "engines")
                   else eng.params)
-        if params["layers"]["q"].dtype == jnp.int8:
+        qw = params["layers"].get("q", params["layers"].get("qkv"))
+        if qw.dtype == jnp.int8:
             # llama_apply has no W8A8 path; silently dotting raw int8
             # matrices would return garbage embeddings
             return web.json_response(

@@ -214,6 +214,18 @@ def _wdot(h, lp, name):
 
 def _qkv(cfg: LlamaConfig, lp, h):
     B, T, _ = h.shape
+    if "qkv" in lp:  # fused stream (fuse_serving_weights)
+        fused = _wdot(h, lp, "qkv")
+        if "qkv_bias" in lp:
+            fused = fused + lp["qkv_bias"]
+        nq = cfg.num_attention_heads * cfg.head_dim
+        nkv = cfg.num_key_value_heads * cfg.head_dim
+        q = fused[..., :nq]
+        k = fused[..., nq:nq + nkv]
+        v = fused[..., nq + nkv:]
+        return (q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim),
+                k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim),
+                v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim))
     q = _wdot(h, lp, "q")
     k = _wdot(h, lp, "k")
     v = _wdot(h, lp, "v")
@@ -240,6 +252,16 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
             {"router": lp["moe_router"], "gate": lp["moe_gate"],
              "up": lp["moe_up"], "down": lp["moe_down"]},
             h, cfg.num_experts_per_tok).astype(x.dtype)
+    elif "gateup" in lp:  # fused stream (fuse_serving_weights)
+        fused = _wdot(h, lp, "gateup")
+        inter = fused.shape[-1] // 2
+        gate, up = fused[..., :inter], fused[..., inter:]
+        if cfg.hidden_act == "gelu_tanh":
+            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True
+                              ).astype(gate.dtype)
+        else:
+            act = jax.nn.silu(gate)
+        out = _wdot(act * up, lp, "down")
     else:
         gate = _wdot(h, lp, "gate")
         up = _wdot(h, lp, "up")
@@ -287,6 +309,48 @@ def quantize_weights_int8(params: Params,
         out["lm_head"], out["lm_head_scale"] = _w8(params["lm_head"])
         if free_source:
             params["lm_head"] = None
+    return out
+
+
+def fuse_serving_weights(params: Params,
+                         free_source: bool = False) -> Params:
+    """Merge q/k/v → qkv and gate/up → gateup along the output axis —
+    the QKVParallelLinear / MergedColumnParallelLinear fusion
+    (sglang srt/models/llama.py:1-60): 4 instead of 7 weight streams
+    per decode step measurably improves HBM utilization at small batch
+    (each [4096,4096] int8 stream is only ~20us of DMA; fewer, larger
+    transfers amortize the per-matmul overhead). Output-axis concat is
+    exact for the per-output-channel W8 scales and biases. Applied
+    single-device only — TP shards heads per-name (serve/tp.py).
+
+    free_source=True drops the source tensors from the INPUT pytree as
+    they are fused (quantize_weights_int8 contract) so peak HBM stays
+    ~1x the model — required for 7B-scale deployments; leave False when
+    the caller reuses the unfused tree (tests, embeddings endpoints)."""
+    out = dict(params)
+    layers = dict(params["layers"])
+
+    def take(name):
+        leaf = layers.pop(name)
+        if free_source:
+            params["layers"][name] = None
+        return leaf
+
+    if all(k in layers for k in ("q", "k", "v")):
+        layers["qkv"] = jnp.concatenate(
+            [take("q"), take("k"), take("v")], axis=-1)
+        for suf in ("_scale", "_bias"):
+            if "q" + suf in layers:
+                layers["qkv" + suf] = jnp.concatenate(
+                    [take("q" + suf), take("k" + suf),
+                     take("v" + suf)], axis=-1)
+    if "gate" in layers and "up" in layers:
+        layers["gateup"] = jnp.concatenate(
+            [take("gate"), take("up")], axis=-1)
+        if "gate_scale" in layers:
+            layers["gateup_scale"] = jnp.concatenate(
+                [take("gate_scale"), take("up_scale")], axis=-1)
+    out["layers"] = layers
     return out
 
 
@@ -715,6 +779,11 @@ class ServeEngine:
                 "MLA serving supports bf16 latents on one device only"
         if ecfg.weight_quant == "int8":
             self.params = params = quantize_weights_int8(params)
+        if ecfg.tp == 1 and not cfg.mla_kv_lora_rank \
+                and "layers" in params:
+            # qkv + gate/up stream fusion (single-device; TP shards
+            # heads per-name)
+            self.params = params = fuse_serving_weights(params)
         quant = ecfg.kv_quant == "int8"
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
                            quant=quant)
@@ -831,11 +900,16 @@ class ServeEngine:
         two models."""
         if self.sched.running:
             return False, "requests in flight; retry when idle"
+        new_layers = new_params.get("layers", {})
         if self.ecfg.weight_quant == "int8" and \
-                "q_scale" not in new_params.get("layers", {}):
+                "q_scale" not in new_layers and \
+                "qkv_scale" not in new_layers:
             # match the live tree: quantize the incoming bf16 weights the
             # same way engine init did
             new_params = quantize_weights_int8(dict(new_params))
+        if "qkv" in self.params.get("layers", {}) and \
+                "qkv" not in new_params.get("layers", {}):
+            new_params = fuse_serving_weights(new_params)
         old = self.params
         try:
             paths_old = jax.tree_util.tree_leaves_with_path(old)

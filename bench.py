@@ -112,13 +112,17 @@ def _llm_stage(jax, jnp, embeds, detail):
     from aurora_tpu.serve.engine import EngineConfig, ServeEngine
     from aurora_tpu.serve.scheduler import Request
 
-    from aurora_tpu.serve.engine import quantize_weights_int8
+    from aurora_tpu.serve.engine import (fuse_serving_weights,
+                                         quantize_weights_int8)
     cfg = LlamaConfig.vicuna_7b_v15_16k()
     print("[bench] init 7B params on device", file=sys.stderr)
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     # W8 halves the weight stream (decode is weight-bandwidth-bound);
-    # free_source keeps peak HBM ~1x the model during quantization
+    # free_source keeps peak HBM ~1x the model during quantization.
+    # qkv+gateup fusion cuts 7 weight streams/layer to 4 (round-3
+    # decode profiling: per-matmul overhead, not bandwidth, dominated).
     params = quantize_weights_int8(params, free_source=True)
+    params = fuse_serving_weights(params, free_source=True)
 
     n_vis = embeds[0].shape[0]
     prompt_len = n_vis + 24           # visual tokens + instruction text

@@ -82,7 +82,9 @@ def main():
     if not args.tiny:  # tiny GQA shapes break the q+k+v+o sum
         timed("matmul_bound", lambda: matmul_only(params, x))
 
-    # --- engine setup ---------------------------------------------------
+    # --- engine setup (pre-fused like production: cli/serve.py) --------
+    from aurora_tpu.serve.engine import fuse_serving_weights
+    params = fuse_serving_weights(params, free_source=True)
     ecfg = EngineConfig(max_batch=B, max_seq_len=args.ctx + 256,
                         num_slots=128, prefill_buckets=(args.ctx,),
                         kv_chunk=256, decode_steps=K,
