@@ -44,6 +44,9 @@ def main():
     p.add_argument("--block-steps", type=int, default=1,
                    help="decode steps fused into one compiled program "
                         "(EngineConfig.decode_steps)")
+    p.add_argument("--kv-quant", default="none", choices=["none", "int8"])
+    p.add_argument("--weight-quant", default="none",
+                   choices=["none", "int8"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args()
@@ -55,11 +58,17 @@ def main():
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     cfg = LlamaConfig(**PRESETS[args.preset])
     params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype)
+    from aurora_tpu.serve.engine import (fuse_serving_weights,
+                                         quantize_weights_int8)
+    if args.weight_quant == "int8":
+        params = quantize_weights_int8(params, free_source=True)
+    params = fuse_serving_weights(params, free_source=True)
     ecfg = EngineConfig(
         max_batch=args.batch, max_seq_len=args.max_seq_len,
         num_slots=args.batch * args.max_seq_len + 1,
         prefill_buckets=(args.prompt_len,), kv_dtype=dtype,
-        decode_steps=args.block_steps)
+        decode_steps=args.block_steps, kv_quant=args.kv_quant,
+        weight_quant=args.weight_quant)
     engine = ServeEngine(params, cfg, ecfg)
 
     rng = np.random.default_rng(0)

@@ -96,11 +96,17 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
     @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo)
              & (c * chunk <= qmax))
     def _compute():
-        q = q_ref[0].astype(jnp.float32)           # [hb, qb, hd]
-        k = k_ref[0, 0].astype(jnp.float32)        # [hb, chunk, hd]
-        s = jax.lax.dot_general(q * scale, k,
+        # f32 dots only on the fp32 (test/CPU) path; production (bf16/
+        # int8 stores) runs bf16 MXU dots with f32 accumulation — the
+        # standard flash recipe, ~4x the fp32 MXU rate
+        cdt = (jnp.float32 if q_ref.dtype == jnp.float32
+               else jnp.bfloat16)
+        q = q_ref[0].astype(cdt)                   # [hb, qb, hd]
+        k = k_ref[0, 0].astype(cdt)                # [hb, chunk, hd]
+        s = jax.lax.dot_general(q, k,
                                 (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32
+                                ) * scale
         if quant:
             # per-key dequant applied on the LOGITS, where the key axis
             # is the LANE dim and the scales load as a lane-major
@@ -128,12 +134,12 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         p = jnp.where(mask[None], jnp.exp(s - m_new[:, :, None]), 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
-        v = v_ref[0, 0].astype(jnp.float32)        # [hb, chunk, hd]
+        v = v_ref[0, 0].astype(cdt)                # [hb, chunk, hd]
         if quant:  # fold the per-key V scale into p (lane-wise, cheap)
             p = p * vs_ref[0, 0]
         acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
                       + jax.lax.dot_general(
-                          p, v, (((2,), (1,)), ((0,), (0,))),
+                          p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32))
         m_ref[:, :, 0] = m_new
 
@@ -215,9 +221,14 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     # (block, chunk) pairs be skipped entirely — ~2x less compute on
     # long extends. aligned (T % qb == 0) makes each block's t-range
     # contiguous so the causal skip bound is tight.
-    qb = 256
+    import os as _os
+    # bf16 q rows (min tile (16,128)) on the production path; fp32 only
+    # when the caller computes in fp32 (CPU tests)
+    qdt = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    align = 8 if qdt == jnp.float32 else 16
+    qb = int(_os.environ.get("AURORA_EXTEND_QB", "256"))
     if qr <= qb:
-        qb = max(8, -(-qr // 8) * 8)
+        qb = max(align, -(-qr // align) * align)
     aligned = T % qb == 0
     qr_pad = -(-qr // qb) * qb
     hb = _pick_hb(Hkv, head_block)
@@ -228,9 +239,9 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
               f"chunk={chunk} quant={quant} aligned={aligned}",
               file=_sys.stderr)
 
-    # [Bk, T, Hq, hd] → [Bk, Hkv, G*T, hd]; fp32 q rows (min tile (8,128))
+    # [Bk, T, Hq, hd] → [Bk, Hkv, G*T, hd]
     qh = q.reshape(Bk, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4)
-    qh = qh.reshape(Bk, Hkv, G * T, hd).astype(jnp.float32)
+    qh = qh.reshape(Bk, Hkv, G * T, hd).astype(qdt)
     if qr_pad != qr:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, qr_pad - qr), (0, 0)))
 

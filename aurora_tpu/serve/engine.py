@@ -777,13 +777,17 @@ class ServeEngine:
             assert ecfg.kv_quant == "none" and \
                 ecfg.weight_quant == "none" and ecfg.tp == 1, \
                 "MLA serving supports bf16 latents on one device only"
-        if ecfg.weight_quant == "int8":
+        if ecfg.weight_quant == "int8" and \
+                "o_scale" not in params.get("layers", {}):
+            # skip when the caller pre-quantized (cli/serve.py path —
+            # re-quantizing int8 values would corrupt the scales)
             self.params = params = quantize_weights_int8(params)
-        if ecfg.tp == 1 and not cfg.mla_kv_lora_rank \
-                and "layers" in params:
-            # qkv + gate/up stream fusion (single-device; TP shards
-            # heads per-name)
-            self.params = params = fuse_serving_weights(params)
+        # qkv/gateup stream fusion is an EXPLICIT pre-processing step
+        # (fuse_serving_weights with free_source=True — cli/serve.py,
+        # bench.py): fusing here without freeing would double the layer
+        # weights (OOM for a bf16 7B), and freeing here would mutate
+        # trees callers may reuse. The forward transparently supports
+        # both fused and per-name layouts.
         quant = ecfg.kv_quant == "int8"
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
                            quant=quant)
@@ -1065,35 +1069,54 @@ class ServeEngine:
             self.counts, self.seen, row, jnp.asarray(prompt_seen))
         return n_cached
 
-    def _embeds_for(self, req: Request, n_cached: int) -> np.ndarray:
+    def _embeds_for(self, req: Request, n_cached: int):
+        """DEVICE [n_new, D] embeds. Keeping this on device matters:
+        the round-3 prefill profile showed the old host assembly
+        (device_get the embedding rows, then re-upload a [Bk,T,D] fp32
+        array) moving ~200MB over the host link per 8x1024 wave —
+        prefill ran at 1.4k tok/s with the kernels accounting for <10%
+        of the time. Token ids go up instead (KBs)."""
         if self.embed_fn is not None and req.pixel_values is not None:
-            return np.asarray(self.embed_fn(req))[n_cached:]
+            return jnp.asarray(self.embed_fn(req))[n_cached:]
         ids = np.asarray(req.input_ids[n_cached:], np.int64)
         # placeholder/mm ids are clipped; their embeds are never attended
         # to in text-only deployments
         ids = np.clip(ids, 0, self.cfg.vocab_size - 1)
-        return np.asarray(jax.device_get(jnp.take(
-            self.params["embed_tokens"], jnp.asarray(ids), axis=0)))
+        return jnp.take(self.params["embed_tokens"], jnp.asarray(ids),
+                        axis=0)
 
     def _extend_wave(self, wave: List[Request]) -> None:
         """Batched multi-request prefill: ONE kernel call for all admitted
-        requests (tp_worker.py:411-570 forward_prefill_batch parity)."""
+        requests (tp_worker.py:411-570 forward_prefill_batch parity).
+        Embeds assemble ON DEVICE: text lanes via one [Bk, T] id lookup,
+        multimodal lanes spliced in with dynamic_update_slice."""
         T = self._bucket(max(r.extend_len_pending for r in wave))
         Bk = self._lane_bucket(len(wave))
-        D = self.params["embed_tokens"].shape[1]
-        embeds = np.zeros((Bk, T, D), np.float32)
+        ids = np.zeros((Bk, T), np.int64)
         row_ids = np.zeros((Bk,), np.int32)
         offs = np.zeros((Bk,), np.int32)
         lens = np.zeros((Bk,), np.int32)
+        mm_lanes = []
         for i, req in enumerate(wave):
             n_new = req.extend_len_pending
-            embeds[i, :n_new] = self._embeds_for(req, req.n_cached)
+            if self.embed_fn is not None and req.pixel_values is not None:
+                mm_lanes.append((i, req))
+            else:
+                ids[i, :n_new] = np.clip(
+                    np.asarray(req.input_ids[req.n_cached:], np.int64),
+                    0, self.cfg.vocab_size - 1)
             row_ids[i] = req.batch_row
             offs[i] = req.n_cached
             lens[i] = req.n_cached + n_new
+        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(ids),
+                          axis=0).astype(self.ecfg.kv_dtype)
+        for i, req in mm_lanes:
+            e = self._embeds_for(req, req.n_cached).astype(
+                self.ecfg.kv_dtype)
+            embeds = jax.lax.dynamic_update_slice(embeds, e[None],
+                                                  (i, 0, 0))
         logits, self.rows = self._extend_fn(
-            self.params, self.rows,
-            jnp.asarray(embeds, self.ecfg.kv_dtype), jnp.asarray(row_ids),
+            self.params, self.rows, embeds, jnp.asarray(row_ids),
             jnp.asarray(offs), jnp.asarray(lens))
         self._emit(wave, logits[:len(wave)], row_ids[:len(wave)])
 
@@ -1114,19 +1137,23 @@ class ServeEngine:
         T = self._bucket(max(n for _, _, n in lanes))
         Bk = self._lane_bucket(len(lanes))
         D = self.params["embed_tokens"].shape[1]
-        embeds = np.zeros((Bk, T, D), np.float32)
+        # device-side chunk assembly (prefill_embeds is a device array)
+        embeds = jnp.zeros((Bk, T, D), self.ecfg.kv_dtype)
         row_ids = np.zeros((Bk,), np.int32)
         offs = np.zeros((Bk,), np.int32)
         lens = np.zeros((Bk,), np.int32)
         for i, (req, start, n) in enumerate(lanes):
-            embeds[i, :n] = req.prefill_embeds[start:start + n]
+            seg = jax.lax.dynamic_slice_in_dim(
+                req.prefill_embeds, start, n, 0).astype(
+                    self.ecfg.kv_dtype)
+            embeds = jax.lax.dynamic_update_slice(embeds, seg[None],
+                                                  (i, 0, 0))
             row_ids[i] = req.batch_row
             offs[i] = req.n_cached + start
             lens[i] = req.n_cached + start + n
         try:
             logits, self.rows = self._extend_fn(
-                self.params, self.rows,
-                jnp.asarray(embeds, self.ecfg.kv_dtype),
+                self.params, self.rows, embeds,
                 jnp.asarray(row_ids), jnp.asarray(offs),
                 jnp.asarray(lens))
         except Exception as e:  # isolate: fail the prefilling requests

@@ -301,3 +301,21 @@ def test_extend_long_t_int8_and_window(rng):
         lens, offs, rows, window=256)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_extend_bf16_production_path(rng):
+    """bf16 q rows select the bf16-MXU dot path (production dtype);
+    parity within bf16 tolerance of the f32 reference."""
+    B, Hkv, S, hd, T = 2, 2, 512, 128, 512
+    k32, v32 = _rows(np.random.default_rng(11), B, Hkv, S, hd)
+    k, v = k32.astype(jnp.bfloat16), v32.astype(jnp.bfloat16)
+    offs = jnp.asarray([0, 0], jnp.int32)
+    lens = offs + T
+    q32 = jnp.asarray(np.random.default_rng(12).standard_normal(
+        (B, T, Hkv, hd)), jnp.float32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    got = ragged_attention(q32.astype(jnp.bfloat16), k, v, lens, offs,
+                           rows, chunk=256)
+    want = ragged_attention_reference(q32, k32, v32, lens, offs, rows)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), atol=3e-2, rtol=3e-2)

@@ -758,3 +758,40 @@ def test_auto_engine_config_sizing():
     # usable config
     auto = auto_engine_config(cfg, base)
     assert auto.max_batch >= 1 and auto.num_slots >= 1
+
+
+@pytest.mark.parametrize("wq", ["none", "int8"])
+def test_fused_weight_streams_parity(tiny_engine, rng, wq):
+    """Explicit qkv/gateup fusion (fuse_serving_weights — the
+    QKVParallelLinear analog, a pre-processing step in cli/serve.py and
+    bench.py) must be token-exact vs the per-name layout, bf16 and W8."""
+    import dataclasses as dc
+    from aurora_tpu.serve.engine import (fuse_serving_weights,
+                                         quantize_weights_int8)
+    params, cfg, ecfg = tiny_engine
+    ecfg = dc.replace(ecfg, weight_quant=wq)
+    prompts = [[int(x) for x in rng.integers(3, 128, size=n)]
+               for n in (13, 21)]
+
+    def run(p):
+        eng = ServeEngine(p, cfg, ecfg)
+        done = _run_engine(eng, [
+            Request(rid=f"r{i}", input_ids=list(ids), max_new_tokens=6,
+                    eos_ids=(-1,)) for i, ids in enumerate(prompts)])
+        return [done[f"r{i}"].output_ids for i in range(len(prompts))]
+
+    plain = run({**params, "layers": dict(params["layers"])})
+    fused_tree = fuse_serving_weights(
+        {**params, "layers": dict(params["layers"])})
+    if wq == "int8":
+        # pre-quantize + fuse (production order: quantize THEN fuse)
+        q = quantize_weights_int8(
+            {**params, "layers": dict(params["layers"])})
+        fused_tree = fuse_serving_weights(q)
+        assert "qkv_scale" in fused_tree["layers"]
+    assert "qkv" in fused_tree["layers"]
+    assert "gateup" in fused_tree["layers"]
+    fused = run(fused_tree)
+    assert fused == plain
+    # source tree untouched without free_source
+    assert "q" in params["layers"]
