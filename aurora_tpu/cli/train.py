@@ -37,6 +37,10 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--stage", default="pretrain",
                    choices=["pretrain", "vision", "language"])
+    p.add_argument("--config", default=None,
+                   help="copy-cfg JSON with stage-config overrides "
+                        "(the --cfg-options analog); explicit CLI flags "
+                        "still win")
     p.add_argument("--model_path", required=True,
                    help="xtuner-format dir, or 'random:tiny' for smoke")
     p.add_argument("--data", required=True, help="llava-format json/jsonl")
@@ -92,6 +96,9 @@ def main():
     stage = {"pretrain": stage_configs.pretrain_stage,
              "vision": stage_configs.vision_stage,
              "language": stage_configs.language_stage}[args.stage]()
+    if args.config:
+        from aurora_tpu.cli.cfg_tools import load_cfg_overrides
+        stage = load_cfg_overrides(args.config, stage)
     if args.max_steps:
         stage = dataclasses.replace(
             stage, train=dataclasses.replace(stage.train,
