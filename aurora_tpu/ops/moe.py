@@ -73,6 +73,61 @@ def moe_mlp(params: Params, x: jnp.ndarray, top_k: int,
     return out
 
 
+def moe_mlp_grouped(params: Params, x: jnp.ndarray, top_k: int,
+                    return_router_logits: bool = False):
+    """Dropless sort-by-expert MoE via grouped matmul — the TPU-native
+    equivalent of sglang's fused-MoE Triton kernel
+    (src/sglang/python/sglang/srt/layers/fused_moe/fused_moe.py:1-250:
+    align_block_size + invoke_fused_moe_kernel). Instead of a hand-tiled
+    kernel we permute tokens into expert-contiguous order and issue
+    `lax.ragged_dot`, which XLA/Mosaic lowers to the TPU grouped-matmul
+    (gmm) kernel: each expert's row block is tiled onto the MXU, weights
+    stream from HBM exactly once.
+
+    Same routing semantics as `moe_mlp` (Mixtral renormalized top-k), same
+    output to fp32-accumulation tolerance, but compute is O(N·k) expert
+    rows instead of O(N·E) — 4x fewer MLP FLOPs for Mixtral (k=2, E=8).
+    Use for prefill/serving on an unsharded expert dim; under TP-sharded
+    experts keep `moe_mlp` (dense einsum partitions under GSPMD with no
+    token dispatch, mirroring the reference's TP-expert layout).
+    """
+    B, T, D = x.shape
+    N = B * T
+    E = params["router"].shape[-1]
+    xf = x.reshape(N, D)
+    logits = jnp.dot(xf, params["router"],
+                     preferred_element_type=jnp.float32)       # [N,E]
+    top_vals, top_idx = jax.lax.top_k(logits, top_k)
+    top_probs = jax.nn.softmax(top_vals, axis=-1)              # renormalize
+
+    # replicate each token k times and sort the copies by expert id;
+    # stable sort keeps token order within an expert (deterministic)
+    flat_expert = top_idx.reshape(-1)                          # [N*k]
+    flat_tok = jnp.repeat(jnp.arange(N, dtype=jnp.int32), top_k)
+    order = jnp.argsort(flat_expert, stable=True)
+    sorted_tok = flat_tok[order]                               # [N*k]
+    xs = jnp.take(xf, sorted_tok, axis=0)                      # gather
+    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
+
+    gate = jax.lax.ragged_dot(xs, params["gate"], group_sizes,
+                              preferred_element_type=jnp.float32
+                              ).astype(x.dtype)
+    up = jax.lax.ragged_dot(xs, params["up"], group_sizes,
+                            preferred_element_type=jnp.float32
+                            ).astype(x.dtype)
+    h = jax.nn.silu(gate) * up
+    out = jax.lax.ragged_dot(h, params["down"], group_sizes,
+                             preferred_element_type=jnp.float32)  # [N*k,D]
+
+    w = top_probs.reshape(-1)[order]                           # [N*k]
+    combined = jnp.zeros((N, D), jnp.float32
+                         ).at[sorted_tok].add(out * w[:, None])
+    combined = combined.reshape(B, T, D).astype(x.dtype)
+    if return_router_logits:
+        return combined, logits.reshape(B, T, E)
+    return combined
+
+
 def load_balancing_loss(router_logits: jnp.ndarray, top_k: int):
     """Mixtral auxiliary load-balancing loss: E · Σ_e f_e · P_e where f is
     the fraction of tokens routed to e and P the mean router prob."""

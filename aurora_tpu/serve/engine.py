@@ -247,11 +247,18 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
     (mixtral), with Gemma2's post-feedforward norm when present."""
     h = _norm(cfg, x, lp["post_attn_norm"])
     if "moe_router" in lp:  # Mixtral-family sparse MLP (fused_moe parity)
-        from aurora_tpu.ops.moe import moe_mlp
-        out = moe_mlp(
-            {"router": lp["moe_router"], "gate": lp["moe_gate"],
-             "up": lp["moe_up"], "down": lp["moe_down"]},
-            h, cfg.num_experts_per_tok).astype(x.dtype)
+        from aurora_tpu.ops.moe import moe_mlp, moe_mlp_grouped
+        moe_params = {"router": lp["moe_router"], "gate": lp["moe_gate"],
+                      "up": lp["moe_up"], "down": lp["moe_down"]}
+        # prefill/extend (many tokens, unsharded experts): grouped-matmul
+        # dropless path — O(N·k) expert rows. decode (T==1) and TP-sharded
+        # experts: dense einsum (weight stream dominates / GSPMD layout).
+        if tp_axis is None and h.shape[1] > 1:
+            out = moe_mlp_grouped(moe_params, h,
+                                  cfg.num_experts_per_tok).astype(x.dtype)
+        else:
+            out = moe_mlp(moe_params, h,
+                          cfg.num_experts_per_tok).astype(x.dtype)
     elif "gateup" in lp:  # fused stream (fuse_serving_weights)
         fused = _wdot(h, lp, "gateup")
         inter = fused.shape[-1] // 2

@@ -262,6 +262,30 @@ def test_mixtral_moe_logits_match_hf(rng):
     np.testing.assert_allclose(np.asarray(got), want, rtol=4e-4, atol=4e-4)
 
 
+def test_moe_grouped_matches_dense(rng):
+    """Grouped (sort-by-expert + ragged_dot) MoE must equal the dense
+    einsum formulation — same Mixtral routing, different schedule."""
+    from aurora_tpu.ops.moe import init_moe_params, moe_mlp, moe_mlp_grouped
+    params = init_moe_params(jax.random.PRNGKey(3), 4, 32, 48)
+    x = jnp.asarray(rng.standard_normal((2, 9, 32)), jnp.float32)
+    dense = moe_mlp(params, x, 2)
+    grouped = moe_mlp_grouped(params, x, 2)
+    np.testing.assert_allclose(np.asarray(grouped), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+    # router-logits variant agrees as well
+    g2, logits = moe_mlp_grouped(params, x, 2, return_router_logits=True)
+    _, logits_d = moe_mlp(params, x, 2, return_router_logits=True)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(logits_d), rtol=1e-6, atol=1e-6)
+    # degenerate: every token to one expert (empty groups must be fine)
+    params_skew = dict(params)
+    params_skew["router"] = params["router"].at[:, 1:].set(-1e9)
+    d = moe_mlp(params_skew, x, 2)
+    g = moe_mlp_grouped(params_skew, x, 2)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(d),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_moe_load_balancing_loss(rng):
     from aurora_tpu.ops.moe import load_balancing_loss
     logits = jnp.asarray(rng.standard_normal((2, 10, 4)), jnp.float32)
