@@ -23,20 +23,22 @@ HLO and wedge the relay); stages run sequentially and free their weights
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-E2E_VIDEOS = 8
 FRAMES = 8
 IMAGE_SIZE = 378
 KEPT_RATIO = 0.2
 CAPTION_TOKENS = 256
-# W8 weights (6.75GB) + int8 KV rows (4.4GB at b8/s_row 1664) fit a
-# 15.75GB v5e together — round 3's carry/fused-write decode fix made the
-# quantized engine path fast as well as small
-LLM_BATCH = 8
+# W8 weights (6.75GB) + int8 KV rows (~6.8GB at b16/s_row 1664) fit a
+# 15.75GB v5e together — decode is weight-stream-bound, so doubling the
+# batch nearly doubles videos/s; _llm_stage falls back 16 → 8 → 2 if HBM
+# doesn't accommodate the rows.
+LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 16))
+E2E_VIDEOS = int(os.environ.get("BENCH_E2E_VIDEOS", LLM_BATCH))
 LLM_HIDDEN = 4096
 
 
@@ -186,14 +188,17 @@ def _llm_stage(jax, jnp, embeds, detail):
             t2 = t1
         return min(t1, t2)
 
-    try:
-        t_llm = best_of_2(run_e2e, LLM_BATCH)
-        detail["e2e_llm_batch"] = LLM_BATCH
-    except Exception as e:  # noqa: BLE001 — likely HBM exhaustion
-        print(f"[bench] e2e batch {LLM_BATCH} failed ({str(e)[:120]}); "
-              "falling back to batch 2", file=sys.stderr)
-        t_llm = best_of_2(run_e2e, 2)
-        detail["e2e_llm_batch"] = 2
+    t_llm = None
+    for b in [x for x in (LLM_BATCH, 8, 2) if x <= LLM_BATCH]:
+        try:
+            t_llm = best_of_2(run_e2e, b)
+            detail["e2e_llm_batch"] = b
+            break
+        except Exception as e:  # noqa: BLE001 — likely HBM exhaustion
+            print(f"[bench] e2e batch {b} failed ({str(e)[:120]}); "
+                  "trying smaller", file=sys.stderr)
+    if t_llm is None:
+        raise RuntimeError("all e2e batch sizes failed")
     detail["e2e_llm_s"] = round(t_llm, 3)
     detail["e2e_prompt_tokens"] = prompt_len
     detail["e2e_caption_tokens"] = CAPTION_TOKENS

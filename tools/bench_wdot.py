@@ -26,6 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--block_n", type=int, default=256)
     args = ap.parse_args()
 
     import jax
@@ -118,6 +119,29 @@ def main():
 
     timed("w8a8_fused", lambda p, x: jax.lax.scan(
         fused_body, x, p["layers"])[0], fparams, x)
+
+    # --- Pallas streaming W8A8 kernel (ops/pallas/quant_matmul.py) ----
+    from aurora_tpu.ops.pallas.quant_matmul import (w8a8_matmul,
+                                                    quantize_activations)
+
+    def pdot(h, lp, name):
+        h8, s_a = quantize_activations(h)
+        return w8a8_matmul(h8, s_a, lp[name], lp[name + "_scale"],
+                           block_n=args.block_n)
+
+    def pallas_body(h, lp):
+        qkv = pdot(h, lp, "qkv")
+        d = cfg.hidden_size
+        s = (qkv[..., :d] + qkv[..., d:2 * d] + qkv[..., 2 * d:]
+             + pdot(h, lp, "o"))
+        gu = pdot(h, lp, "gateup")
+        inter = gu.shape[-1] // 2
+        h = (h + s + pdot(jax.nn.silu(gu[..., :inter])
+                          * gu[..., inter:], lp, "down")).astype(h.dtype)
+        return h, None
+
+    timed("w8a8_pallas", lambda p, x: jax.lax.scan(
+        pallas_body, x, p["layers"])[0], fparams, x)
 
     # theoretical bounds for context
     bytes_w8 = sum(v.nbytes for k, v in qparams["layers"].items()
