@@ -63,14 +63,19 @@ def list_cfg(argv: List[str]) -> int:
     from aurora_tpu.utils.templates import PROMPT_TEMPLATE
     import aurora_tpu.eval.tasks  # noqa: F401 — populate the registry
 
+    from aurora_tpu.eval.tasks import catalog_status
+    catalog = [
+        f"{n}  [{'ready' if ok else f'needs data: ${env} or {path}'}]"
+        for n, env, path, ok in catalog_status()]
     sections = {
         "stage configs (train --stage / copy-cfg)":
             sorted(_stage_configs()),
         "model presets": sorted(_model_presets()),
         "prompt templates (data --template)":
             sorted(vars(PROMPT_TEMPLATE)),
-        "eval tasks (python -m aurora_tpu.eval --task)":
+        "eval tasks registered (python -m aurora_tpu.eval --tasks)":
             eval_api.list_tasks(),
+        "eval task catalog (auto-registers when data exists)": catalog,
     }
     for title, names in sections.items():
         if args.pattern:

@@ -69,7 +69,9 @@ def register_caption_task(name: str, dataset_path: str,
 
 for _name, _env in (("coco_cap", "AURORA_COCO_CAP"),
                     ("flickr30k", "AURORA_FLICKR30K"),
-                    ("nocaps", "AURORA_NOCAPS")):
+                    ("nocaps", "AURORA_NOCAPS"),
+                    ("textcaps", "AURORA_TEXTCAPS"),
+                    ("youcook2", "AURORA_YOUCOOK2")):
     _path = os.environ.get(_env, f"data/{_name}/val.jsonl")
     if os.path.exists(_path):
         register_caption_task(_name, _path)

@@ -468,9 +468,84 @@ def register_tempcompass(dataset_path: str,
                            "temperature": 0.0}))
 
 
+# --- generic lettered video MC (LongVideoBench / MLVU) ---------------------
+# Parity: lmms-eval tasks/longvideobench (lettered options + letter
+# answer) and tasks/mlvu (mvbench-style candidates + full-text answer).
+# One pair of hooks handles both row shapes.
+
+GENERIC_POST_PROMPT = ("\nAnswer with the option's letter from the "
+                       "given choices directly.")
+
+
+def generic_mc_doc_to_text(doc, **_):
+    if "options" in doc:  # lettered "A. ..." strings (longvideobench)
+        opts = "\n".join(str(o) for o in doc["options"])
+    else:                 # bare candidates (mlvu)
+        opts = "\n".join(f"{_LETTERS[i]}. {c}"
+                         for i, c in enumerate(doc["candidates"]))
+    return doc["question"] + "\n" + opts + GENERIC_POST_PROMPT
+
+
+def _generic_gt_letter(doc) -> str:
+    a = doc["answer"]
+    if isinstance(a, int):
+        return _LETTERS[a]
+    a = str(a).strip()
+    if len(a) == 1 and a in _LETTERS:
+        return a
+    cands = [str(o) for o in doc.get("candidates", [])]
+    if a in cands:
+        return _LETTERS[cands.index(a)]
+    return a[:1].upper()
+
+
+def generic_mc_process_results(doc, result):
+    n = len(doc.get("options") or doc.get("candidates") or [])
+    letters = [_LETTERS[i] for i in range(max(n, 2))]
+    pred = parse_multi_choice_response(result[0], letters)
+    return {"mc_accuracy": {
+        "score": float(pred == _generic_gt_letter(doc)),
+        "category": doc.get("task_type", doc.get("duration", "all"))}}
+
+
+def generic_mc_target(doc):
+    return _generic_gt_letter(doc)
+
+
+def register_video_mc(name: str, dataset_path: str,
+                      max_new_tokens: int = 16,
+                      by_category: bool = False):
+    agg = ("aurora_tpu.eval.tasks.image_mc:aggregate_by_category"
+           if by_category else
+           "aurora_tpu.eval.tasks.image_mc:aggregate")
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.video_mc:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.video_mc:"
+                    "generic_mc_doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.video_mc:generic_mc_target",
+        process_results="aurora_tpu.eval.tasks.video_mc:"
+                        "generic_mc_process_results",
+        metric_aggregations={"mc_accuracy": agg},
+        generation_kwargs={"max_new_tokens": max_new_tokens,
+                           "temperature": 0.0}))
+
+
+def register_longvideobench(dataset_path: str,
+                            name: str = "longvideobench_val"):
+    return register_video_mc(name, dataset_path)
+
+
+def register_mlvu(dataset_path: str, name: str = "mlvu"):
+    return register_video_mc(name, dataset_path, by_category=True)
+
+
 # --- env-driven auto-registration ------------------------------------------
 
 for _reg, _env, _default in (
+        (register_longvideobench, "AURORA_LONGVIDEOBENCH",
+         "data/longvideobench/val.jsonl"),
+        (register_mlvu, "AURORA_MLVU", "data/mlvu/test.jsonl"),
         (register_videomme, "AURORA_VIDEOMME", "data/videomme/test.jsonl"),
         (register_mvbench, "AURORA_MVBENCH", "data/mvbench/test.jsonl"),
         (register_egoschema, "AURORA_EGOSCHEMA",

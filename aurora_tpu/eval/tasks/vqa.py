@@ -105,7 +105,103 @@ def register_vqa_task(name: str, dataset_path: str):
     ))
 
 
-for _name, _env in (("vqav2", "AURORA_VQAV2"), ("gqa", "AURORA_GQA")):
+# --- document/chart/OCR variants -------------------------------------------
+# Parity: lmms-eval tasks/docvqa + infovqa (ANLS, utils.py anls metric),
+# tasks/chartqa/utils.py:relaxed_correctness (numeric within 5%), and
+# tasks/ocrbench/utils.py (containment scoring). Same jsonl format as the
+# VQA family; "answers" may hold several acceptable strings.
+
+def anls_process_results(doc, result):
+    from aurora_tpu.eval.metrics import anls
+    score = max(anls(result[0], gt) for gt in doc_to_target(doc))
+    return {"anls": score}
+
+
+def relaxed_accuracy(pred: str, gt: str, tol: float = 0.05) -> float:
+    """ChartQA relaxed correctness: numeric answers match within 5%
+    relative error; other answers match case-insensitively exactly."""
+
+    def _to_float(s: str):
+        try:
+            return float(str(s).strip().rstrip("%"))
+        except ValueError:
+            return None
+
+    p, g = _to_float(pred), _to_float(gt)
+    if p is not None and g is not None:
+        if g == 0:
+            return float(p == g)
+        return float(abs(p - g) / abs(g) <= tol)
+    return float(str(pred).strip().lower() == str(gt).strip().lower())
+
+
+def chartqa_process_results(doc, result):
+    score = max(relaxed_accuracy(result[0], gt)
+                for gt in doc_to_target(doc))
+    return {"relaxed_acc": score}
+
+
+def ocrbench_process_results(doc, result):
+    pred = result[0].strip().lower().replace("\n", " ")
+    score = float(any(str(gt).strip().lower() in pred
+                      for gt in doc_to_target(doc)))
+    return {"ocrbench_acc": score}
+
+
+def register_docvqa_task(name: str, dataset_path: str):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.vqa:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.vqa:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.vqa:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.vqa:anls_process_results",
+        metric_aggregations={"anls": "mean"},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0.0}))
+
+
+def register_chartqa_task(dataset_path: str, name: str = "chartqa"):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.vqa:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.vqa:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.vqa:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.vqa:"
+                        "chartqa_process_results",
+        metric_aggregations={"relaxed_acc": "mean"},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0.0}))
+
+
+def register_ocrbench_task(dataset_path: str, name: str = "ocrbench"):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.vqa:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.vqa:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.vqa:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.vqa:"
+                        "ocrbench_process_results",
+        metric_aggregations={"ocrbench_acc": "mean"},
+        generation_kwargs={"max_new_tokens": 64, "temperature": 0.0}))
+
+
+for _name, _env in (("vqav2", "AURORA_VQAV2"), ("gqa", "AURORA_GQA"),
+                    ("textvqa", "AURORA_TEXTVQA"),
+                    ("vizwiz_vqa", "AURORA_VIZWIZ"),
+                    ("ok_vqa", "AURORA_OKVQA")):
     _path = os.environ.get(_env, f"data/{_name}/val.jsonl")
     if os.path.exists(_path):
         register_vqa_task(_name, _path)
+
+for _name, _env in (("docvqa", "AURORA_DOCVQA"),
+                    ("infovqa", "AURORA_INFOVQA"),
+                    ("stvqa", "AURORA_STVQA")):
+    _path = os.environ.get(_env, f"data/{_name}/val.jsonl")
+    if os.path.exists(_path):
+        register_docvqa_task(_name, _path)
+
+_path = os.environ.get("AURORA_CHARTQA", "data/chartqa/test.jsonl")
+if os.path.exists(_path):
+    register_chartqa_task(_path)
+
+_path = os.environ.get("AURORA_OCRBENCH", "data/ocrbench/test.jsonl")
+if os.path.exists(_path):
+    register_ocrbench_task(_path)
