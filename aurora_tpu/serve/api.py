@@ -41,14 +41,18 @@ class ServingLoop:
         self.mm = mm  # AuroraCapServing for multimodal deployments
         self._events: Dict[str, asyncio.Queue] = {}
         self._task: Optional[asyncio.Task] = None
+        self._wake: Optional[asyncio.Event] = None
 
     async def start(self) -> None:
+        self._wake = asyncio.Event()
         self._task = asyncio.create_task(self._run())
 
     async def _run(self) -> None:
         while True:
             if not self.engine.has_work():
-                await asyncio.sleep(0.001)
+                # park until submit() wakes us (no idle polling)
+                self._wake.clear()
+                await self._wake.wait()
                 continue
             try:
                 stepped = await asyncio.to_thread(self.engine.step)
@@ -82,6 +86,8 @@ class ServingLoop:
         q: asyncio.Queue = asyncio.Queue()
         self._events[req.rid] = q
         self.engine.add_request(req)
+        if self._wake is not None:
+            self._wake.set()
         return q
 
     def detok(self, ids, req=None) -> str:
@@ -93,6 +99,49 @@ class ServingLoop:
             if idx >= 0:
                 text = text[:idx]
         return text
+
+
+class StreamDetok:
+    """Incremental detokenization for one streamed request.
+
+    The HF/sglang incremental-decode algorithm (sglang
+    srt/managers/tokenizer_manager.py decode_status: prefix_offset /
+    read_offset): each delta decodes only the tokens since the last
+    emitted boundary instead of the whole output — O(n) over a stream —
+    and holds back text while the tail is an incomplete UTF-8 sequence
+    ('\\ufffd'). Stop-string trimming matches ServingLoop.detok."""
+
+    def __init__(self, tokenizer, stop: Optional[str] = None):
+        self.tok = tokenizer
+        self.stop = stop
+        self.prefix = 0      # decode-window start (last clean boundary)
+        self.read = 0        # tokens already rendered into `acc`
+        self.acc = ""        # full decoded text so far
+        self.sent = 0        # chars already returned to the client
+        self.done = False    # stop string reached
+
+    def push(self, ids) -> str:
+        """ids: full output_ids so far → newly-stable text delta."""
+        if self.done:
+            return ""
+        ids = [int(t) for t in ids]
+        last = self.tok.decode(ids[self.prefix:self.read],
+                               skip_special_tokens=True)
+        new = self.tok.decode(ids[self.prefix:],
+                              skip_special_tokens=True)
+        if len(new) > len(last) and not new.endswith("�"):
+            self.acc += new[len(last):]
+            self.prefix = self.read
+            self.read = len(ids)
+        text = self.acc
+        if self.stop:
+            i = text.find(self.stop)
+            if i >= 0:
+                text = text[:i]
+                self.done = True
+        delta = text[self.sent:]
+        self.sent = len(text)
+        return delta
 
 
 def _sampling_from(body: Dict[str, Any]) -> SamplingParams:
@@ -215,16 +264,17 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             headers={"Content-Type": "text/event-stream"})
         await resp.prepare(request)
         q = await loop_.submit(req)
-        sent = 0
+        detok = StreamDetok(loop_.tokenizer,
+                            getattr(req, "stop_trim", None))
         while True:
             kind, r = await q.get()
             if kind == "error":
                 await resp.write(
                     f"data: {json.dumps({'error': str(r)})}\n\n".encode())
                 break
-            text = loop_.detok(r.output_ids, r)  # stop_trim in streams too
-            delta = text[sent:]
-            sent = len(text)
+            delta = detok.push(r.output_ids)
+            if not delta and kind != "done":
+                continue  # held back (incomplete UTF-8) or no new tokens
             if openai == "chat":
                 payload = {"id": req.rid, "object":
                            "chat.completion.chunk",

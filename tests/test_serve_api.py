@@ -298,3 +298,36 @@ def test_files_and_batches_endpoints(served):
         assert all(o["response"]["status_code"] == 200 for o in out)
 
     _with_app(served, go)
+
+
+def test_stream_detok_incremental():
+    """StreamDetok emits exactly the full-decode text, incrementally,
+    with bounded decode windows and stop trimming."""
+    from transformers import AutoTokenizer
+
+    from aurora_tpu.serve.api import StreamDetok
+    from utils import make_tiny_xtuner_dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        root, *_ = make_tiny_xtuner_dir(d + "/m")
+        tok = AutoTokenizer.from_pretrained(root)
+    ids = tok.encode("hello world this is streaming",
+                     add_special_tokens=False)
+    sd = StreamDetok(tok)
+    out = "".join(sd.push(ids[:i + 1]) for i in range(len(ids)))
+    # final flush: pushing the complete list again must add nothing new
+    out += sd.push(ids)
+    assert out == tok.decode(ids, skip_special_tokens=True)
+    # decode window stays bounded: prefix advances with read
+    assert sd.prefix >= len(ids) - 8
+
+    # stop trimming matches ServingLoop.detok semantics
+    text = tok.decode(ids, skip_special_tokens=True)
+    stop = text.split()[2]  # "this"
+    sd2 = StreamDetok(tok, stop=stop)
+    out2 = "".join(sd2.push(ids[:i + 1]) for i in range(len(ids)))
+    assert out2 == text[:text.find(stop)]
+    assert sd2.done
+    # pushes after the stop are inert
+    assert sd2.push(ids) == ""
