@@ -132,7 +132,8 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         rope_linear_scaling=linear,
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         sliding_window=(cfg.get("sliding_window")
-                        if cfg.get("model_type") == "mistral" else None),
+                        if cfg.get("model_type") in ("mistral", "phi3")
+                        else None),
     )
 
 
@@ -223,6 +224,24 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         mats = [sd[fmt.format(i)] for i in range(L)]
         arr = np.stack([m.T if transpose else m for m in mats])
         return _j(arr, dtype)
+
+    # Phi-3 ships fused qkv_proj / gate_up_proj matrices (sglang zoo
+    # parity, srt/models — phi-3 is llama semantics otherwise); split
+    # them into the canonical q/k/v + gate/up layout up front.
+    if "layers.0.self_attn.qkv_proj.weight" in sd:
+        nq = cfg.num_attention_heads * cfg.head_dim
+        nkv = cfg.num_key_value_heads * cfg.head_dim
+        for i in range(L):
+            qkv = sd.pop(f"layers.{i}.self_attn.qkv_proj.weight")
+            sd[f"layers.{i}.self_attn.q_proj.weight"] = qkv[:nq]
+            sd[f"layers.{i}.self_attn.k_proj.weight"] = qkv[nq:nq + nkv]
+            sd[f"layers.{i}.self_attn.v_proj.weight"] = qkv[nq + nkv:]
+    if "layers.0.mlp.gate_up_proj.weight" in sd:
+        for i in range(L):
+            gu = sd.pop(f"layers.{i}.mlp.gate_up_proj.weight")
+            inter = gu.shape[0] // 2
+            sd[f"layers.{i}.mlp.gate_proj.weight"] = gu[:inter]
+            sd[f"layers.{i}.mlp.up_proj.weight"] = gu[inter:]
 
     p: Params = {
         "embed_tokens": _j(sd["embed_tokens.weight"], dtype),

@@ -44,6 +44,22 @@ def frame_hash_ids(pixel_values: np.ndarray, n_tokens: int) -> List[int]:
                          size=n_tokens)]
 
 
+def expand_placeholders(raw_ids: List[int], counts: List[int],
+                        clip_ids: List[int]) -> List[int]:
+    """Replace each IMAGE_TOKEN_INDEX marker in raw_ids with the next
+    `counts[k]` pseudo-ids from clip_ids (radix-cacheable prompt)."""
+    out: List[int] = []
+    k = pos = 0
+    for tok in raw_ids:
+        if tok == IMAGE_TOKEN_INDEX:
+            out.extend(clip_ids[pos:pos + counts[k]])
+            pos += counts[k]
+            k += 1
+        else:
+            out.append(tok)
+    return out
+
+
 class AuroraCapServing:
     """Builds engine requests + the embed_fn hook for AuroraCap."""
 
@@ -90,15 +106,7 @@ class AuroraCapServing:
             "one <image> marker per frame required")
 
         clip_ids = frame_hash_ids(pixel_values, sum(counts))
-        input_ids: List[int] = []
-        k = pos = 0
-        for tok in raw_ids:
-            if tok == IMAGE_TOKEN_INDEX:
-                input_ids.extend(clip_ids[pos:pos + counts[k]])
-                pos += counts[k]
-                k += 1
-            else:
-                input_ids.append(tok)
+        input_ids = expand_placeholders(raw_ids, counts, clip_ids)
         req = Request(rid=rid, input_ids=input_ids, **req_kwargs)
         req.pixel_values = pixel_values
         req.kept_ratio = kept
@@ -136,6 +144,84 @@ class AuroraCapServing:
         groups = self._visual_groups(req)
         fused = fuse_multimodal(self.params["llm"]["embed_tokens"],
                                 jnp.asarray(ids), groups)
+        out = np.asarray(jax.device_get(fused["inputs_embeds"][0]))
+        assert out.shape[0] == len(req.input_ids), (
+            out.shape, len(req.input_ids))
+        return out
+
+
+class InternVLServing:
+    """Engine requests + embed_fn for InternVL (InternViT + pixel-shuffle
+    projector + llama/qwen2-family decoder) — turns the InternVL modeling
+    (models/internvl.py, xtuner InternVL_V1_5 parity) into a SERVABLE
+    family through the radix engine, the role sglang's internvl serving
+    model plays in the reference zoo.
+
+    Same placeholder mechanics as AuroraCapServing: each <image> marker
+    expands to cfg.n_visual_tokens hash-derived pseudo-ids (radix KV
+    reuse for repeated images); at extend time internvl_image_features
+    runs per request and fuse_multimodal splices the projected tokens.
+    The engine itself serves params['text'] with cfg.text — any
+    LlamaConfig family member works unchanged.
+    """
+
+    def __init__(self, params: Dict, cfg, tokenizer,
+                 embed_cache_size: int = 8):
+        self.params = params
+        self.cfg = cfg          # InternVLConfig
+        self.tokenizer = tokenizer
+        self._cache: Dict[bytes, jnp.ndarray] = {}
+        self._cache_size = embed_cache_size
+
+    @property
+    def llm_params(self):
+        return self.params["text"]
+
+    @property
+    def llm_cfg(self):
+        return self.cfg.text
+
+    def n_visual_tokens(self) -> int:
+        return self.cfg.n_visual_tokens
+
+    def build_request(self, rid: str, prompt_text: str,
+                      pixel_values: np.ndarray, **req_kwargs) -> Request:
+        """prompt_text has one '<image>' marker per image tile;
+        pixel_values [N_img, C, H, W] preprocessed to cfg.vision
+        resolution."""
+        raw_ids = encode_with_image_tokens(prompt_text, self.tokenizer)
+        F = pixel_values.shape[0]
+        assert raw_ids.count(IMAGE_TOKEN_INDEX) == F, (
+            "one <image> marker per image required")
+        n = self.cfg.n_visual_tokens
+        clip_ids = frame_hash_ids(pixel_values, F * n)
+        req = Request(rid=rid,
+                      input_ids=expand_placeholders(raw_ids, [n] * F,
+                                                    clip_ids),
+                      **req_kwargs)
+        req.pixel_values = pixel_values
+        req._raw_ids = raw_ids  # type: ignore[attr-defined]
+        return req
+
+    def _features(self, px: np.ndarray) -> jnp.ndarray:
+        from aurora_tpu.models.internvl import internvl_image_features
+        key = hashlib.sha1(np.ascontiguousarray(px).tobytes()).digest()
+        feats = self._cache.get(key)
+        if feats is None:
+            dtype = self.params["text"]["embed_tokens"].dtype
+            feats = internvl_image_features(
+                self.params, self.cfg, jnp.asarray(px, dtype))
+            if len(self._cache) >= self._cache_size:
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[key] = feats
+        return feats                       # [N_img, N_vis, D]
+
+    def embed_fn(self, req: Request) -> np.ndarray:
+        from aurora_tpu.models.aurora import fuse_multimodal
+        ids = np.asarray(req._raw_ids)[None]
+        feats = self._features(req.pixel_values)
+        fused = fuse_multimodal(self.params["text"]["embed_tokens"],
+                                jnp.asarray(ids), [feats[None]])
         out = np.asarray(jax.device_get(fused["inputs_embeds"][0]))
         assert out.shape[0] == len(req.input_ids), (
             out.shape, len(req.input_ids))

@@ -117,3 +117,89 @@ def test_mixtral_served_matches_offline(rng):
                                         max_new_tokens=6)])
     assert done["m"].output_ids == want
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_internvl_served_matches_offline(rng):
+    """InternVL (InternViT + pixel-shuffle projector + qwen2 decoder)
+    through the radix engine via InternVLServing placeholders: greedy
+    decode == offline generate over the fused embeds. (The modeling
+    itself is HF-parity tested in test_internvl.py.)"""
+    import torch
+    import transformers
+
+    from aurora_tpu.generate import generate
+    from aurora_tpu.models.aurora import fuse_multimodal
+    from aurora_tpu.models.convert import llama_config_from_hf
+    from aurora_tpu.models.internvl import (InternVLConfig,
+                                            internvit_config_from_hf,
+                                            internvl_image_features,
+                                            internvl_params_from_hf)
+    from aurora_tpu.serve.multimodal import InternVLServing
+    from aurora_tpu.utils.constants import IMAGE_TOKEN_INDEX
+
+    vision = transformers.InternVLVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, image_size=56, patch_size=14,
+        norm_type="layer_norm", layer_scale_init_value=0.1,
+        use_mean_pooling=True)
+    text = transformers.Qwen2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+        tie_word_embeddings=False)
+    hf_cfg = transformers.InternVLConfig(
+        vision_config=vision, text_config=text, image_token_id=250,
+        downsample_ratio=0.5, projector_hidden_act="gelu",
+        vision_feature_layer=-1, vision_feature_select_strategy="default")
+    torch.manual_seed(7)
+    hf = transformers.InternVLForConditionalGeneration(hf_cfg).eval()
+    cfg = InternVLConfig(
+        vision=internvit_config_from_hf(vision.to_dict()),
+        text=llama_config_from_hf(text.to_dict()),
+        downsample_ratio=0.5)
+    params = internvl_params_from_hf(
+        {k: v.numpy() for k, v in hf.state_dict().items()}, cfg,
+        dtype=jnp.float32)
+
+    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+
+    class _Tok:  # minimal tokenizer: '<image>'-aware id encoder
+        def encode(self, text, add_special_tokens=False):
+            out = []
+            for part in text.split("<image>"):
+                out.extend(ord(c) % 200 + 3 for c in part.strip())
+                out.append(IMAGE_TOKEN_INDEX)
+            return out[:-1]
+
+    mm = InternVLServing(params, cfg, _Tok())
+    assert cfg.n_visual_tokens == 4  # 56/14=4 patches/side → 2x2 shuffled
+    req = mm.build_request("iv", "<image> describe", px,
+                           max_new_tokens=6, eos_ids=(-1,))
+    assert len(req.input_ids) == len(mm.embed_fn(req))
+
+    # offline oracle over the SAME fused embeds
+    raw = np.asarray(req._raw_ids)[None]
+    feats = internvl_image_features(params, cfg,
+                                    jnp.asarray(px, jnp.float32))
+    fused = fuse_multimodal(params["text"]["embed_tokens"],
+                            jnp.asarray(raw), [feats[None]])
+    embeds = fused["inputs_embeds"]
+    res = generate(params["text"], cfg.text, embeds,
+                   jnp.ones((1, embeds.shape[1]), bool),
+                   max_new_tokens=6, eos_ids=(-1,))
+    want = [int(t) for t in
+            np.asarray(res.tokens[0, :int(res.lengths[0])])]
+
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params["text"], cfg.text, ecfg,
+                         embed_fn=mm.embed_fn)
+    done = _run_engine(engine, [req])
+    assert done["iv"].output_ids == want
+    # identical image resubmitted → radix prefix KV reuse kicks in
+    req2 = mm.build_request("iv2", "<image> describe", px,
+                            max_new_tokens=6, eos_ids=(-1,))
+    done2 = _run_engine(engine, [req2])
+    assert done2["iv2"].output_ids == want
+    assert len(done2["iv2"].prefix_slots) > 0
