@@ -113,12 +113,21 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
     scaling = cfg.get("rope_scaling") or {}
     linear = (scaling.get("factor")
               if scaling.get("type") == "linear" else None)
+    if cfg.get("model_type") == "qwen2_moe":
+        # Qwen2-MoE: every layer sparse in our layout (stacked scan)
+        assert cfg.get("decoder_sparse_step", 1) == 1 \
+            and not cfg.get("mlp_only_layers"), \
+            "qwen2_moe with dense interleaving is not supported"
     return LlamaConfig(
-        qkv_bias=(cfg.get("model_type") == "qwen2"
+        qkv_bias=(cfg.get("model_type") in ("qwen2", "qwen2_moe")
                   or cfg.get("attention_bias", False)),
         num_experts=cfg.get("num_local_experts",
                             cfg.get("num_experts", 0)) or 0,
         num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+        moe_router_mode=("softmax_topk"
+                         if cfg.get("model_type") == "qwen2_moe"
+                         else "mixtral"),
+        moe_norm_topk=cfg.get("norm_topk_prob", False),
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
         intermediate_size=cfg["intermediate_size"],
@@ -259,7 +268,28 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         },
         "final_norm": _j(sd["norm.weight"], dtype),
     }
-    if cfg.num_experts > 0:  # Mixtral layout: block_sparse_moe
+    if cfg.num_experts > 0 and "layers.0.mlp.gate.weight" in sd:
+        # Qwen2-MoE layout: mlp.gate router + mlp.experts.{e}.*_proj +
+        # always-on shared_expert with scalar sigmoid gate
+        E = cfg.num_experts
+        del p["layers"]["gate"], p["layers"]["up"], p["layers"]["down"]
+        p["layers"]["moe_router"] = _j(np.stack(
+            [sd[f"layers.{i}.mlp.gate.weight"].T for i in range(L)]),
+            dtype)
+        for ours, theirs in (("moe_gate", "gate_proj"),
+                             ("moe_up", "up_proj"),
+                             ("moe_down", "down_proj")):
+            p["layers"][ours] = _j(np.stack(
+                [np.stack([sd[f"layers.{i}.mlp.experts.{e}."
+                              f"{theirs}.weight"].T
+                           for e in range(E)]) for i in range(L)]), dtype)
+            p["layers"][f"moe_shared_{ours[4:]}"] = _j(np.stack(
+                [sd[f"layers.{i}.mlp.shared_expert.{theirs}.weight"].T
+                 for i in range(L)]), dtype)
+        p["layers"]["moe_shared_gate_w"] = _j(np.stack(
+            [sd[f"layers.{i}.mlp.shared_expert_gate.weight"].T
+             for i in range(L)]), dtype)
+    elif cfg.num_experts > 0:  # Mixtral layout: block_sparse_moe
         E = cfg.num_experts
         del p["layers"]["gate"], p["layers"]["up"], p["layers"]["down"]
         p["layers"]["moe_router"] = _j(np.stack(

@@ -268,11 +268,19 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     x = x + attn
 
     h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
-    if "moe_router" in lp:  # Mixtral-family sparse MLP
-        from aurora_tpu.ops.moe import moe_mlp
-        h = moe_mlp({"router": lp["moe_router"], "gate": lp["moe_gate"],
-                     "up": lp["moe_up"], "down": lp["moe_down"]},
-                    h, cfg.num_experts_per_tok).astype(x.dtype)
+    if "moe_router" in lp:  # Mixtral/Qwen2-MoE-family sparse MLP
+        from aurora_tpu.ops.moe import moe_mlp, shared_expert_mlp
+        routed = moe_mlp(
+            {"router": lp["moe_router"], "gate": lp["moe_gate"],
+             "up": lp["moe_up"], "down": lp["moe_down"]},
+            h, cfg.num_experts_per_tok,
+            router_mode=("softmax_topk"
+                         if cfg.moe_router_mode == "softmax_topk"
+                         else "mixtral"),
+            norm_topk=cfg.moe_norm_topk)
+        if "moe_shared_gate" in lp:  # Qwen2-MoE shared expert
+            routed = routed + shared_expert_mlp(lp, h)
+        h = routed.astype(x.dtype)
     elif "gateup" in lp:  # serving-fused stream
         fused = jnp.dot(h, lp["gateup"],
                         preferred_element_type=jnp.float32).astype(h.dtype)

@@ -43,16 +43,38 @@ def init_moe_params(rng: jax.Array, num_experts: int, hidden: int,
     }
 
 
+def routing_weights(logits: jnp.ndarray, top_k: int,
+                    router_mode: str = "mixtral",
+                    norm_topk: bool = False):
+    """Router logits [..., E] → (top-k weights [..., k], indices).
+
+    mixtral:      top-k of logits, softmax over just those (renormalize)
+                  — modeling_mixtral.MixtralSparseMoeBlock.
+    softmax_topk: fp32 softmax over ALL experts, then top-k of the probs,
+                  optional renormalize (norm_topk_prob) — Qwen2-MoE /
+                  DeepSeek greedy routing (modeling_qwen2_moe.py).
+    """
+    if router_mode == "mixtral":
+        top_vals, top_idx = jax.lax.top_k(logits, top_k)
+        return jax.nn.softmax(top_vals, axis=-1), top_idx
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    top_vals, top_idx = jax.lax.top_k(probs, top_k)
+    if norm_topk:
+        top_vals = top_vals / jnp.sum(top_vals, axis=-1, keepdims=True)
+    return top_vals, top_idx
+
+
 def moe_mlp(params: Params, x: jnp.ndarray, top_k: int,
-            return_router_logits: bool = False):
-    """x: [B, T, D] → [B, T, D]. Mixtral routing: softmax over the top-k
-    router logits only (renormalized)."""
+            return_router_logits: bool = False,
+            router_mode: str = "mixtral", norm_topk: bool = False):
+    """x: [B, T, D] → [B, T, D] routed-expert MLP (see routing_weights
+    for the router semantics)."""
     B, T, D = x.shape
     logits = jnp.dot(x, params["router"],
                      preferred_element_type=jnp.float32)      # [B,T,E]
     E = logits.shape[-1]
-    top_vals, top_idx = jax.lax.top_k(logits, top_k)
-    top_probs = jax.nn.softmax(top_vals, axis=-1)             # renormalize
+    top_probs, top_idx = routing_weights(logits, top_k, router_mode,
+                                         norm_topk)
     # scatter top-k probs back to dense [B,T,E]
     probs = jnp.zeros((B, T, E), jnp.float32)
     b_ix = jnp.arange(B)[:, None, None]
@@ -74,7 +96,9 @@ def moe_mlp(params: Params, x: jnp.ndarray, top_k: int,
 
 
 def moe_mlp_grouped(params: Params, x: jnp.ndarray, top_k: int,
-                    return_router_logits: bool = False):
+                    return_router_logits: bool = False,
+                    router_mode: str = "mixtral",
+                    norm_topk: bool = False):
     """Dropless sort-by-expert MoE via grouped matmul — the TPU-native
     equivalent of sglang's fused-MoE Triton kernel
     (src/sglang/python/sglang/srt/layers/fused_moe/fused_moe.py:1-250:
@@ -97,8 +121,8 @@ def moe_mlp_grouped(params: Params, x: jnp.ndarray, top_k: int,
     xf = x.reshape(N, D)
     logits = jnp.dot(xf, params["router"],
                      preferred_element_type=jnp.float32)       # [N,E]
-    top_vals, top_idx = jax.lax.top_k(logits, top_k)
-    top_probs = jax.nn.softmax(top_vals, axis=-1)              # renormalize
+    top_probs, top_idx = routing_weights(logits, top_k, router_mode,
+                                         norm_topk)
 
     # replicate each token k times and sort the copies by expert id;
     # stable sort keeps token order within an expert (deterministic)
@@ -126,6 +150,22 @@ def moe_mlp_grouped(params: Params, x: jnp.ndarray, top_k: int,
     if return_router_logits:
         return combined, logits.reshape(B, T, E)
     return combined
+
+
+def shared_expert_mlp(lp: Params, h: jnp.ndarray) -> jnp.ndarray:
+    """Qwen2-MoE always-on shared expert: a dense SiLU MLP whose output
+    is scaled by a sigmoid scalar gate on the same input
+    (modeling_qwen2_moe.Qwen2MoeSparseMoeBlock shared_expert +
+    shared_expert_gate). Keys: moe_shared_{gate,up,down,gate_w}."""
+    g = jnp.dot(h, lp["moe_shared_gate"],
+                preferred_element_type=jnp.float32).astype(h.dtype)
+    u = jnp.dot(h, lp["moe_shared_up"],
+                preferred_element_type=jnp.float32).astype(h.dtype)
+    out = jnp.dot(jax.nn.silu(g) * u, lp["moe_shared_down"],
+                  preferred_element_type=jnp.float32)
+    gate = jax.nn.sigmoid(jnp.dot(h, lp["moe_shared_gate_w"],
+                                  preferred_element_type=jnp.float32))
+    return (out * gate).astype(h.dtype)
 
 
 def load_balancing_loss(router_logits: jnp.ndarray, top_k: int):

@@ -246,19 +246,27 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
     """Family-aware MLP block: SiLU (llama) / GeGLU (gemma2) / sparse MoE
     (mixtral), with Gemma2's post-feedforward norm when present."""
     h = _norm(cfg, x, lp["post_attn_norm"])
-    if "moe_router" in lp:  # Mixtral-family sparse MLP (fused_moe parity)
-        from aurora_tpu.ops.moe import moe_mlp, moe_mlp_grouped
+    if "moe_router" in lp:  # Mixtral/Qwen2-MoE sparse MLP (fused_moe
+        from aurora_tpu.ops.moe import (moe_mlp,  # parity)
+                                        moe_mlp_grouped,
+                                        shared_expert_mlp)
         moe_params = {"router": lp["moe_router"], "gate": lp["moe_gate"],
                       "up": lp["moe_up"], "down": lp["moe_down"]}
+        mode = ("softmax_topk" if cfg.moe_router_mode == "softmax_topk"
+                else "mixtral")
         # prefill/extend (many tokens, unsharded experts): grouped-matmul
         # dropless path — O(N·k) expert rows. decode (T==1) and TP-sharded
         # experts: dense einsum (weight stream dominates / GSPMD layout).
         if tp_axis is None and h.shape[1] > 1:
-            out = moe_mlp_grouped(moe_params, h,
-                                  cfg.num_experts_per_tok).astype(x.dtype)
+            out = moe_mlp_grouped(moe_params, h, cfg.num_experts_per_tok,
+                                  router_mode=mode,
+                                  norm_topk=cfg.moe_norm_topk)
         else:
-            out = moe_mlp(moe_params, h,
-                          cfg.num_experts_per_tok).astype(x.dtype)
+            out = moe_mlp(moe_params, h, cfg.num_experts_per_tok,
+                          router_mode=mode, norm_topk=cfg.moe_norm_topk)
+        if "moe_shared_gate" in lp:  # Qwen2-MoE shared expert
+            out = out + shared_expert_mlp(lp, h)
+        out = out.astype(x.dtype)
     elif "gateup" in lp:  # fused stream (fuse_serving_weights)
         fused = _wdot(h, lp, "gateup")
         inter = fused.shape[-1] // 2

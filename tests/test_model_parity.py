@@ -330,3 +330,33 @@ def test_phi3_logits_match_hf(rng):
     res = generate(params, cfg, embeds, jnp.ones((1, 7), bool),
                    max_new_tokens=6, eos_ids=(-1,))
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_gen)
+
+
+def test_qwen2_moe_logits_match_hf(rng):
+    """Qwen2-MoE family — softmax-then-topk routing (+optional renorm)
+    and the sigmoid-gated always-on shared expert
+    (modeling_qwen2_moe.Qwen2MoeSparseMoeBlock; sglang srt/models/
+    qwen2_moe.py zoo parity)."""
+    from transformers import Qwen2MoeConfig as HFQwen2MoeConfig
+    from transformers import Qwen2MoeForCausalLM
+    torch.manual_seed(12)
+    hf_cfg = HFQwen2MoeConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, shared_expert_intermediate_size=80,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, num_experts=4, num_experts_per_tok=2,
+        norm_topk_prob=True, decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        attn_implementation="eager", tie_word_embeddings=False)
+    hf = Qwen2MoeForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.moe_router_mode == "softmax_topk" and cfg.moe_norm_topk
+    assert cfg.qkv_bias
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "moe_shared_gate_w" in params["layers"]
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
