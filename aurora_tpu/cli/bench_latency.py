@@ -46,7 +46,7 @@ def main():
                         "(EngineConfig.decode_steps)")
     p.add_argument("--kv-quant", default="none", choices=["none", "int8"])
     p.add_argument("--weight-quant", default="none",
-                   choices=["none", "int8"])
+                   choices=["none", "int8", "int4"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
     args = p.parse_args()
@@ -59,9 +59,12 @@ def main():
     cfg = LlamaConfig(**PRESETS[args.preset])
     params = init_llama_params(jax.random.PRNGKey(0), cfg, dtype)
     from aurora_tpu.serve.engine import (fuse_serving_weights,
+                                         quantize_weights_int4,
                                          quantize_weights_int8)
     if args.weight_quant == "int8":
         params = quantize_weights_int8(params, free_source=True)
+    elif args.weight_quant == "int4":
+        params = quantize_weights_int4(params, free_source=True)
     params = fuse_serving_weights(params, free_source=True)
     ecfg = EngineConfig(
         max_batch=args.batch, max_seq_len=args.max_seq_len,

@@ -49,9 +49,11 @@ def main():
                    help="int8 KV + per-token scales: ~half the decode "
                         "HBM traffic, ~2x batch*context per chip")
     p.add_argument("--weight-quant", default="none",
-                   choices=["none", "int8"],
+                   choices=["none", "int8", "int4"],
                    help="int8 weights (per-output-channel): ~half the "
-                        "weight HBM stream, up to ~2x decode throughput")
+                        "weight HBM stream, up to ~2x decode throughput; "
+                        "int4 (nibble-packed, g=128 grouped scales): "
+                        "half of W8 again — buys KV rows/batch")
     p.add_argument("--aurora", action="store_true",
                    help="model_path is an xtuner-format AuroraCap dir; "
                         "enable multimodal /generate "
@@ -116,6 +118,11 @@ def main():
         # ~1x the model (the engine-side flag would hold both copies)
         from aurora_tpu.serve.engine import quantize_weights_int8
         params = quantize_weights_int8(params, free_source=True)
+    elif args.weight_quant == "int4":
+        assert args.tp == 1, \
+            "W4 packed layout is single-device (use W8 with --tp>1)"
+        from aurora_tpu.serve.engine import quantize_weights_int4
+        params = quantize_weights_int4(params, free_source=True)
     if args.tp == 1 and "layers" in params \
             and "q" in params.get("layers", {}):
         # pre-fuse qkv/gateup streams with free_source (same peak-HBM

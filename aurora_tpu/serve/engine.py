@@ -101,6 +101,11 @@ class EngineConfig:
     # weight bytes is worth up to ~2x decode throughput; XLA fuses the
     # int8→bf16 convert into the matmul's HBM read. W8 is lossy
     # (per-channel absmax) — outputs may differ at the last bit.
+    # "int4" nibble-packs weights with g=128 grouped scales (AWQ/GPTQ
+    # analog): ~3.4GB for a 7B, half of W8 — the step runs ~20% slower
+    # than W8 (the unpack doesn't fuse into the MXU read) but the freed
+    # HBM buys ~1.5x more KV rows, which is the binding constraint on
+    # batch (and batch is nearly free in step time). More lossy than W8.
     weight_quant: str = "none"
     # >1 shards params (heads/MLP width) + KV rows (head axis) over a
     # ('tp',) mesh; the compiled steps run under shard_map with two
@@ -188,15 +193,76 @@ def auto_engine_config(cfg, base: "EngineConfig", *,
 # Row-KV llama forward
 # ---------------------------------------------------------------------------
 
+# Above this many tokens _w4dot switches from the G-batched int8 dot
+# (whose [G, N, O] int32 accumulator scales with token count) to
+# per-layer bf16 dequantization (prefill is compute-bound anyway).
+_W4_GROUPED_MAX_TOKENS = 64
+
+
+def _w4dot(h, pk, s):
+    """h[..., D] @ W4: nibble-packed int4 weights (two input rows per
+    int8 byte — even row in the low nibble, odd in the high) with
+    per-(input-group, output-channel) scales, g=128 rows/group
+    (AWQ/GPTQ-style grouped symmetric quantization; the bitsandbytes-
+    4bit / sglang AWQ serving analog).
+
+    pk: [G, g/2, O] int8 packed nibbles; s: [G, 1, O] fp32 scales.
+    Decode (few tokens): the contraction runs as a G-batched int8 MXU
+    dot (low + high nibble halves, each over the even/odd input rows),
+    then the fp32 group scales apply to the per-group partial sums
+    before the G-reduction — exact grouped dequantization without
+    materializing a dequantized weight copy in HBM. XLA does
+    materialize the UNPACKED int8 nibble planes per layer (~100MB
+    transient — the shift/mask does not fuse into the matmul read;
+    measured), so W4 costs ~20% more step time than W8 while halving
+    weight HBM: its value is capacity (batch), not stream speed.
+
+    Prefill/extend (many tokens): the grouped accumulator [G, N, O]
+    would be enormous (b24 × ctx1664 × gateup O → ~140GB), and prefill
+    is MXU-compute-bound, not weight-stream-bound — so the weights
+    dequantize to bf16 per layer (transient ≤ a few hundred MB, freed
+    before the next layer) and the dot runs plain bf16. Exact same
+    grouped dequant values; no activation quantization on this path."""
+    lead, D = h.shape[:-1], h.shape[-1]
+    G, gh, O = pk.shape
+    n_tok = 1
+    for dim in lead:
+        n_tok *= dim
+    four = jnp.int8(4)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(pk, four), four)
+    hi = jax.lax.shift_right_arithmetic(pk, four)
+    if n_tok > _W4_GROUPED_MAX_TOKENS:
+        q = jnp.stack([lo, hi], axis=2).reshape(G, 2 * gh, O)
+        w = (q.astype(jnp.float32) * s).astype(h.dtype).reshape(D, O)
+        return jnp.dot(h, w,
+                       preferred_element_type=jnp.float32).astype(h.dtype)
+    hf = h.astype(jnp.float32).reshape(-1, D)
+    s_a = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
+                      / 127.0, 1e-12)
+    h8 = jnp.clip(jnp.round(hf / s_a), -127, 127).astype(jnp.int8)
+    hg = h8.reshape(-1, G, 2 * gh).transpose(1, 0, 2)      # [G, N, g]
+    dn = (((2,), (1,)), ((0,), (0,)))
+    acc = (jax.lax.dot_general(hg[..., 0::2], lo, dn,
+                               preferred_element_type=jnp.int32)
+           + jax.lax.dot_general(hg[..., 1::2], hi, dn,
+                                 preferred_element_type=jnp.int32))
+    out = jnp.sum(acc.astype(jnp.float32) * s, axis=0) * s_a  # [N, O]
+    return out.astype(h.dtype).reshape(*lead, O)
+
+
 def _wdot(h, lp, name):
     """h @ W with optional int8 weights (W stored int8 + per-output-
-    channel scale under '<name>_scale').
+    channel scale under '<name>_scale') or nibble-packed int4 weights
+    (grouped scales under '<name>_scale4' — see _w4dot).
 
     int8 path is W8A8: activations quantize dynamically (per-token absmax)
     and the dot runs int8×int8 → int32 on the MXU's native int8 pipe —
     the weight stream stays int8 all the way from HBM (a bf16 upconvert
     before the dot would materialize a full converted copy per step and
     TRIPLE the traffic; measured, not hypothetical)."""
+    if name + "_scale4" in lp:
+        return _w4dot(h, lp[name], lp[name + "_scale4"])
     w = lp[name]
     if w.dtype == jnp.int8:
         hf = h.astype(jnp.float32)
@@ -223,17 +289,18 @@ def _qkv(cfg: LlamaConfig, lp, h):
         q = fused[..., :nq]
         k = fused[..., nq:nq + nkv]
         v = fused[..., nq + nkv:]
-        return (q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim),
-                k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim),
-                v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim))
-    q = _wdot(h, lp, "q")
-    k = _wdot(h, lp, "k")
-    v = _wdot(h, lp, "v")
-    if "q_bias" in lp:  # Qwen2 family
-        q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
+    else:
+        q = _wdot(h, lp, "q")
+        k = _wdot(h, lp, "k")
+        v = _wdot(h, lp, "v")
+        if "q_bias" in lp:  # Qwen2 family
+            q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
     q = q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
+    if "q_norm" in lp:  # Qwen3 per-head RMSNorm on q/k, pre-rope
+        q = _norm(cfg, q, lp["q_norm"])
+        k = _norm(cfg, k, lp["k_norm"])
     return q, k, v
 
 
@@ -327,6 +394,55 @@ def quantize_weights_int8(params: Params,
     return out
 
 
+def _w4(w, group: int = 128):
+    """One [L, D, O] weight stack → (nibble-packed int8 [L, G, g/2, O],
+    fp32 group scales [L, G, 1, O]). Symmetric absmax per (layer, input
+    group, output channel); even input rows pack into the low nibble."""
+    L, D, O = w.shape
+    group = min(group, D)
+    assert D % group == 0, (D, group)
+    G = D // group
+
+    @jax.jit
+    def q(w):
+        wf = w.astype(jnp.float32).reshape(L, G, group, O)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=2, keepdims=True)
+                        / 7.0, 1e-12)
+        qv = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int8)
+        four = jnp.int8(4)
+        packed = jnp.bitwise_or(
+            jnp.bitwise_and(qv[:, :, 0::2, :], jnp.int8(0x0F)),
+            jax.lax.shift_left(qv[:, :, 1::2, :], four))
+        return packed, s
+    return q(w)
+
+
+def quantize_weights_int4(params: Params, free_source: bool = False,
+                          group: int = 128) -> Params:
+    """LLM weight matrices → nibble-packed int4 + grouped fp32 scales
+    ('<name>_scale4'); lm_head stays int8 (logit quality) and embeddings
+    stay in the original dtype. Halves weight HBM vs W8 (3.4GB for a
+    7B) — decode is weight-HBM-capacity-bound at real contexts, so the
+    freed memory buys KV rows (batch) that are nearly free in step time.
+    The sglang AWQ/GPTQ + bitsandbytes-4bit serving analog
+    (srt/model_executor/model_runner.py quant_config path).
+    free_source contract matches quantize_weights_int8."""
+    out = dict(params)
+    layers = dict(params["layers"])
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        if name not in layers:
+            continue
+        layers[name], layers[name + "_scale4"] = _w4(layers[name], group)
+        if free_source:
+            params["layers"][name] = None
+    out["layers"] = layers
+    if "lm_head" in params:
+        out["lm_head"], out["lm_head_scale"] = _w8(params["lm_head"])
+        if free_source:
+            params["lm_head"] = None
+    return out
+
+
 def fuse_serving_weights(params: Params,
                          free_source: bool = False) -> Params:
     """Merge q/k/v → qkv and gate/up → gateup along the output axis —
@@ -354,7 +470,7 @@ def fuse_serving_weights(params: Params,
     if all(k in layers for k in ("q", "k", "v")):
         layers["qkv"] = jnp.concatenate(
             [take("q"), take("k"), take("v")], axis=-1)
-        for suf in ("_scale", "_bias"):
+        for suf in ("_scale", "_bias", "_scale4"):
             if "q" + suf in layers:
                 layers["qkv" + suf] = jnp.concatenate(
                     [take("q" + suf), take("k" + suf),
@@ -362,9 +478,10 @@ def fuse_serving_weights(params: Params,
     if "gate" in layers and "up" in layers:
         layers["gateup"] = jnp.concatenate(
             [take("gate"), take("up")], axis=-1)
-        if "gate_scale" in layers:
-            layers["gateup_scale"] = jnp.concatenate(
-                [take("gate_scale"), take("up_scale")], axis=-1)
+        for suf in ("_scale", "_scale4"):
+            if "gate" + suf in layers:
+                layers["gateup" + suf] = jnp.concatenate(
+                    [take("gate" + suf), take("up" + suf)], axis=-1)
     out["layers"] = layers
     return out
 
@@ -797,6 +914,11 @@ class ServeEngine:
             # skip when the caller pre-quantized (cli/serve.py path —
             # re-quantizing int8 values would corrupt the scales)
             self.params = params = quantize_weights_int8(params)
+        elif ecfg.weight_quant == "int4":
+            assert ecfg.tp == 1, \
+                "W4 packed layout is single-device (use W8 with tp>1)"
+            if "o_scale4" not in params.get("layers", {}):
+                self.params = params = quantize_weights_int4(params)
         # qkv/gateup stream fusion is an EXPLICIT pre-processing step
         # (fuse_serving_weights with free_source=True — cli/serve.py,
         # bench.py): fusing here without freeing would double the layer

@@ -33,11 +33,14 @@ FRAMES = 8
 IMAGE_SIZE = 378
 KEPT_RATIO = 0.2
 CAPTION_TOKENS = 256
-# W8 weights (6.75GB) + int8 KV rows (~6.8GB at b16/s_row 1664) fit a
-# 15.75GB v5e together — decode is weight-stream-bound, so doubling the
-# batch nearly doubles videos/s; _llm_stage falls back 16 → 8 → 2 if HBM
-# doesn't accommodate the rows.
-LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 16))
+# W4 weights (3.4GB nibble-packed, g=128 grouped scales) + int8 KV rows
+# (~10.5GB at b24/s_row 1664) fit a 15.75GB v5e together — decode is
+# weight-stream-bound, so rows are nearly free until HBM runs out: W4
+# costs ~20% step time vs W8 (the unpack doesn't fuse into the MXU
+# read) but buys batch 24 vs 16. _llm_stage falls back 24 → 16 → 8 → 2
+# if HBM doesn't accommodate the rows.
+LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 24))
+WEIGHT_QUANT = os.environ.get("BENCH_WEIGHT_QUANT", "int4")
 E2E_VIDEOS = int(os.environ.get("BENCH_E2E_VIDEOS", LLM_BATCH))
 LLM_HIDDEN = 4096
 
@@ -115,15 +118,19 @@ def _llm_stage(jax, jnp, embeds, detail):
     from aurora_tpu.serve.scheduler import Request
 
     from aurora_tpu.serve.engine import (fuse_serving_weights,
+                                         quantize_weights_int4,
                                          quantize_weights_int8)
     cfg = LlamaConfig.vicuna_7b_v15_16k()
     print("[bench] init 7B params on device", file=sys.stderr)
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    # W8 halves the weight stream (decode is weight-bandwidth-bound);
-    # free_source keeps peak HBM ~1x the model during quantization.
-    # qkv+gateup fusion cuts 7 weight streams/layer to 4 (round-3
-    # decode profiling: per-matmul overhead, not bandwidth, dominated).
-    params = quantize_weights_int8(params, free_source=True)
+    # W4 (default) halves the W8 stream again — the freed HBM goes to KV
+    # rows (batch), the binding constraint on videos/s; free_source
+    # keeps peak HBM ~1x the model during quantization. qkv+gateup
+    # fusion cuts 7 weight streams/layer to 4 (round-3 decode profiling:
+    # per-matmul overhead, not bandwidth, dominated).
+    quantize = (quantize_weights_int4 if WEIGHT_QUANT == "int4"
+                else quantize_weights_int8)
+    params = quantize(params, free_source=True)
     params = fuse_serving_weights(params, free_source=True)
 
     n_vis = embeds[0].shape[0]
@@ -189,7 +196,7 @@ def _llm_stage(jax, jnp, embeds, detail):
         return min(t1, t2)
 
     t_llm = None
-    for b in [x for x in (LLM_BATCH, 8, 2) if x <= LLM_BATCH]:
+    for b in [x for x in (LLM_BATCH, 16, 8, 2) if x <= LLM_BATCH]:
         try:
             t_llm = best_of_2(run_e2e, b)
             detail["e2e_llm_batch"] = b
@@ -205,6 +212,7 @@ def _llm_stage(jax, jnp, embeds, detail):
     detail["e2e_llm_tokens_per_s"] = round(
         E2E_VIDEOS * CAPTION_TOKENS / t_llm, 1)
     detail["e2e_kv_quant"] = "int8"
+    detail["e2e_weight_quant"] = WEIGHT_QUANT
     emb_table.clear()
 
     # steady-state b8/ctx1k decode: W8 weights, bf16 vs int8 KV (the
@@ -248,14 +256,15 @@ def _llm_stage(jax, jnp, embeds, detail):
             t / 160 * 1e3, 2)
 
     detail["backend"] = jax.default_backend()
+    wtag = "w4" if WEIGHT_QUANT == "int4" else "w8"
     try:
-        decode_stage("w8", "none")        # W8 + bf16 KV
+        decode_stage(wtag, "none")        # quantized W + bf16 KV
     except Exception as e:  # noqa: BLE001
-        detail["w8_error"] = str(e)[:160]
+        detail[wtag + "_error"] = str(e)[:160]
     try:
-        decode_stage("w8kv8", "int8")     # full quantized config
+        decode_stage(wtag + "kv8", "int8")  # full quantized config
     except Exception as e:  # noqa: BLE001
-        detail["w8kv8_error"] = str(e)[:160]
+        detail[wtag + "kv8_error"] = str(e)[:160]
     return t_llm
 
 
