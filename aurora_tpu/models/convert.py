@@ -113,19 +113,22 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
     scaling = cfg.get("rope_scaling") or {}
     linear = (scaling.get("factor")
               if scaling.get("type") == "linear" else None)
-    if cfg.get("model_type") == "qwen2_moe":
-        # Qwen2-MoE: every layer sparse in our layout (stacked scan)
+    if cfg.get("model_type") in ("qwen2_moe", "qwen3_moe"):
+        # Qwen-MoE: every layer sparse in our layout (stacked scan)
         assert cfg.get("decoder_sparse_step", 1) == 1 \
             and not cfg.get("mlp_only_layers"), \
-            "qwen2_moe with dense interleaving is not supported"
+            "qwen moe with dense interleaving is not supported"
     return LlamaConfig(
         qkv_bias=(cfg.get("model_type") in ("qwen2", "qwen2_moe")
                   or cfg.get("attention_bias", False)),
+        qk_norm=cfg.get("model_type") in ("qwen3", "qwen3_moe"),
+        head_dim_override=cfg.get("head_dim"),
         num_experts=cfg.get("num_local_experts",
                             cfg.get("num_experts", 0)) or 0,
         num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
         moe_router_mode=("softmax_topk"
-                         if cfg.get("model_type") == "qwen2_moe"
+                         if cfg.get("model_type") in ("qwen2_moe",
+                                                      "qwen3_moe")
                          else "mixtral"),
         moe_norm_topk=cfg.get("norm_topk_prob", False),
         vocab_size=cfg["vocab_size"],
@@ -268,10 +271,17 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         },
         "final_norm": _j(sd["norm.weight"], dtype),
     }
+    if "layers.0.self_attn.q_norm.weight" in sd:  # Qwen3 qk-norm
+        p["layers"]["q_norm"] = stack(
+            "layers.{}.self_attn.q_norm.weight")
+        p["layers"]["k_norm"] = stack(
+            "layers.{}.self_attn.k_norm.weight")
     if cfg.num_experts > 0 and "layers.0.mlp.gate.weight" in sd:
-        # Qwen2-MoE layout: mlp.gate router + mlp.experts.{e}.*_proj +
-        # always-on shared_expert with scalar sigmoid gate
+        # Qwen2/3-MoE layout: mlp.gate router + mlp.experts.{e}.*_proj;
+        # Qwen2-MoE adds an always-on shared_expert with a scalar
+        # sigmoid gate (Qwen3-MoE has none)
         E = cfg.num_experts
+        shared = "layers.0.mlp.shared_expert.gate_proj.weight" in sd
         del p["layers"]["gate"], p["layers"]["up"], p["layers"]["down"]
         p["layers"]["moe_router"] = _j(np.stack(
             [sd[f"layers.{i}.mlp.gate.weight"].T for i in range(L)]),
@@ -283,12 +293,14 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                 [np.stack([sd[f"layers.{i}.mlp.experts.{e}."
                               f"{theirs}.weight"].T
                            for e in range(E)]) for i in range(L)]), dtype)
-            p["layers"][f"moe_shared_{ours[4:]}"] = _j(np.stack(
-                [sd[f"layers.{i}.mlp.shared_expert.{theirs}.weight"].T
+            if shared:
+                p["layers"][f"moe_shared_{ours[4:]}"] = _j(np.stack(
+                    [sd[f"layers.{i}.mlp.shared_expert."
+                        f"{theirs}.weight"].T for i in range(L)]), dtype)
+        if shared:
+            p["layers"]["moe_shared_gate_w"] = _j(np.stack(
+                [sd[f"layers.{i}.mlp.shared_expert_gate.weight"].T
                  for i in range(L)]), dtype)
-        p["layers"]["moe_shared_gate_w"] = _j(np.stack(
-            [sd[f"layers.{i}.mlp.shared_expert_gate.weight"].T
-             for i in range(L)]), dtype)
     elif cfg.num_experts > 0:  # Mixtral layout: block_sparse_moe
         E = cfg.num_experts
         del p["layers"]["gate"], p["layers"]["up"], p["layers"]["down"]

@@ -49,6 +49,7 @@ class LlamaConfig:
     rope_linear_scaling: Optional[float] = None
     tie_word_embeddings: bool = False
     qkv_bias: bool = False   # Qwen2-family attention biases
+    qk_norm: bool = False    # Qwen3-family per-head RMSNorm on q/k
     sliding_window: Optional[int] = None  # Mistral-family SWA
     num_experts: int = 0     # >0 → Mixtral-family MoE MLP
     num_experts_per_tok: int = 2
@@ -165,6 +166,9 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
         p["layers"]["q_bias"] = jnp.zeros((L, hq * hd), dtype)
         p["layers"]["k_bias"] = jnp.zeros((L, hkv * hd), dtype)
         p["layers"]["v_bias"] = jnp.zeros((L, hkv * hd), dtype)
+    if cfg.qk_norm:
+        p["layers"]["q_norm"] = jnp.ones((L, hd), dtype)
+        p["layers"]["k_norm"] = jnp.ones((L, hd), dtype)
     if cfg.num_experts > 0:
         from aurora_tpu.ops.moe import init_moe_params
         moe_ps = [init_moe_params(k, cfg.num_experts, d, i, dtype)
@@ -226,6 +230,9 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     q = q.reshape(B, T, hq, hd)
     k = k.reshape(B, T, hkv, hd)
     v = v.reshape(B, T, hkv, hd)
+    if "q_norm" in lp:  # Qwen3 per-head RMSNorm on q/k, pre-rope
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
     q, k = apply_rope(q, k, cos, sin)
 
     if cache_k is not None:

@@ -332,6 +332,61 @@ def test_phi3_logits_match_hf(rng):
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_gen)
 
 
+def test_qwen3_logits_match_hf(rng):
+    """Qwen3 family — per-head RMSNorm on q/k pre-rope (qk-norm) and an
+    explicit head_dim decoupled from hidden/heads
+    (modeling_qwen3.Qwen3Attention; sglang srt/models zoo parity)."""
+    from transformers import Qwen3Config as HFQwen3Config
+    from transformers import Qwen3ForCausalLM
+    torch.manual_seed(21)
+    hf_cfg = HFQwen3Config(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=24,  # != hidden // heads
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        attn_implementation="eager", tie_word_embeddings=False)
+    hf = Qwen3ForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.qk_norm and cfg.head_dim == 24 and not cfg.qkv_bias
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert params["layers"]["q_norm"].shape == (2, 24)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_qwen3_moe_logits_match_hf(rng):
+    """Qwen3-MoE — qk-norm attention + softmax-topk routing with
+    norm_topk_prob, NO shared expert (modeling_qwen3_moe)."""
+    from transformers import Qwen3MoeConfig as HFQwen3MoeConfig
+    from transformers import Qwen3MoeForCausalLM
+    torch.manual_seed(22)
+    hf_cfg = HFQwen3MoeConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=48, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=4, num_experts_per_tok=2, norm_topk_prob=True,
+        decoder_sparse_step=1, mlp_only_layers=[],
+        max_position_embeddings=256, rms_norm_eps=1e-5,
+        attn_implementation="eager", tie_word_embeddings=False)
+    hf = Qwen3MoeForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.qk_norm and cfg.moe_router_mode == "softmax_topk"
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "moe_shared_gate_w" not in params["layers"]  # no shared exp
+    ids = rng.integers(0, 144, size=(2, 9))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
 def test_qwen2_moe_logits_match_hf(rng):
     """Qwen2-MoE family — softmax-then-topk routing (+optional renorm)
     and the sigmoid-gated always-on shared expert
