@@ -397,24 +397,31 @@ def quantize_weights_int8(params: Params,
 def _w4(w, group: int = 128):
     """One [L, D, O] weight stack → (nibble-packed int8 [L, G, g/2, O],
     fp32 group scales [L, G, 1, O]). Symmetric absmax per (layer, input
-    group, output channel); even input rows pack into the low nibble."""
+    group, output channel); even input rows pack into the low nibble.
+
+    Quantizes LAYER BY LAYER: the fp32 intermediate for a whole 7B
+    stack (~6GB) next to the resident bf16 params OOMs a 16GB chip,
+    while one layer's is ≤200MB."""
     L, D, O = w.shape
     group = min(group, D)
     assert D % group == 0, (D, group)
     G = D // group
 
     @jax.jit
-    def q(w):
-        wf = w.astype(jnp.float32).reshape(L, G, group, O)
-        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=2, keepdims=True)
+    def q1(w2):
+        # [G, g/2, 2, O]: consecutive input rows pair up (even, odd)
+        wf = w2.astype(jnp.float32).reshape(G, group // 2, 2, O)
+        s = jnp.maximum(jnp.max(jnp.abs(wf), axis=(1, 2), keepdims=True)
                         / 7.0, 1e-12)
         qv = jnp.clip(jnp.round(wf / s), -8, 7).astype(jnp.int8)
         four = jnp.int8(4)
         packed = jnp.bitwise_or(
-            jnp.bitwise_and(qv[:, :, 0::2, :], jnp.int8(0x0F)),
-            jax.lax.shift_left(qv[:, :, 1::2, :], four))
-        return packed, s
-    return q(w)
+            jnp.bitwise_and(qv[:, :, 0, :], jnp.int8(0x0F)),
+            jax.lax.shift_left(qv[:, :, 1, :], four))
+        return packed, s[:, :, 0, :]
+    outs = [q1(w[l]) for l in range(L)]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]))
 
 
 def quantize_weights_int4(params: Params, free_source: bool = False,
