@@ -118,10 +118,17 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         assert cfg.get("decoder_sparse_step", 1) == 1 \
             and not cfg.get("mlp_only_layers"), \
             "qwen moe with dense interleaving is not supported"
+    gemma = cfg.get("model_type") == "gemma"
     return LlamaConfig(
         qkv_bias=(cfg.get("model_type") in ("qwen2", "qwen2_moe")
                   or cfg.get("attention_bias", False)),
         qk_norm=cfg.get("model_type") in ("qwen3", "qwen3_moe"),
+        # Gemma1 (srt/models/gemma.py zoo parity): GeGLU MLP, sqrt(d)
+        # embedding scale, (1+w) RMSNorm with fp32 weight multiply (the
+        # +1 is absorbed into the stored weights at conversion)
+        scale_embeddings=gemma,
+        hidden_act="gelu_tanh" if gemma else "silu",
+        norm_upcast_mul=gemma,
         head_dim_override=cfg.get("head_dim"),
         num_experts=cfg.get("num_local_experts",
                             cfg.get("num_experts", 0)) or 0,
@@ -271,6 +278,12 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         },
         "final_norm": _j(sd["norm.weight"], dtype),
     }
+    if cfg.norm_upcast_mul:  # gemma (1+w) convention → absorb the +1
+        for key in ("input_norm", "post_attn_norm"):
+            p["layers"][key] = (p["layers"][key].astype(jnp.float32)
+                                + 1.0).astype(dtype)
+        p["final_norm"] = (p["final_norm"].astype(jnp.float32)
+                           + 1.0).astype(dtype)
     if "layers.0.self_attn.q_norm.weight" in sd:  # Qwen3 qk-norm
         p["layers"]["q_norm"] = stack(
             "layers.{}.self_attn.q_norm.weight")

@@ -190,6 +190,15 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _mlp_act(cfg: LlamaConfig, gate):
+    """Gated-MLP activation: SiLU (llama family) or tanh-approx GELU in
+    fp32 (gemma family GeGLU — HF GemmaMLP/Gemma2MLP semantics)."""
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=True).astype(gate.dtype)
+    return jax.nn.silu(gate)
+
+
 def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
            attention_mask, segment_ids, cache_len, use_flash,
            sp_attn=None):
@@ -205,7 +214,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
 
-    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps)
+    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps,
+                 upcast_weight_mul=cfg.norm_upcast_mul)
     if "qkv" in lp:  # serving-fused stream (serve.engine
         # fuse_serving_weights) — the embeddings endpoint runs
         # llama_apply over the live engine params
@@ -274,7 +284,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     x = x + attn
 
-    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps)
+    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps,
+                 upcast_weight_mul=cfg.norm_upcast_mul)
     if "moe_router" in lp:  # Mixtral/Qwen2-MoE-family sparse MLP
         from aurora_tpu.ops.moe import moe_mlp, shared_expert_mlp
         routed = moe_mlp(
@@ -293,14 +304,14 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                         preferred_element_type=jnp.float32).astype(h.dtype)
         inter = fused.shape[-1] // 2
         gate, up = fused[..., :inter], fused[..., inter:]
-        h = jnp.dot(jax.nn.silu(gate) * up, lp["down"],
+        h = jnp.dot(_mlp_act(cfg, gate) * up, lp["down"],
                     preferred_element_type=jnp.float32).astype(x.dtype)
     else:
         gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
                        ).astype(h.dtype)
         up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
                      ).astype(h.dtype)
-        h = jnp.dot(jax.nn.silu(gate) * up, lp["down"],
+        h = jnp.dot(_mlp_act(cfg, gate) * up, lp["down"],
                     preferred_element_type=jnp.float32).astype(x.dtype)
     return x + h, cache_k, cache_v
 
@@ -329,6 +340,8 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
     x = inputs_embeds
+    if cfg.scale_embeddings:  # gemma family: normalizer cast to model
+        x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)  # dtype
     B, T, _ = x.shape
     assert not (kv_cache is not None and segment_ids is not None), (
         "packed segment attention over a KV cache is unsupported: the "
@@ -358,7 +371,8 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
         xs = params["layers"]
     x, caches = jax.lax.scan(body, x, xs)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                 upcast_weight_mul=cfg.norm_upcast_mul)
     if return_hidden:
         logits = x
     else:

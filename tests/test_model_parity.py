@@ -332,6 +332,36 @@ def test_phi3_logits_match_hf(rng):
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_gen)
 
 
+def test_gemma1_logits_match_hf(rng):
+    """Gemma (v1) through the UNIVERSAL llama path (no dedicated
+    modeling file needed): GeGLU MLP, sqrt(d) embedding scale, (1+w)
+    fp32-multiply RMSNorm absorbed at conversion, explicit head_dim,
+    tied embeddings (modeling_gemma; sglang srt/models/gemma.py)."""
+    from transformers import GemmaConfig as HFGemmaConfig
+    from transformers import GemmaForCausalLM
+    torch.manual_seed(31)
+    hf_cfg = HFGemmaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=24,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        hidden_activation="gelu_pytorch_tanh",
+        attn_implementation="eager", tie_word_embeddings=True)
+    hf = GemmaForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.scale_embeddings and cfg.hidden_act == "gelu_tanh"
+            and cfg.norm_upcast_mul and cfg.tie_word_embeddings)
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "lm_head" not in params
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
 def test_qwen3_logits_match_hf(rng):
     """Qwen3 family — per-head RMSNorm on q/k pre-rope (qk-norm) and an
     explicit head_dim decoupled from hidden/heads

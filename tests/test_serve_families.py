@@ -205,6 +205,52 @@ def test_internvl_served_matches_offline(rng):
     assert len(done2["iv2"].prefix_slots) > 0
 
 
+def test_gemma1_served_matches_offline(rng):
+    """Gemma (v1) through the serving engine via the universal config
+    (GeGLU + embed scale + (1+w) norms): greedy decode == offline
+    generate == HF generate."""
+    import torch
+    import transformers
+
+    from aurora_tpu.generate import generate
+    from aurora_tpu.models.convert import (llama_config_from_hf,
+                                           llama_params_from_hf,
+                                           state_dict_from_torch_module)
+
+    torch.manual_seed(33)
+    hf_cfg = transformers.GemmaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=24,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        hidden_activation="gelu_pytorch_tanh",
+        attn_implementation="eager", tie_word_embeddings=True)
+    hf = transformers.GemmaForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+
+    ids = [int(x) for x in rng.integers(3, 144, size=12)]
+    with torch.no_grad():
+        want_hf = hf.generate(torch.tensor([ids]), max_new_tokens=6,
+                              do_sample=False).numpy()[0, 12:]
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray([ids]), axis=0)
+    res = generate(params, cfg, embeds, jnp.ones((1, len(ids)), bool),
+                   max_new_tokens=6, eos_ids=(-1,))
+    want = [int(t) for t in
+            np.asarray(res.tokens[0, :int(res.lengths[0])])]
+    assert want == [int(t) for t in want_hf]
+
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params, cfg, ecfg)
+    done = _run_engine(engine, [Request(rid="g1", input_ids=list(ids),
+                                        max_new_tokens=6)])
+    assert done["g1"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0
+
+
 def test_qwen3_served_matches_offline(rng):
     """Qwen3 (qk-norm, decoupled head_dim) through the serving engine:
     greedy decode == offline generate == HF generate."""
