@@ -118,17 +118,36 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         assert cfg.get("decoder_sparse_step", 1) == 1 \
             and not cfg.get("mlp_only_layers"), \
             "qwen moe with dense interleaving is not supported"
-    gemma = cfg.get("model_type") == "gemma"
+    if cfg.get("model_type") == "internlm2":
+        assert not cfg.get("bias", False), \
+            "internlm2 with attention bias is not supported"
+    mt = cfg.get("model_type")
+    gemma = mt == "gemma"
+    # StableLM/Starcoder2 carry torch LayerNorm (+bias params); OLMo's
+    # LN is non-parametric (ones/zeros are synthesized at conversion)
+    layernorm = mt in ("stablelm", "olmo", "starcoder2")
+    act_map = {"gelu_pytorch_tanh": "gelu_tanh", "gelu_new": "gelu_tanh",
+               "gelu_tanh": "gelu_tanh", "gelu": "gelu"}
     return LlamaConfig(
-        qkv_bias=(cfg.get("model_type") in ("qwen2", "qwen2_moe")
-                  or cfg.get("attention_bias", False)),
-        qk_norm=cfg.get("model_type") in ("qwen3", "qwen3_moe"),
+        qkv_bias=(mt in ("qwen2", "qwen2_moe")
+                  or cfg.get("attention_bias", False)
+                  or (mt == "stablelm" and cfg.get("use_qkv_bias",
+                                                   False))
+                  or (mt == "starcoder2" and cfg.get("use_bias", True))),
+        qk_norm=mt in ("qwen3", "qwen3_moe"),
         # Gemma1 (srt/models/gemma.py zoo parity): GeGLU MLP, sqrt(d)
         # embedding scale, (1+w) RMSNorm with fp32 weight multiply (the
         # +1 is absorbed into the stored weights at conversion)
         scale_embeddings=gemma,
-        hidden_act="gelu_tanh" if gemma else "silu",
+        hidden_act=("gelu_tanh" if gemma else
+                    act_map.get(cfg.get("hidden_act") or "silu",
+                                "silu")),
         norm_upcast_mul=gemma,
+        norm_type="layernorm" if layernorm else "rmsnorm",
+        partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
+        rope_interleaved=mt == "glm",
+        clip_qkv=cfg.get("clip_qkv"),
+        mlp_style="mlp" if mt == "starcoder2" else "gated",
         head_dim_override=cfg.get("head_dim"),
         num_experts=cfg.get("num_local_experts",
                             cfg.get("num_experts", 0)) or 0,
@@ -146,12 +165,14 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         num_key_value_heads=cfg.get("num_key_value_heads",
                                     cfg["num_attention_heads"]),
         max_position_embeddings=cfg.get("max_position_embeddings", 4096),
-        rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+        rms_norm_eps=(cfg.get("rms_norm_eps")
+                      or cfg.get("layer_norm_eps")
+                      or cfg.get("norm_epsilon") or 1e-5),
         rope_theta=cfg.get("rope_theta", 10000.0),
         rope_linear_scaling=linear,
         tie_word_embeddings=cfg.get("tie_word_embeddings", False),
         sliding_window=(cfg.get("sliding_window")
-                        if cfg.get("model_type") in ("mistral", "phi3")
+                        if mt in ("mistral", "phi3", "starcoder2")
                         else None),
     )
 
@@ -244,6 +265,46 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         arr = np.stack([m.T if transpose else m for m in mats])
         return _j(arr, dtype)
 
+    # InternLM2 is llama semantics under renamed keys and a FUSED
+    # GROUP-INTERLEAVED wqkv: [Hkv, q_per_kv + 2, hd, hidden] with each
+    # kv group's q heads first, then its k, then its v (sglang
+    # srt/models/internlm2.py:1-80 weight_loader; no HF-native class
+    # exists — tests anchor via a remapped torch-llama oracle).
+    if "layers.0.attention.wqkv.weight" in sd:
+        hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                       cfg.head_dim)
+        qpk = hq // hkv
+        for i in range(L):
+            w = sd.pop(f"layers.{i}.attention.wqkv.weight")
+            w = w.reshape(hkv, qpk + 2, hd, -1)
+            sd[f"layers.{i}.self_attn.q_proj.weight"] = \
+                w[:, :qpk].reshape(hq * hd, -1)
+            sd[f"layers.{i}.self_attn.k_proj.weight"] = \
+                w[:, qpk].reshape(hkv * hd, -1)
+            sd[f"layers.{i}.self_attn.v_proj.weight"] = \
+                w[:, qpk + 1].reshape(hkv * hd, -1)
+            for a, b in (("attention.wo", "self_attn.o_proj"),
+                         ("feed_forward.w1", "mlp.gate_proj"),
+                         ("feed_forward.w3", "mlp.up_proj"),
+                         ("feed_forward.w2", "mlp.down_proj"),
+                         ("attention_norm", "input_layernorm"),
+                         ("ffn_norm", "post_attention_layernorm")):
+                sd[f"layers.{i}.{b}.weight"] = \
+                    sd.pop(f"layers.{i}.{a}.weight")
+        sd["embed_tokens.weight"] = sd.pop("tok_embeddings.weight")
+        if "output.weight" in sd:
+            sd["lm_head.weight"] = sd.pop("output.weight")
+
+    # Starcoder2 names its non-gated MLP c_fc/c_proj (GPT lineage);
+    # canonicalize to up/down (sglang srt/models zoo parity)
+    if "layers.0.mlp.c_fc.weight" in sd:
+        for i in range(L):
+            for a, b in (("c_fc", "up_proj"), ("c_proj", "down_proj")):
+                for suf in ("weight", "bias"):
+                    key = f"layers.{i}.mlp.{a}.{suf}"
+                    if key in sd:
+                        sd[f"layers.{i}.mlp.{b}.{suf}"] = sd.pop(key)
+
     # Phi-3 ships fused qkv_proj / gate_up_proj matrices (sglang zoo
     # parity, srt/models — phi-3 is llama semantics otherwise); split
     # them into the canonical q/k/v + gate/up layout up front.
@@ -276,7 +337,9 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
             "up": stack("layers.{}.mlp.up_proj.weight", True),
             "down": stack("layers.{}.mlp.down_proj.weight", True),
         },
-        "final_norm": _j(sd["norm.weight"], dtype),
+        "final_norm": (_j(sd["norm.weight"], dtype)
+                       if "norm.weight" in sd
+                       else jnp.ones((cfg.hidden_size,), dtype)),
     }
     if cfg.norm_upcast_mul:  # gemma (1+w) convention → absorb the +1
         for key in ("input_norm", "post_attn_norm"):
@@ -284,6 +347,31 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                                 + 1.0).astype(dtype)
         p["final_norm"] = (p["final_norm"].astype(jnp.float32)
                            + 1.0).astype(dtype)
+    if cfg.norm_type == "layernorm":
+        # torch LayerNorm biases (StableLM/Starcoder2); OLMo's LN is
+        # non-parametric — synthesize ones/zeros so one code path serves
+        # all three (modeling_olmo.OlmoLayerNorm)
+        for ours, theirs in (("input_norm", "input_layernorm"),
+                             ("post_attn_norm",
+                              "post_attention_layernorm")):
+            if p["layers"][ours] is None:
+                p["layers"][ours] = jnp.ones(
+                    (L, cfg.hidden_size), dtype)
+            b = stack("layers.{}." + theirs + ".bias")
+            p["layers"][ours + "_bias"] = (
+                b if b is not None
+                else jnp.zeros((L, cfg.hidden_size), dtype))
+        p["final_norm_bias"] = (_j(sd["norm.bias"], dtype)
+                                if "norm.bias" in sd
+                                else jnp.zeros((cfg.hidden_size,),
+                                               dtype))
+    # per-projection biases (Starcoder2 use_bias)
+    for name, key in (("o", "self_attn.o_proj"), ("gate",
+                                                  "mlp.gate_proj"),
+                      ("up", "mlp.up_proj"), ("down", "mlp.down_proj")):
+        b = stack("layers.{}." + key + ".bias")
+        if b is not None:
+            p["layers"][name + "_bias"] = b
     if "layers.0.self_attn.q_norm.weight" in sd:  # Qwen3 qk-norm
         p["layers"]["q_norm"] = stack(
             "layers.{}.self_attn.q_norm.weight")
@@ -332,6 +420,7 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                 "layers.{}.self_attn." + name + "_proj.bias")
     if not cfg.tie_word_embeddings:
         p["lm_head"] = _j(sd["lm_head.weight"].T, dtype)
+    p["layers"] = {k: v for k, v in p["layers"].items() if v is not None}
     return p
 
 

@@ -50,6 +50,13 @@ class LlamaConfig:
     tie_word_embeddings: bool = False
     qkv_bias: bool = False   # Qwen2-family attention biases
     qk_norm: bool = False    # Qwen3-family per-head RMSNorm on q/k
+    # --- StableLM/OLMo/GLM/Starcoder2-family structural knobs ---
+    norm_type: str = "rmsnorm"   # "layernorm": torch LayerNorm with a
+    #   '<key>_bias' param per norm (zeros for OLMo's non-parametric LN)
+    partial_rotary_factor: float = 1.0  # rotate first rd dims only
+    rope_interleaved: bool = False      # GLM adjacent-pair rope lanes
+    clip_qkv: Optional[float] = None    # OLMo qkv activation clamp
+    mlp_style: str = "gated"     # "mlp": up → act → down (Starcoder2)
     sliding_window: Optional[int] = None  # Mistral-family SWA
     num_experts: int = 0     # >0 → Mixtral-family MoE MLP
     num_experts_per_tok: int = 2
@@ -95,6 +102,10 @@ class LlamaConfig:
         if self.head_dim_override is not None:
             return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def rotary_dim(self) -> int:
+        return int(self.head_dim * self.partial_rotary_factor)
 
     @property
     def attn_scale(self) -> float:
@@ -191,12 +202,27 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 
 def _mlp_act(cfg: LlamaConfig, gate):
-    """Gated-MLP activation: SiLU (llama family) or tanh-approx GELU in
-    fp32 (gemma family GeGLU — HF GemmaMLP/Gemma2MLP semantics)."""
+    """MLP activation: SiLU (llama family), tanh-approx GELU in fp32
+    (gemma GeGLU / Starcoder2), or exact GELU."""
     if cfg.hidden_act == "gelu_tanh":
         return jax.nn.gelu(gate.astype(jnp.float32),
                            approximate=True).astype(gate.dtype)
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=False).astype(gate.dtype)
     return jax.nn.silu(gate)
+
+
+def _dnorm(cfg: LlamaConfig, x, tree, key):
+    """Decoder norm dispatch: RMSNorm (default) or torch LayerNorm with
+    the '<key>_bias' companion param (StableLM/Starcoder2; OLMo stores
+    ones/zeros for its non-parametric variant)."""
+    if cfg.norm_type == "layernorm":
+        from aurora_tpu.ops.norms import layer_norm
+        return layer_norm(x, tree[key], tree[key + "_bias"],
+                          cfg.rms_norm_eps)
+    return rms_norm(x, tree[key], cfg.rms_norm_eps,
+                    upcast_weight_mul=cfg.norm_upcast_mul)
 
 
 def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
@@ -214,8 +240,7 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
 
-    h = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps,
-                 upcast_weight_mul=cfg.norm_upcast_mul)
+    h = _dnorm(cfg, x, lp, "input_norm")
     if "qkv" in lp:  # serving-fused stream (serve.engine
         # fuse_serving_weights) — the embeddings endpoint runs
         # llama_apply over the live engine params
@@ -237,13 +262,18 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
             q = q + lp["q_bias"]
             k = k + lp["k_bias"]
             v = v + lp["v_bias"]
+    if cfg.clip_qkv:  # OLMo activation clamp
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
     q = q.reshape(B, T, hq, hd)
     k = k.reshape(B, T, hkv, hd)
     v = v.reshape(B, T, hkv, hd)
     if "q_norm" in lp:  # Qwen3 per-head RMSNorm on q/k, pre-rope
         q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
-    q, k = apply_rope(q, k, cos, sin)
+    q, k = apply_rope(q, k, cos, sin,
+                      interleaved=cfg.rope_interleaved)
 
     if cache_k is not None:
         cache_k = jax.lax.dynamic_update_slice(
@@ -282,10 +312,11 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                    use_flash=use_flash)
     attn = jnp.dot(attn.reshape(B, T, hq * hd), lp["o"],
                    preferred_element_type=jnp.float32).astype(x.dtype)
+    if "o_bias" in lp:
+        attn = attn + lp["o_bias"]
     x = x + attn
 
-    h = rms_norm(x, lp["post_attn_norm"], cfg.rms_norm_eps,
-                 upcast_weight_mul=cfg.norm_upcast_mul)
+    h = _dnorm(cfg, x, lp, "post_attn_norm")
     if "moe_router" in lp:  # Mixtral/Qwen2-MoE-family sparse MLP
         from aurora_tpu.ops.moe import moe_mlp, shared_expert_mlp
         routed = moe_mlp(
@@ -306,13 +337,24 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
         gate, up = fused[..., :inter], fused[..., inter:]
         h = jnp.dot(_mlp_act(cfg, gate) * up, lp["down"],
                     preferred_element_type=jnp.float32).astype(x.dtype)
-    else:
+    elif "gate" in lp:
         gate = jnp.dot(h, lp["gate"], preferred_element_type=jnp.float32
                        ).astype(h.dtype)
         up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
                      ).astype(h.dtype)
         h = jnp.dot(_mlp_act(cfg, gate) * up, lp["down"],
                     preferred_element_type=jnp.float32).astype(x.dtype)
+        if "down_bias" in lp:
+            h = h + lp["down_bias"]
+    else:  # non-gated MLP (Starcoder2 c_fc → act → c_proj)
+        up = jnp.dot(h, lp["up"], preferred_element_type=jnp.float32
+                     ).astype(h.dtype)
+        if "up_bias" in lp:
+            up = up + lp["up_bias"]
+        h = jnp.dot(_mlp_act(cfg, up), lp["down"],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        if "down_bias" in lp:
+            h = h + lp["down_bias"]
     return x + h, cache_k, cache_v
 
 
@@ -351,7 +393,7 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
     if position_ids is None:
         position_ids = jnp.arange(T)[None, :] + cache_len
         position_ids = jnp.broadcast_to(position_ids, (B, T))
-    cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
+    cos, sin = rope_cos_sin(position_ids, cfg.rotary_dim, cfg.rope_theta,
                             cfg.rope_linear_scaling, dtype=jnp.float32)
 
     def scan_fn(carry, xs):
@@ -371,8 +413,7 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
         xs = params["layers"]
     x, caches = jax.lax.scan(body, x, xs)
 
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
-                 upcast_weight_mul=cfg.norm_upcast_mul)
+    x = _dnorm(cfg, x, params, "final_norm")
     if return_hidden:
         logits = x
     else:

@@ -48,13 +48,42 @@ def rotate_half(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
+def rotate_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    """GLM pairwise rotation: (x0, x1, x2, x3, …) → (-x1, x0, -x3, x2, …)
+    (modeling_glm.rotate_half — adjacent features are the rotation
+    lanes instead of the half-split convention)."""
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
 def apply_rope(q: jnp.ndarray, k: jnp.ndarray, cos: jnp.ndarray,
-               sin: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """q,k: [B, T, H, D]; cos/sin: [B, T, D] or [T, D]."""
+               sin: jnp.ndarray,
+               interleaved: bool = False
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """q,k: [B, T, H, D]; cos/sin: [B, T, rd] or [T, rd].
+
+    rd < D applies PARTIAL rotary (StableLM/Phi/GLM
+    partial_rotary_factor): the first rd features rotate, the rest pass
+    through. interleaved=True uses GLM's adjacent-pair lanes with the
+    cos table's first half repeat-interleaved (modeling_glm
+    apply_rotary_pos_emb)."""
     if cos.ndim == 2:
         cos, sin = cos[None], sin[None]
     cos = cos[:, :, None, :]  # broadcast over heads
     sin = sin[:, :, None, :]
-    q_out = q * cos + rotate_half(q) * sin
-    k_out = k * cos + rotate_half(k) * sin
-    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+    if interleaved:
+        half = cos.shape[-1] // 2
+        cos = jnp.repeat(cos[..., :half], 2, axis=-1)
+        sin = jnp.repeat(sin[..., :half], 2, axis=-1)
+        rot = rotate_interleaved
+    else:
+        rot = rotate_half
+    rd = cos.shape[-1]
+
+    def one(x):
+        if rd == x.shape[-1]:
+            return x * cos + rot(x) * sin
+        xr, xp = x[..., :rd], x[..., rd:]
+        return jnp.concatenate([xr * cos + rot(xr) * sin, xp], axis=-1)
+
+    return one(q).astype(q.dtype), one(k).astype(k.dtype)

@@ -295,6 +295,10 @@ def _qkv(cfg: LlamaConfig, lp, h):
         v = _wdot(h, lp, "v")
         if "q_bias" in lp:  # Qwen2 family
             q, k, v = q + lp["q_bias"], k + lp["k_bias"], v + lp["v_bias"]
+    if cfg.clip_qkv:  # OLMo activation clamp
+        q = jnp.clip(q, -cfg.clip_qkv, cfg.clip_qkv)
+        k = jnp.clip(k, -cfg.clip_qkv, cfg.clip_qkv)
+        v = jnp.clip(v, -cfg.clip_qkv, cfg.clip_qkv)
     q = q.reshape(B, T, cfg.num_attention_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_key_value_heads, cfg.head_dim)
@@ -304,15 +308,31 @@ def _qkv(cfg: LlamaConfig, lp, h):
     return q, k, v
 
 
-def _norm(cfg: LlamaConfig, x, w):
+def _norm(cfg: LlamaConfig, x, w, b=None):
+    if cfg.norm_type == "layernorm":  # StableLM/OLMo/Starcoder2
+        from aurora_tpu.ops.norms import layer_norm
+        return layer_norm(x, w, b if b is not None
+                          else jnp.zeros_like(w), cfg.rms_norm_eps)
     return rms_norm(x, w, cfg.rms_norm_eps,
                     upcast_weight_mul=cfg.norm_upcast_mul)
+
+
+def _act(cfg: LlamaConfig, gate):
+    """MLP activation: SiLU / tanh-approx GELU (fp32) / exact GELU."""
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=True).astype(gate.dtype)
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=False).astype(gate.dtype)
+    return jax.nn.silu(gate)
 
 
 def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
     """Family-aware MLP block: SiLU (llama) / GeGLU (gemma2) / sparse MoE
     (mixtral), with Gemma2's post-feedforward norm when present."""
-    h = _norm(cfg, x, lp["post_attn_norm"])
+    h = _norm(cfg, x, lp["post_attn_norm"],
+              lp.get("post_attn_norm_bias"))
     if "moe_router" in lp:  # Mixtral/Qwen2-MoE sparse MLP (fused_moe
         from aurora_tpu.ops.moe import (moe_mlp,  # parity)
                                         moe_mlp_grouped,
@@ -338,23 +358,20 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
         fused = _wdot(h, lp, "gateup")
         inter = fused.shape[-1] // 2
         gate, up = fused[..., :inter], fused[..., inter:]
-        if cfg.hidden_act == "gelu_tanh":
-            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True
-                              ).astype(gate.dtype)
-        else:
-            act = jax.nn.silu(gate)
-        out = _wdot(act * up, lp, "down")
-    else:
+        out = _wdot(_act(cfg, gate) * up, lp, "down")
+    elif "gate" in lp:
         gate = _wdot(h, lp, "gate")
         up = _wdot(h, lp, "up")
-        if cfg.hidden_act == "gelu_tanh":
-            act = jax.nn.gelu(gate.astype(jnp.float32), approximate=True
-                              ).astype(gate.dtype)
-        else:
-            act = jax.nn.silu(gate)
-        out = _wdot(act * up, lp, "down")
+        out = _wdot(_act(cfg, gate) * up, lp, "down")
+    else:  # non-gated MLP (Starcoder2 c_fc → act → c_proj)
+        up = _wdot(h, lp, "up")
+        if "up_bias" in lp:  # column-parallel bias: adds per shard
+            up = up + lp["up_bias"]
+        out = _wdot(_act(cfg, up), lp, "down")
     if tp_axis is not None:  # row-parallel down-proj partial sum
         out = jax.lax.psum(out, tp_axis)
+    if "down_bias" in lp:  # after the psum: the bias adds exactly once
+        out = out + lp["down_bias"]
     if "post_ffw_norm" in lp:  # Gemma2: norm the ffw output pre-residual
         out = _norm(cfg, out, lp["post_ffw_norm"])
     return x + out
@@ -531,7 +548,7 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     quant = "ks" in rows
     positions = q_offsets[:, None] + jnp.arange(T)[None, :]       # [Bk, T]
     wpos = jnp.where(positions < kv_lens[:, None], positions, S_row)
-    cos, sin = rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta,
+    cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta,
                             cfg.rope_linear_scaling, dtype=jnp.float32)
     ridx = row_ids[:, None]
 
@@ -556,9 +573,11 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     def layer(carry, xs):
         x, r = carry
         lp, l = xs
-        h = _norm(cfg, x, lp["input_norm"])
+        h = _norm(cfg, x, lp["input_norm"],
+                  lp.get("input_norm_bias"))
         q, k, v = _qkv(cfg, lp, h)
-        q, k = apply_rope(q, k, cos, sin)
+        q, k = apply_rope(q, k, cos, sin,
+                          interleaved=cfg.rope_interleaved)
         if T == 1:  # decode: fused write+attend, in-place via aliasing
             res = ragged_decode_attention(
                 q, k[:, 0], v[:, 0], r["k"], r["v"], kv_lens, row_ids,
@@ -595,6 +614,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
         attn = _wdot(attn.reshape(Bk, T, -1).astype(x.dtype), lp, "o")
         if tp_axis is not None:  # row-parallel o-proj partial sum
             attn = jax.lax.psum(attn, tp_axis)
+        if "o_bias" in lp:  # after the psum: the bias adds exactly once
+            attn = attn + lp["o_bias"]
         if "post_attn_out_norm" in lp:  # Gemma2: norm the attn output
             attn = _norm(cfg, attn, lp["post_attn_out_norm"])
         x = x + attn
@@ -602,7 +623,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
 
     (x, rows), _ = jax.lax.scan(
         layer, (x, rows), (params["layers"], jnp.arange(L)))
-    x = _norm(cfg, x, params["final_norm"])
+    x = _norm(cfg, x, params["final_norm"],
+              params.get("final_norm_bias"))
     # last valid token per lane (lanes may be partially padded)
     last = jnp.clip(kv_lens - q_offsets - 1, 0, T - 1)
     x = jnp.take_along_axis(x, last[:, None, None], axis=1)[:, 0]

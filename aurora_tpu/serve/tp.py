@@ -76,8 +76,10 @@ def tp_param_specs(params: Params) -> Params:
                 # weights [L, D, out] / biases + scales [L(, 1), out]
                 out[name] = P(*([None] * (w.ndim - 1) + ["tp"]))
             elif base in _ROW:
-                if name.endswith("_scale"):   # [L, 1, D] per-out scales
-                    out[name] = P(None, None, None)
+                if name.endswith(("_scale", "_bias")):
+                    # per-out scales [L, 1, D] / output biases [L, D]:
+                    # replicated (biases add once, AFTER the psum)
+                    out[name] = P(*([None] * w.ndim))
                 else:                         # [L, in, D]
                     out[name] = P(None, "tp", None)
             else:  # norms, MoE router, anything else: replicated

@@ -332,6 +332,172 @@ def test_phi3_logits_match_hf(rng):
     np.testing.assert_array_equal(np.asarray(res.tokens[0]), want_gen)
 
 
+def test_stablelm_logits_match_hf(rng):
+    """StableLM family: torch LayerNorm (+bias) decoder norms, PARTIAL
+    rotary (rotary_ndims = head_dim * partial_rotary_factor), optional
+    qkv biases (modeling_stablelm; sglang srt/models/stablelm.py)."""
+    from transformers import StableLmConfig, StableLmForCausalLM
+    torch.manual_seed(51)
+    hf_cfg = StableLmConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, partial_rotary_factor=0.25,
+        use_qkv_bias=True, layer_norm_eps=1e-5,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False)
+    hf = StableLmForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.norm_type == "layernorm" and cfg.qkv_bias
+            and cfg.rotary_dim == 4)  # 16 * 0.25
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "input_norm_bias" in params["layers"]
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_olmo_logits_match_hf(rng):
+    """OLMo family: NON-PARAMETRIC LayerNorm (ones/zeros synthesized at
+    conversion) and the clip_qkv activation clamp (modeling_olmo;
+    sglang srt/models/olmo.py)."""
+    from transformers import OlmoConfig, OlmoForCausalLM
+    torch.manual_seed(52)
+    hf_cfg = OlmoConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, clip_qkv=0.4,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False)
+    hf = OlmoForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.norm_type == "layernorm" and cfg.clip_qkv == 0.4
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert np.all(np.asarray(params["layers"]["input_norm"]) == 1.0)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_glm4_logits_match_hf(rng):
+    """GLM-4 family: INTERLEAVED-pair rotary lanes at partial factor
+    0.5, fused gate_up MLP, qkv biases without o bias (modeling_glm;
+    sglang srt/models/chatglm.py zoo parity)."""
+    from transformers import GlmConfig, GlmForCausalLM
+    torch.manual_seed(53)
+    hf_cfg = GlmConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16,
+        partial_rotary_factor=0.5, attention_bias=True,
+        max_position_embeddings=256, rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False)
+    hf = GlmForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert cfg.rope_interleaved and cfg.rotary_dim == 8 and cfg.qkv_bias
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_starcoder2_logits_match_hf(rng):
+    """Starcoder2 family: NON-GATED c_fc→gelu→c_proj MLP with biases
+    everywhere (use_bias), LayerNorm norms (modeling_starcoder2;
+    sglang srt/models zoo parity)."""
+    from transformers import Starcoder2Config, Starcoder2ForCausalLM
+    torch.manual_seed(54)
+    hf_cfg = Starcoder2Config(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, use_bias=True, norm_epsilon=1e-5,
+        hidden_act="gelu_pytorch_tanh", sliding_window=None,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False)
+    hf = Starcoder2ForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.norm_type == "layernorm" and cfg.mlp_style == "mlp"
+            and cfg.hidden_act == "gelu_tanh" and cfg.qkv_bias)
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "gate" not in params["layers"]
+    assert "up_bias" in params["layers"]
+    assert "o_bias" in params["layers"]
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_internlm2_remap_matches_llama_oracle(rng):
+    """InternLM2 ships llama semantics under renamed keys and a fused
+    group-interleaved wqkv (sglang srt/models/internlm2.py). No HF
+    class exists in-image, so the oracle is a tiny torch llama whose
+    state dict is re-packed INTO the internlm2 layout here (per-kv-group
+    [q heads..., k, v] interleave) — converting it back through
+    llama_params_from_hf must reproduce the llama logits exactly."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    torch.manual_seed(41)
+    hq, hkv, hd = 4, 2, 16
+    hf = LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=hq,
+        num_key_value_heads=hkv, max_position_embeddings=256,
+        rms_norm_eps=1e-5, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    sd = state_dict_from_torch_module(hf)
+    sd = {k[len("model."):] if k.startswith("model.") else k: v
+          for k, v in sd.items()}
+
+    # re-pack into internlm2 naming + fused interleaved wqkv
+    qpk = hq // hkv
+    out = {"tok_embeddings.weight": sd["embed_tokens.weight"],
+           "norm.weight": sd["norm.weight"],
+           "output.weight": sd["lm_head.weight"]}
+    for i in range(2):
+        q = sd[f"layers.{i}.self_attn.q_proj.weight"].reshape(
+            hkv, qpk, hd, -1)
+        k = sd[f"layers.{i}.self_attn.k_proj.weight"].reshape(
+            hkv, 1, hd, -1)
+        v = sd[f"layers.{i}.self_attn.v_proj.weight"].reshape(
+            hkv, 1, hd, -1)
+        out[f"layers.{i}.attention.wqkv.weight"] = np.concatenate(
+            [q, k, v], axis=1).reshape(hkv * (qpk + 2) * hd, -1)
+        for a, b in (("attention.wo", "self_attn.o_proj"),
+                     ("feed_forward.w1", "mlp.gate_proj"),
+                     ("feed_forward.w3", "mlp.up_proj"),
+                     ("feed_forward.w2", "mlp.down_proj"),
+                     ("attention_norm", "input_layernorm"),
+                     ("ffn_norm", "post_attention_layernorm")):
+            out[f"layers.{i}.{a}.weight"] = sd[f"layers.{i}.{b}.weight"]
+
+    cfg_dict = hf.config.to_dict()
+    cfg_dict["model_type"] = "internlm2"
+    cfg_dict["bias"] = False
+    cfg = llama_config_from_hf(cfg_dict)
+    params = llama_params_from_hf(out, cfg, dtype=jnp.float32)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
 def test_gemma1_logits_match_hf(rng):
     """Gemma (v1) through the UNIVERSAL llama path (no dedicated
     modeling file needed): GeGLU MLP, sqrt(d) embedding scale, (1+w)

@@ -678,6 +678,50 @@ def test_engine_tp2_matches_tp1(tiny_engine, rng, kv_quant):
     assert b1 == b2
 
 
+def test_engine_tp2_biased_layernorm_family(rng):
+    """TP sharding with a Starcoder2-shaped config: per-projection
+    biases (o/down biases must add exactly once, AFTER the psum —
+    replicated specs), LayerNorm norms, non-gated GELU MLP. tp=2 greedy
+    == tp=1 greedy."""
+    import dataclasses as dc
+    cfg = dc.replace(LlamaConfig.tiny(vocab_size=128),
+                     norm_type="layernorm", mlp_style="mlp",
+                     hidden_act="gelu_tanh", qkv_bias=True)
+    rng_j = jax.random.PRNGKey(7)
+    params = init_llama_params(rng_j, cfg, dtype=jnp.float32)
+    L, D = cfg.num_hidden_layers, cfg.hidden_size
+    inter = cfg.intermediate_size
+    lay = params["layers"]
+    for k in ("gate",):
+        del lay[k]
+    keys = jax.random.split(jax.random.PRNGKey(8), 8)
+    lay["input_norm_bias"] = 0.01 * jax.random.normal(
+        keys[0], (L, D), jnp.float32)
+    lay["post_attn_norm_bias"] = 0.01 * jax.random.normal(
+        keys[1], (L, D), jnp.float32)
+    params["final_norm_bias"] = 0.01 * jax.random.normal(
+        keys[2], (D,), jnp.float32)
+    lay["o_bias"] = 0.05 * jax.random.normal(keys[3], (L, D), jnp.float32)
+    lay["up_bias"] = 0.05 * jax.random.normal(
+        keys[4], (L, inter), jnp.float32)
+    lay["down_bias"] = 0.05 * jax.random.normal(
+        keys[5], (L, D), jnp.float32)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16,), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    ids = [int(x) for x in np.random.default_rng(9).integers(
+        3, 128, size=11)]
+
+    def run(tp):
+        eng = ServeEngine(dict(params), cfg, __import__(
+            "dataclasses").replace(ecfg, tp=tp))
+        done = _run_engine(eng, [Request(rid="s", input_ids=list(ids),
+                                         max_new_tokens=6)])
+        return done["s"].output_ids
+
+    assert run(2) == run(1)
+
+
 def test_engine_tp_oversize_prompt_chunked(tiny_engine, rng):
     """Chunked prefill works through the shard_map path (tp=2), and an
     invalid tp (not dividing num_key_value_heads) is rejected."""

@@ -205,6 +205,101 @@ def test_internvl_served_matches_offline(rng):
     assert len(done2["iv2"].prefix_slots) > 0
 
 
+def _hf_roundtrip_serve(hf, rng, prompt_len=12, new=6):
+    """Shared harness: HF greedy == offline generate == engine decode."""
+    import torch
+
+    from aurora_tpu.generate import generate
+    from aurora_tpu.models.convert import (llama_config_from_hf,
+                                           llama_params_from_hf,
+                                           state_dict_from_torch_module)
+    cfg = llama_config_from_hf(hf.config.to_dict())
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    ids = [int(x) for x in rng.integers(3, 144, size=prompt_len)]
+    with torch.no_grad():
+        want_hf = hf.generate(torch.tensor([ids]), max_new_tokens=new,
+                              do_sample=False).numpy()[0, prompt_len:]
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray([ids]), axis=0)
+    res = generate(params, cfg, embeds, jnp.ones((1, len(ids)), bool),
+                   max_new_tokens=new, eos_ids=(-1,))
+    want = [int(t) for t in
+            np.asarray(res.tokens[0, :int(res.lengths[0])])]
+    assert want == [int(t) for t in want_hf]  # offline == HF greedy
+
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params, cfg, ecfg)
+    done = _run_engine(engine, [Request(rid="r", input_ids=list(ids),
+                                        max_new_tokens=new)])
+    assert done["r"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0
+
+
+def test_glm4_served_matches_offline(rng):
+    """GLM-4 (interleaved partial rotary, fused gate_up, qkv bias)
+    through the serving engine (sglang srt/models/chatglm.py parity)."""
+    import torch
+    import transformers
+    torch.manual_seed(55)
+    hf = transformers.GlmForCausalLM(transformers.GlmConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, partial_rotary_factor=0.5,
+        attention_bias=True, max_position_embeddings=256,
+        rms_norm_eps=1e-5, pad_token_id=0,
+        attn_implementation="eager", tie_word_embeddings=False)).eval()
+    _hf_roundtrip_serve(hf, rng)
+
+
+def test_starcoder2_served_matches_offline(rng):
+    """Starcoder2 (LayerNorm norms, non-gated GELU MLP, biases
+    everywhere) through the serving engine."""
+    import torch
+    import transformers
+    torch.manual_seed(56)
+    hf = transformers.Starcoder2ForCausalLM(transformers.Starcoder2Config(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, use_bias=True, norm_epsilon=1e-5,
+        hidden_act="gelu_pytorch_tanh", sliding_window=None,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    _hf_roundtrip_serve(hf, rng)
+
+
+def test_stablelm_served_matches_offline(rng):
+    """StableLM (LayerNorm + partial rotary + qkv bias) through the
+    serving engine."""
+    import torch
+    import transformers
+    torch.manual_seed(57)
+    hf = transformers.StableLmForCausalLM(transformers.StableLmConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, partial_rotary_factor=0.25,
+        use_qkv_bias=True, layer_norm_eps=1e-5,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    _hf_roundtrip_serve(hf, rng)
+
+
+def test_olmo_served_matches_offline(rng):
+    """OLMo (non-parametric LayerNorm + clip_qkv) through the serving
+    engine."""
+    import torch
+    import transformers
+    torch.manual_seed(58)
+    hf = transformers.OlmoForCausalLM(transformers.OlmoConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, clip_qkv=0.4,
+        max_position_embeddings=256, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    _hf_roundtrip_serve(hf, rng)
+
+
 def test_gemma1_served_matches_offline(rng):
     """Gemma (v1) through the serving engine via the universal config
     (GeGLU + embed scale + (1+w) norms): greedy decode == offline
