@@ -24,6 +24,15 @@ TASK_CATALOG = {
     "realworldqa (+ppl)": ("AURORA_REALWORLDQA",
                            "data/realworldqa/test.jsonl"),
     "mmmu_val (+ppl)": ("AURORA_MMMU", "data/mmmu/val.jsonl"),
+    "cvbench (+ppl)": ("AURORA_CVBENCH", "data/cvbench/test.jsonl"),
+    "blink (+ppl)": ("AURORA_BLINK", "data/blink/val.jsonl"),
+    "mmt_bench (+ppl)": ("AURORA_MMT", "data/mmt_bench/val.jsonl"),
+    "seedbench2 (+ppl)": ("AURORA_SEEDBENCH2",
+                          "data/seedbench2/test.jsonl"),
+    "vstar_bench (+ppl)": ("AURORA_VSTAR",
+                           "data/vstar_bench/test.jsonl"),
+    "mathvista_testmini": ("AURORA_MATHVISTA",
+                           "data/mathvista/testmini.jsonl"),
     "pope": ("AURORA_POPE", "data/pope/test.jsonl"),
     "mme": ("AURORA_MME", "data/mme/test.jsonl"),
     "hallusion_bench": ("AURORA_HALLUSION",

@@ -144,6 +144,15 @@ BENCHMARKS = (
     ("realworldqa", "AURORA_REALWORLDQA", "data/realworldqa/test.jsonl",
      False),
     ("mmmu_val", "AURORA_MMMU", "data/mmmu/val.jsonl", False),
+    # (lmms-eval dirs: tasks/cvbench, tasks/blink, tasks/mmt,
+    #  tasks/seedbench_2, tasks/vstar_bench — same letter-MC protocol)
+    ("cvbench", "AURORA_CVBENCH", "data/cvbench/test.jsonl", True),
+    ("blink", "AURORA_BLINK", "data/blink/val.jsonl", True),
+    ("mmt_bench", "AURORA_MMT", "data/mmt_bench/val.jsonl", True),
+    ("seedbench2", "AURORA_SEEDBENCH2", "data/seedbench2/test.jsonl",
+     True),
+    ("vstar_bench", "AURORA_VSTAR", "data/vstar_bench/test.jsonl",
+     True),
 )
 
 for _name, _env, _default, _bycat in BENCHMARKS:

@@ -148,6 +148,55 @@ def ocrbench_process_results(doc, result):
     return {"ocrbench_acc": score}
 
 
+def mathvista_doc_to_text(doc, **_):
+    """MathVista (lmms-eval tasks/mathvista/utils.py protocol without
+    the GPT extraction step): MC items render lettered choices; free
+    items ask for a short final answer."""
+    q = doc["question"]
+    if doc.get("options"):
+        from aurora_tpu.eval.tasks.video_mc import _LETTERS
+        lines = [q] + [f"{_LETTERS[i]}. {o}"
+                       for i, o in enumerate(doc["options"])]
+        return ("\n".join(lines)
+                + "\nAnswer with the option's letter from the given "
+                  "choices directly.")
+    return (q + "\nAnswer the question using a single word or "
+               "number.")
+
+
+def mathvista_process_results(doc, result):
+    """MC items letter-parse; free-form items use ChartQA-style relaxed
+    numeric matching (in place of the reference's GPT answer
+    extraction — deterministic and offline)."""
+    from aurora_tpu.eval.tasks.video_mc import (_LETTERS,
+                                                parse_multi_choice_response)
+    if doc.get("options"):
+        letters = [_LETTERS[i] for i in range(len(doc["options"]))]
+        pred = parse_multi_choice_response(result[0], letters)
+        want = doc["answer"]
+        if not isinstance(want, str) or want.upper() not in letters:
+            # answer given as the option text → map to its letter
+            want = _LETTERS[[str(o) for o in doc["options"]].index(
+                str(want))]
+        return {"mathvista_acc": float(pred == str(want).upper())}
+    score = max(relaxed_accuracy(result[0], gt)
+                for gt in doc_to_target(doc))
+    return {"mathvista_acc": score}
+
+
+def register_mathvista_task(dataset_path: str,
+                            name: str = "mathvista_testmini"):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.vqa:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.vqa:mathvista_doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.vqa:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.vqa:"
+                        "mathvista_process_results",
+        metric_aggregations={"mathvista_acc": "mean"},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0.0}))
+
+
 def register_docvqa_task(name: str, dataset_path: str):
     return register_task(TaskConfig(
         name=name, dataset_path=dataset_path,
@@ -205,3 +254,8 @@ if os.path.exists(_path):
 _path = os.environ.get("AURORA_OCRBENCH", "data/ocrbench/test.jsonl")
 if os.path.exists(_path):
     register_ocrbench_task(_path)
+
+_path = os.environ.get("AURORA_MATHVISTA",
+                       "data/mathvista/testmini.jsonl")
+if os.path.exists(_path):
+    register_mathvista_task(_path)

@@ -25,6 +25,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(s_a_ref, h_ref, w_ref, s_w_ref, out_ref):
@@ -68,6 +69,69 @@ def w8a8_matmul(h8: jnp.ndarray, s_a: jnp.ndarray, w8: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Bp, N), out_dtype),
         interpret=interpret,
     )(s_a.astype(jnp.float32), h8, w8, s_w)
+    return out[:B]
+
+
+def _kernel4(h_even_ref, h_odd_ref, pk_ref, s_w_ref, out_ref, *,
+             groups: int):
+    """One [K/2, bn] packed-int4 weight tile: unpack both nibble planes
+    in VMEM, dequantize with the per-(group, out-channel) scales, and
+    run two bf16 MXU dots (even input rows hit the low nibble, odd the
+    high). HBM traffic for the tile is the PACKED bytes only — the
+    unpacked/dequantized planes never leave VMEM (the property the XLA
+    path lacks: its unpack materializes int8 planes through HBM)."""
+    pk = pk_ref[...]                                     # [K/2, bn] i8
+    four = jnp.int8(4)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(pk, four), four)
+    hi = jax.lax.shift_right_arithmetic(pk, four)
+    k2, bn = lo.shape
+    s = s_w_ref[...]                                     # [G, bn] f32
+    sw = jnp.broadcast_to(s[:, None, :], (groups, k2 // groups, bn)
+                          ).reshape(k2, bn).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        h_even_ref[...], lo.astype(jnp.bfloat16) * sw,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(
+        h_odd_ref[...], hi.astype(jnp.bfloat16) * sw,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "out_dtype",
+                                             "interpret"))
+def w4a16_matmul(h: jnp.ndarray, pk: jnp.ndarray, s_w: jnp.ndarray, *,
+                 block_n: int = 512, out_dtype=jnp.bfloat16,
+                 interpret: bool = False):
+    """[B, K] bf16 x nibble-packed W4 [G, g/2, N] -> [B, N].
+
+    pk: packed int8, even input row in the low nibble (engine
+    quantize_weights_int4 layout); s_w: [G, 1, N] f32 grouped scales.
+    Activations stay bf16 (W4A16 — no activation quantization error).
+    N % block_n must be 0."""
+    B, K = h.shape
+    G, gh, N = pk.shape
+    assert 2 * G * gh == K and N % block_n == 0, (h.shape, pk.shape)
+    h = h.astype(jnp.bfloat16)
+    he, ho = h[:, 0::2], h[:, 1::2]
+    Bp = max(16, -(-B // 16) * 16)
+    if Bp != B:
+        he = jnp.pad(he, ((0, Bp - B), (0, 0)))
+        ho = jnp.pad(ho, ((0, Bp - B), (0, 0)))
+    out = pl.pallas_call(
+        functools.partial(_kernel4, groups=G),
+        grid=(N // block_n,),
+        in_specs=[
+            pl.BlockSpec((Bp, K // 2), lambda j: (0, 0)),      # h even
+            pl.BlockSpec((Bp, K // 2), lambda j: (0, 0)),      # h odd
+            pl.BlockSpec((K // 2, block_n),
+                         lambda j: (0, j)),                    # packed
+            pl.BlockSpec((G, block_n), lambda j: (0, j)),      # scales
+        ],
+        out_specs=pl.BlockSpec((Bp, block_n), lambda j: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((Bp, N), out_dtype),
+        interpret=interpret,
+    )(he, ho, pk.reshape(K // 2, N), s_w.reshape(G, N))
     return out[:B]
 
 

@@ -1,0 +1,57 @@
+"""Pallas quantized-matmul kernels (ops/pallas/quant_matmul.py) —
+interpret-mode parity on CPU; compiled validation runs on TPU via
+tools/bench_wdot.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_w4a16_matches_dequant_reference(rng):
+    """w4a16_matmul == h @ dequantize(pack(W)) for the engine's packing
+    (even input row in the low nibble, g-grouped scales)."""
+    from aurora_tpu.ops.pallas.quant_matmul import w4a16_matmul
+    from aurora_tpu.serve.engine import _w4
+
+    B, K, N, g = 5, 256, 512, 64
+    w = jnp.asarray(rng.standard_normal((1, K, N)), jnp.float32)
+    pk, s = _w4(w, group=g)                    # [1, G, g/2, N], [1, G, 1, N]
+    pk, s = pk[0], s[0]
+    G = K // g
+
+    # reference dequant: interleave nibble planes back to [K, N]
+    p = np.asarray(pk).astype(np.int8)
+    lo = np.right_shift(np.left_shift(p, 4), 4)
+    hi = np.right_shift(p, 4)
+    q = np.zeros((G, g, N), np.float32)
+    q[:, 0::2] = lo
+    q[:, 1::2] = hi
+    wd = (q * np.asarray(s)).reshape(K, N)
+
+    h = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    want = np.asarray(h, np.float32).astype(np.float32) @ wd
+    got = w4a16_matmul(h, pk, s, block_n=256, out_dtype=jnp.float32,
+                       interpret=True)
+    # bf16 activations + bf16 scale products inside the kernel
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0.05,
+                               atol=0.3)
+
+
+def test_w4a16_block_and_padding_edges(rng):
+    """Non-multiple batch (pad to sublane tile) and multi-block N."""
+    from aurora_tpu.ops.pallas.quant_matmul import w4a16_matmul
+    from aurora_tpu.serve.engine import _w4
+    B, K, N, g = 3, 128, 1024, 128
+    w = jnp.asarray(rng.standard_normal((1, K, N)), jnp.float32)
+    pk, s = _w4(w, group=g)
+    out = w4a16_matmul(jnp.asarray(rng.standard_normal((B, K)),
+                                   jnp.bfloat16), pk[0], s[0],
+                       block_n=256, interpret=True)
+    assert out.shape == (B, N)
+    assert not np.any(np.isnan(np.asarray(out, np.float32)))

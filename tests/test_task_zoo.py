@@ -96,6 +96,24 @@ def test_hallusion_group_accs():
 
 # --- doc/chart/OCR metrics --------------------------------------------------
 
+def test_mathvista_protocol():
+    # MC item: letter parsing, answer given as option text or letter
+    doc = {"image": "x.npy", "question": "q?",
+           "options": ["3", "5", "7"], "answer": "5"}
+    assert "B. 5" in vqa.mathvista_doc_to_text(doc)
+    out = vqa.mathvista_process_results(doc, ["The answer is B"])
+    assert out["mathvista_acc"] == 1.0
+    out = vqa.mathvista_process_results({**doc, "answer": "B"}, ["(B)"])
+    assert out["mathvista_acc"] == 1.0
+    # free-form numeric: relaxed 5% matching
+    doc2 = {"image": "x.npy", "question": "how many?", "answer": "100"}
+    assert "single word or" in vqa.mathvista_doc_to_text(doc2)
+    assert vqa.mathvista_process_results(
+        doc2, ["102"])["mathvista_acc"] == 1.0
+    assert vqa.mathvista_process_results(
+        doc2, ["120"])["mathvista_acc"] == 0.0
+
+
 def test_relaxed_accuracy():
     assert vqa.relaxed_accuracy("42", "42") == 1.0
     assert vqa.relaxed_accuracy("41", "42") == 1.0       # within 5%
