@@ -47,15 +47,39 @@ def score_captions(captions: List[dict], gt: List[dict],
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--captions", required=True)
-    p.add_argument("--gt", required=True)
+    p.add_argument("--captions", required=True,
+                   help="predictions jsonl (captions, or full records "
+                        "for qa/mmvet/llava_wild modes)")
+    p.add_argument("--gt", default=None,
+                   help="ground-truth jsonl (captions mode only)")
+    p.add_argument("--mode", default="captions",
+                   choices=["captions", "qa", "mmvet", "llava_wild"],
+                   help="judge protocol: VDCScore captions (default), "
+                        "ActivityNet/VideoChatGPT QA, MM-Vet 0-1 "
+                        "grading, or llava-bench relative scoring")
     p.add_argument("--judge-url", default="http://localhost:30000")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
-    judge = JudgeClient(args.judge_url)
-    result = score_captions(_load_jsonl(args.captions),
-                            _load_jsonl(args.gt), judge)
+    if args.mode == "qa":
+        from aurora_tpu.eval.tasks.videoqa import score_qa_predictions
+        result = score_qa_predictions(_load_jsonl(args.captions),
+                                      args.judge_url)
+    elif args.mode == "mmvet":
+        from aurora_tpu.eval.tasks.image_judge import \
+            score_mmvet_predictions
+        result = score_mmvet_predictions(_load_jsonl(args.captions),
+                                         args.judge_url)
+    elif args.mode == "llava_wild":
+        from aurora_tpu.eval.tasks.image_judge import \
+            score_llava_wild_predictions
+        result = score_llava_wild_predictions(
+            _load_jsonl(args.captions), args.judge_url)
+    else:
+        assert args.gt, "--gt is required for captions mode"
+        judge = JudgeClient(args.judge_url)
+        result = score_captions(_load_jsonl(args.captions),
+                                _load_jsonl(args.gt), judge)
     print(json.dumps({k: v for k, v in result.items() if k != "rows"}))
     if args.out:
         with open(args.out, "w") as f:

@@ -1,9 +1,9 @@
 """Built-in task definitions. Importing this package registers them."""
 
-from aurora_tpu.eval.tasks import (captions, image_mc,  # noqa: F401
-                                   mmbench, refcoco, text_mc, vdc,
-                                   video_mc, videochatgpt, videoqa, vqa,
-                                   yesno)
+from aurora_tpu.eval.tasks import (captions, image_judge,  # noqa: F401
+                                   image_mc, mmbench, refcoco,
+                                   text_mc, vdc, video_mc,
+                                   videochatgpt, videoqa, vqa, yesno)
 
 # Catalog of every built-in task: name → (env var that points at the
 # local dataset, default path). Tasks auto-register at import when their
@@ -33,6 +33,9 @@ TASK_CATALOG = {
                            "data/vstar_bench/test.jsonl"),
     "mathvista_testmini": ("AURORA_MATHVISTA",
                            "data/mathvista/testmini.jsonl"),
+    "mmvet": ("AURORA_MMVET", "data/mmvet/test.jsonl"),
+    "llava_in_the_wild": ("AURORA_LLAVA_WILD",
+                          "data/llava_in_the_wild/test.jsonl"),
     "pope": ("AURORA_POPE", "data/pope/test.jsonl"),
     "mme": ("AURORA_MME", "data/mme/test.jsonl"),
     "hallusion_bench": ("AURORA_HALLUSION",

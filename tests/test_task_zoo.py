@@ -114,6 +114,30 @@ def test_mathvista_protocol():
         doc2, ["120"])["mathvista_acc"] == 0.0
 
 
+def test_image_judge_scoring(monkeypatch):
+    """MM-Vet 0-1 grading and llava-bench relative scoring with a
+    stubbed judge."""
+    from aurora_tpu.eval import judge as judge_mod
+    from aurora_tpu.eval.tasks import image_judge as ij
+
+    replies = iter(["0.5", "1.0"])
+    monkeypatch.setattr(judge_mod.JudgeClient, "chat",
+                        lambda self, s, u: next(replies))
+    out = ij.score_mmvet_predictions(
+        [{"question": "q1", "answer": "a", "pred": "p"},
+         {"question": "q2", "answer": "b", "pred": "p"}], "http://x")
+    assert out["mmvet_score"] == pytest.approx(75.0)
+
+    replies = iter(["8 6", "10 9"])
+    monkeypatch.setattr(judge_mod.JudgeClient, "chat",
+                        lambda self, s, u: next(replies))
+    out = ij.score_llava_wild_predictions(
+        [{"question": "q", "gpt_answer": "r", "pred": "p"},
+         {"question": "q", "gpt_answer": "r", "pred": "p"}], "http://x")
+    # mean(pred)=7.5, mean(ref)=9 → 83.3%
+    assert out["llava_wild_relative"] == pytest.approx(100 * 7.5 / 9)
+
+
 def test_relaxed_accuracy():
     assert vqa.relaxed_accuracy("42", "42") == 1.0
     assert vqa.relaxed_accuracy("41", "42") == 1.0       # within 5%
