@@ -143,97 +143,64 @@ def main():
     timed("w8a8_pallas", lambda p, x: jax.lax.scan(
         pallas_body, x, p["layers"])[0], fparams, x)
 
-    # --- int4 weight-only variants (3.4GB stream) ---------------------
-    # XLA TPU stores s4 packed (2 values/byte in HBM); the question this
-    # measures is whether the int4→int8/bf16 upconvert fuses into the
-    # matmul's HBM read (as the native-int8 pipe does) or materializes a
-    # converted copy. Values are bit-shifted from the int8 tensors —
-    # timing only, scales deliberately unadjusted. Sources are freed
-    # per-tensor: int8 fused (6.75GB) + int4 (3.4GB) must coexist only
-    # briefly next to ~15.75GB of HBM.
+    # --- int4 weight-only variants (3.24GB packed stream) -------------
+    # jnp.int4 arrays cannot cross a jit boundary on the axon backend
+    # (device_put recursion), so production uses NIBBLE-PACKED int8
+    # (serve/engine.py quantize_weights_int4). Two consumers:
+    #   w4_xla    — engine _w4dot decode path (G-batched int8 dot; XLA
+    #               materializes the unpacked planes through HBM)
+    #   w4_pallas — ops/pallas/quant_matmul.w4a16_matmul (unpack+dequant
+    #               in VMEM; HBM reads the packed bytes only)
     bytes_w8 = sum(v.nbytes for k, v in qparams["layers"].items()
                    if k in NAMES)
     del qparams
-
-    @jax.jit
-    def _w4(v):
-        return jnp.clip(jax.lax.shift_right_arithmetic(
-            v.astype(jnp.int32), 3), -8, 7).astype(jnp.int4)
+    from aurora_tpu.serve.engine import _w4, _w4dot
+    from aurora_tpu.ops.pallas.quant_matmul import w4a16_matmul
 
     w4layers = {}
     for k in list(fparams["layers"].keys()):
         v = fparams["layers"][k]
         if v is not None and v.dtype == jnp.int8:
-            w4layers[k] = _w4(v)
+            # int8 values quantize layer-by-layer inside _w4 (timing
+            # only — a full fp32 dequant next to the resident int8
+            # stream would OOM the chip)
+            w4layers[k], w4layers[k + "_scale4"] = _w4(v)
             fparams["layers"][k] = None
-        else:
-            w4layers[k] = v
     w4params = {"layers": w4layers}
     del fparams
 
-    def dot4_i8(h, lp, name):
-        hf = h.astype(jnp.float32)
-        s_a = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
-                          / 127.0, 1e-12)
-        h8 = jnp.clip(jnp.round(hf / s_a), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            h8, lp[name].astype(jnp.int8),
-            (((h8.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        return (acc.astype(jnp.float32) * s_a
-                * lp[name + "_scale"]).astype(h.dtype)
+    d = cfg.hidden_size
 
     def body4_with(dot):
         def body(h, lp):
-            qkv = dot(h, lp, "qkv")
-            d = cfg.hidden_size
+            qkv = dot(h, lp["qkv"], lp["qkv_scale4"])
             s = (qkv[..., :d] + qkv[..., d:2 * d] + qkv[..., 2 * d:]
-                 + dot(h, lp, "o"))
-            gu = dot(h, lp, "gateup")
+                 + dot(h, lp["o"], lp["o_scale4"]))
+            gu = dot(h, lp["gateup"], lp["gateup_scale4"])
             inter = gu.shape[-1] // 2
             h = (h + s + dot(jax.nn.silu(gu[..., :inter])
-                             * gu[..., inter:], lp, "down")
-                 ).astype(h.dtype)
+                             * gu[..., inter:], lp["down"],
+                             lp["down_scale4"])).astype(h.dtype)
             return h, None
         return body
 
     try:
-        timed("w4a8_fused", lambda p, x: jax.lax.scan(
-            body4_with(dot4_i8), x, p["layers"])[0], w4params, x)
+        timed("w4_xla", lambda p, x: jax.lax.scan(
+            body4_with(_w4dot), x, p["layers"])[0], w4params, x)
     except Exception as e:  # noqa: BLE001
-        out["w4a8_fused_error"] = str(e)[:160]
+        out["w4_xla_error"] = str(e)[:160]
 
-    def dot4_deq(h, lp, name):
-        w = (lp[name].astype(h.dtype)
-             * lp[name + "_scale"].astype(h.dtype))
-        return jnp.dot(h, w,
-                       preferred_element_type=jnp.float32).astype(h.dtype)
+    def dot_pl(h, pk, s):
+        return w4a16_matmul(h, pk, s, block_n=args.block_n)
 
     try:
-        timed("w4_deq", lambda p, x: jax.lax.scan(
-            body4_with(dot4_deq), x, p["layers"])[0], w4params, x)
+        timed("w4_pallas", lambda p, x: jax.lax.scan(
+            body4_with(dot_pl), x, p["layers"])[0], w4params, x)
     except Exception as e:  # noqa: BLE001
-        out["w4_deq_error"] = str(e)[:160]
+        out["w4_pallas_error"] = str(e)[:160]
 
-    def dot4_native(h, lp, name):
-        hf = h.astype(jnp.float32)
-        s_a = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1, keepdims=True)
-                          / 127.0, 1e-12)
-        h8 = jnp.clip(jnp.round(hf / s_a), -127, 127).astype(jnp.int8)
-        acc = jax.lax.dot_general(
-            h8, lp[name], (((h8.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        return (acc.astype(jnp.float32) * s_a
-                * lp[name + "_scale"]).astype(h.dtype)
-
-    try:
-        timed("w4_native_dot", lambda p, x: jax.lax.scan(
-            body4_with(dot4_native), x, p["layers"])[0], w4params, x)
-    except Exception as e:  # noqa: BLE001
-        out["w4_native_dot_error"] = str(e)[:160]
-
-    bytes_w4 = sum(v.nbytes for v in w4params["layers"].values()
-                   if v is not None and v.dtype == jnp.int4)
+    bytes_w4 = sum(v.nbytes for k, v in w4params["layers"].items()
+                   if not k.endswith("_scale4"))
     out["w4_stream_gb"] = round(bytes_w4 / 1e9, 2)
     out["w4_sol_ms_at_820gbps"] = round(bytes_w4 / 820e9 * 1e3, 2)
 
