@@ -110,6 +110,27 @@ def vit_config_from_hf(cfg: Dict[str, Any]) -> ViTConfig:
 
 
 def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
+    if cfg.get("model_type") == "dbrx":
+        # DBRX nests attention/ffn knobs (sglang srt/models/dbrx.py zoo
+        # parity): flatten to the canonical names. Router = fp32 softmax
+        # over ALL experts → top-k → sum-normalize (p=1 norm), which is
+        # exactly the softmax_topk + norm_topk mode.
+        a, f = cfg["attn_config"], cfg["ffn_config"]
+        norm_w = f.get("moe_normalize_expert_weights")
+        assert norm_w in (None, 1, 1.0), \
+            f"dbrx moe_normalize_expert_weights={norm_w} unsupported"
+        cfg = dict(cfg,
+                   hidden_size=cfg["d_model"],
+                   num_attention_heads=cfg["n_heads"],
+                   num_hidden_layers=cfg["n_layers"],
+                   max_position_embeddings=cfg["max_seq_len"],
+                   intermediate_size=f["ffn_hidden_size"],
+                   num_key_value_heads=a["kv_n_heads"],
+                   clip_qkv=a["clip_qkv"],
+                   rope_theta=a.get("rope_theta", 10000.0),
+                   num_experts=f["moe_num_experts"],
+                   num_experts_per_tok=f["moe_top_k"],
+                   norm_topk_prob=norm_w is not None)
     scaling = cfg.get("rope_scaling") or {}
     linear = (scaling.get("factor")
               if scaling.get("type") == "linear" else None)
@@ -134,7 +155,13 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                   or (mt == "stablelm" and cfg.get("use_qkv_bias",
                                                    False))
                   or (mt == "starcoder2" and cfg.get("use_bias", True))),
-        qk_norm=mt in ("qwen3", "qwen3_moe"),
+        qk_norm=(mt in ("qwen3", "qwen3_moe")
+                 or (mt == "cohere" and cfg.get("use_qk_norm", False))),
+        # Command-R (sglang srt/models/commandr.py zoo parity): parallel
+        # attn+MLP residual off ONE shared input norm, Cohere LN,
+        # interleaved rotary, scaled logits, tied embeddings
+        parallel_block=mt == "cohere",
+        logit_scale=(cfg.get("logit_scale") if mt == "cohere" else None),
         # Gemma1 (srt/models/gemma.py zoo parity): GeGLU MLP, sqrt(d)
         # embedding scale, (1+w) RMSNorm with fp32 weight multiply (the
         # +1 is absorbed into the stored weights at conversion)
@@ -143,9 +170,11 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                     act_map.get(cfg.get("hidden_act") or "silu",
                                 "silu")),
         norm_upcast_mul=gemma,
-        norm_type="layernorm" if layernorm else "rmsnorm",
+        norm_type=("cohere" if mt == "cohere"
+                   else "layernorm" if (layernorm or mt == "dbrx")
+                   else "rmsnorm"),
         partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
-        rope_interleaved=mt == "glm",
+        rope_interleaved=mt in ("glm", "cohere"),
         clip_qkv=cfg.get("clip_qkv"),
         mlp_style="mlp" if mt == "starcoder2" else "gated",
         head_dim_override=cfg.get("head_dim"),
@@ -154,7 +183,8 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
         moe_router_mode=("softmax_topk"
                          if cfg.get("model_type") in ("qwen2_moe",
-                                                      "qwen3_moe")
+                                                      "qwen3_moe",
+                                                      "dbrx")
                          else "mixtral"),
         moe_norm_topk=cfg.get("norm_topk_prob", False),
         vocab_size=cfg["vocab_size"],
@@ -257,6 +287,41 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
     sd = {k[len("model."):] if k.startswith("model.") else k: v
           for k, v in sd.items() if not k.endswith(".inv_freq")}
     L = cfg.num_hidden_layers
+
+    # DBRX (modeling_dbrx; sglang srt/models/dbrx.py): transformer.blocks
+    # layout with fused Wqkv, LayerNorm norms without bias, and experts
+    # stored FUSED as w1/v1/w2 [E*F, D] (w2 applied untransposed:
+    # x @ w2_e). Remap host-side into the canonical per-expert layout.
+    if "transformer.blocks.0.norm_attn_norm.attn.Wqkv.weight" in sd:
+        E = cfg.num_experts
+        F = cfg.intermediate_size
+        out = {"embed_tokens.weight": sd["transformer.wte.weight"],
+               "norm.weight": sd["transformer.norm_f.weight"],
+               "lm_head.weight": sd["lm_head.weight"]}
+        for i in range(L):
+            b = f"transformer.blocks.{i}"
+            out[f"layers.{i}.self_attn.qkv_proj.weight"] = \
+                sd[f"{b}.norm_attn_norm.attn.Wqkv.weight"]
+            out[f"layers.{i}.self_attn.o_proj.weight"] = \
+                sd[f"{b}.norm_attn_norm.attn.out_proj.weight"]
+            out[f"layers.{i}.input_layernorm.weight"] = \
+                sd[f"{b}.norm_attn_norm.norm_1.weight"]
+            out[f"layers.{i}.post_attention_layernorm.weight"] = \
+                sd[f"{b}.norm_attn_norm.norm_2.weight"]
+            out[f"layers.{i}.mlp.gate.weight"] = \
+                sd[f"{b}.ffn.router.layer.weight"]
+            w1 = sd[f"{b}.ffn.experts.mlp.w1"].reshape(E, F, -1)
+            v1 = sd[f"{b}.ffn.experts.mlp.v1"].reshape(E, F, -1)
+            w2 = sd[f"{b}.ffn.experts.mlp.w2"].reshape(E, F, -1)
+            for e in range(E):
+                out[f"layers.{i}.mlp.experts.{e}.gate_proj.weight"] = \
+                    w1[e]
+                out[f"layers.{i}.mlp.experts.{e}.up_proj.weight"] = v1[e]
+                # w2_e is [F, D] used as x @ w2_e → down_proj.weight
+                # ([D, F] torch convention) is its transpose
+                out[f"layers.{i}.mlp.experts.{e}.down_proj.weight"] = \
+                    np.ascontiguousarray(w2[e].T)
+        sd = out
 
     def stack(fmt, transpose=False):
         if fmt.format(0) not in sd:  # e.g. dense mlp keys on MoE models

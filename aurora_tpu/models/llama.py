@@ -96,6 +96,14 @@ class LlamaConfig:
     moe_topk_method: str = "greedy"
     moe_n_group: int = 1
     moe_topk_group: int = 1
+    # --- Command-R (Cohere) family knobs (sglang srt/models/commandr.py
+    #     parity): one shared input norm feeding attention AND MLP in
+    #     parallel (x + attn(h) + mlp(h)), norm_type="cohere"
+    #     (mean-centered bias-free LN, fp32 weight mul — also used for
+    #     the optional per-head qk-norm), logits scaled by logit_scale
+    #     before softmax ---
+    parallel_block: bool = False
+    logit_scale: Optional[float] = None
 
     @property
     def head_dim(self) -> int:
@@ -178,8 +186,14 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
         p["layers"]["k_bias"] = jnp.zeros((L, hkv * hd), dtype)
         p["layers"]["v_bias"] = jnp.zeros((L, hkv * hd), dtype)
     if cfg.qk_norm:
-        p["layers"]["q_norm"] = jnp.ones((L, hd), dtype)
-        p["layers"]["k_norm"] = jnp.ones((L, hd), dtype)
+        if cfg.norm_type == "cohere":  # per-head LN weights
+            p["layers"]["q_norm"] = jnp.ones((L, hq, hd), dtype)
+            p["layers"]["k_norm"] = jnp.ones((L, hkv, hd), dtype)
+        else:
+            p["layers"]["q_norm"] = jnp.ones((L, hd), dtype)
+            p["layers"]["k_norm"] = jnp.ones((L, hd), dtype)
+    if cfg.parallel_block:  # shared input norm only
+        del p["layers"]["post_attn_norm"]
     if cfg.num_experts > 0:
         from aurora_tpu.ops.moe import init_moe_params
         moe_ps = [init_moe_params(k, cfg.num_experts, d, i, dtype)
@@ -214,15 +228,28 @@ def _mlp_act(cfg: LlamaConfig, gate):
 
 
 def _dnorm(cfg: LlamaConfig, x, tree, key):
-    """Decoder norm dispatch: RMSNorm (default) or torch LayerNorm with
+    """Decoder norm dispatch: RMSNorm (default), torch LayerNorm with
     the '<key>_bias' companion param (StableLM/Starcoder2; OLMo stores
-    ones/zeros for its non-parametric variant)."""
+    ones/zeros for its non-parametric variant), or Cohere's bias-free
+    mean-centered LN (Command-R)."""
     if cfg.norm_type == "layernorm":
         from aurora_tpu.ops.norms import layer_norm
         return layer_norm(x, tree[key], tree[key + "_bias"],
                           cfg.rms_norm_eps)
+    if cfg.norm_type == "cohere":
+        from aurora_tpu.ops.norms import cohere_layer_norm
+        return cohere_layer_norm(x, tree[key], cfg.rms_norm_eps)
     return rms_norm(x, tree[key], cfg.rms_norm_eps,
                     upcast_weight_mul=cfg.norm_upcast_mul)
+
+
+def _qknorm(cfg: LlamaConfig, x, w):
+    """Per-head q/k norm: Qwen3 RMSNorm ([hd] weight) or Cohere
+    mean-centered LN ([H, hd] per-head weights), pre-rope in both."""
+    if cfg.norm_type == "cohere":
+        from aurora_tpu.ops.norms import cohere_layer_norm
+        return cohere_layer_norm(x, w, cfg.rms_norm_eps)
+    return rms_norm(x, w, cfg.rms_norm_eps)
 
 
 def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
@@ -240,7 +267,7 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     hq, hkv, hd = (cfg.num_attention_heads, cfg.num_key_value_heads,
                    cfg.head_dim)
 
-    h = _dnorm(cfg, x, lp, "input_norm")
+    h = h_in = _dnorm(cfg, x, lp, "input_norm")
     if "qkv" in lp:  # serving-fused stream (serve.engine
         # fuse_serving_weights) — the embeddings endpoint runs
         # llama_apply over the live engine params
@@ -269,9 +296,9 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     q = q.reshape(B, T, hq, hd)
     k = k.reshape(B, T, hkv, hd)
     v = v.reshape(B, T, hkv, hd)
-    if "q_norm" in lp:  # Qwen3 per-head RMSNorm on q/k, pre-rope
-        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps)
+    if "q_norm" in lp:  # Qwen3/Cohere per-head norm on q/k, pre-rope
+        q = _qknorm(cfg, q, lp["q_norm"])
+        k = _qknorm(cfg, k, lp["k_norm"])
     q, k = apply_rope(q, k, cos, sin,
                       interleaved=cfg.rope_interleaved)
 
@@ -314,9 +341,11 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "o_bias" in lp:
         attn = attn + lp["o_bias"]
-    x = x + attn
-
-    h = _dnorm(cfg, x, lp, "post_attn_norm")
+    if cfg.parallel_block:  # Cohere: MLP reads the SAME normed input;
+        h = h_in            # attn and MLP join the residual together
+    else:
+        x = x + attn
+        h = _dnorm(cfg, x, lp, "post_attn_norm")
     if "moe_router" in lp:  # Mixtral/Qwen2-MoE-family sparse MLP
         from aurora_tpu.ops.moe import moe_mlp, shared_expert_mlp
         routed = moe_mlp(
@@ -355,6 +384,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                     preferred_element_type=jnp.float32).astype(x.dtype)
         if "down_bias" in lp:
             h = h + lp["down_bias"]
+    if cfg.parallel_block:
+        return x + attn + h, cache_k, cache_v
     return x + h, cache_k, cache_v
 
 
@@ -420,6 +451,8 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
         head = (params["embed_tokens"].T if cfg.tie_word_embeddings
                 else params["lm_head"])
         logits = jnp.dot(x, head, preferred_element_type=jnp.float32)
+        if cfg.logit_scale is not None:  # Cohere / MiniCPM scaling
+            logits = logits * cfg.logit_scale
 
     new_cache = None
     if kv_cache is not None:

@@ -42,6 +42,20 @@ def layer_norm(x: jnp.ndarray, weight: jnp.ndarray, bias: jnp.ndarray,
     return (y.astype(dtype) * weight + bias).astype(dtype)
 
 
+def cohere_layer_norm(x: jnp.ndarray, weight: jnp.ndarray,
+                      eps: float = 1e-5) -> jnp.ndarray:
+    """CohereLayerNorm parity (Command-R family, sglang
+    srt/models/commandr.py): mean-centered LayerNorm with NO bias and the
+    weight multiply in fp32 (modeling_cohere.CohereLayerNorm). Also used
+    per-head for Cohere's qk-norm (weight [..., H, hd] broadcasting over
+    [B, T, H, hd])."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (weight.astype(jnp.float32) * y).astype(x.dtype)
+
+
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP activation: x * sigmoid(1.702 x)."""
     return x * jnp.reciprocal(1.0 + jnp.exp(-1.702 * x))

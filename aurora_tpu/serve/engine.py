@@ -313,6 +313,9 @@ def _norm(cfg: LlamaConfig, x, w, b=None):
         from aurora_tpu.ops.norms import layer_norm
         return layer_norm(x, w, b if b is not None
                           else jnp.zeros_like(w), cfg.rms_norm_eps)
+    if cfg.norm_type == "cohere":  # Command-R bias-free mean-centered
+        from aurora_tpu.ops.norms import cohere_layer_norm
+        return cohere_layer_norm(x, w, cfg.rms_norm_eps)
     return rms_norm(x, w, cfg.rms_norm_eps,
                     upcast_weight_mul=cfg.norm_upcast_mul)
 
@@ -328,11 +331,14 @@ def _act(cfg: LlamaConfig, gate):
     return jax.nn.silu(gate)
 
 
-def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None):
+def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None, h=None):
     """Family-aware MLP block: SiLU (llama) / GeGLU (gemma2) / sparse MoE
-    (mixtral), with Gemma2's post-feedforward norm when present."""
-    h = _norm(cfg, x, lp["post_attn_norm"],
-              lp.get("post_attn_norm_bias"))
+    (mixtral), with Gemma2's post-feedforward norm when present.
+    `h` overrides the normed input (Cohere parallel block: the MLP reads
+    the shared input-norm output, no post_attn_norm param exists)."""
+    if h is None:
+        h = _norm(cfg, x, lp["post_attn_norm"],
+                  lp.get("post_attn_norm_bias"))
     if "moe_router" in lp:  # Mixtral/Qwen2-MoE sparse MLP (fused_moe
         from aurora_tpu.ops.moe import (moe_mlp,  # parity)
                                         moe_mlp_grouped,
@@ -618,6 +624,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
             attn = attn + lp["o_bias"]
         if "post_attn_out_norm" in lp:  # Gemma2: norm the attn output
             attn = _norm(cfg, attn, lp["post_attn_out_norm"])
+        if cfg.parallel_block:  # Cohere: x + attn + mlp(shared h)
+            return (_mlp(cfg, lp, x + attn, tp_axis, h=h), r), None
         x = x + attn
         return (_mlp(cfg, lp, x, tp_axis), r), None
 
@@ -653,6 +661,8 @@ def _lm_head(params, cfg, x):
     if cfg.final_logit_softcap > 0.0:  # Gemma2
         logits = cfg.final_logit_softcap * jnp.tanh(
             logits / cfg.final_logit_softcap)
+    if cfg.logit_scale is not None:  # Cohere / MiniCPM scaling
+        logits = logits * cfg.logit_scale
     return logits
 
 

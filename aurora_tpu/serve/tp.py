@@ -82,6 +82,10 @@ def tp_param_specs(params: Params) -> Params:
                     out[name] = P(*([None] * w.ndim))
                 else:                         # [L, in, D]
                     out[name] = P(None, "tp", None)
+            elif base in ("q_norm", "k_norm") and w.ndim == 3:
+                # Cohere per-head qk-norm weights [L, H, hd]: the head
+                # axis follows the column-sharded q/k heads
+                out[name] = P(None, "tp", None)
             else:  # norms, MoE router, anything else: replicated
                 out[name] = P(*([None] * w.ndim))
         return out

@@ -611,3 +611,71 @@ def test_qwen2_moe_logits_match_hf(rng):
         want = hf(torch.from_numpy(ids)).logits.numpy()
     got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-4)
+
+
+def test_commandr_logits_match_hf(rng):
+    """Command-R (Cohere) family through the universal llama path:
+    parallel attn+MLP residual off ONE shared input norm, bias-free
+    mean-centered Cohere LayerNorm (fp32 weight mul), INTERLEAVED
+    rotary lanes, per-head qk LayerNorm, logit_scale, tied embeddings
+    (modeling_cohere; sglang srt/models/commandr.py zoo parity)."""
+    from transformers import CohereConfig as HFCohereConfig
+    from transformers import CohereForCausalLM
+    torch.manual_seed(41)
+    hf_cfg = HFCohereConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, use_qk_norm=True, logit_scale=0.25,
+        layer_norm_eps=1e-5, max_position_embeddings=256,
+        attn_implementation="eager", tie_word_embeddings=True)
+    hf = CohereForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.parallel_block and cfg.norm_type == "cohere"
+            and cfg.rope_interleaved and cfg.qk_norm
+            and cfg.logit_scale == 0.25 and cfg.tie_word_embeddings)
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "post_attn_norm" not in params["layers"]
+    assert params["layers"]["q_norm"].shape == (2, 4, 16)  # per-head
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_dbrx_logits_match_hf(rng):
+    """DBRX through the universal llama path: fused Wqkv + clip_qkv,
+    bias-free LayerNorms, and the fused-expert MoE (w1/v1/w2 [E*F, D],
+    fp32-softmax-all → top-k → sum-normalized router) remapped into the
+    per-expert layout (modeling_dbrx; sglang srt/models/dbrx.py)."""
+    from transformers import DbrxConfig as HFDbrxConfig
+    from transformers import DbrxForCausalLM
+    from transformers.models.dbrx.configuration_dbrx import (
+        DbrxAttentionConfig, DbrxFFNConfig)
+    torch.manual_seed(43)
+    hf_cfg = HFDbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=256,
+        vocab_size=144,
+        attn_config=DbrxAttentionConfig(kv_n_heads=2, clip_qkv=6.0,
+                                        rope_theta=1e6),
+        ffn_config=DbrxFFNConfig(ffn_hidden_size=48, moe_num_experts=4,
+                                 moe_top_k=2,
+                                 moe_normalize_expert_weights=1.0),
+        attn_implementation="eager")
+    hf = DbrxForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.norm_type == "layernorm" and cfg.clip_qkv == 6.0
+            and cfg.num_experts == 4 and cfg.num_experts_per_tok == 2
+            and cfg.moe_router_mode == "softmax_topk"
+            and cfg.moe_norm_topk and cfg.rope_theta == 1e6)
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert "moe_router" in params["layers"]
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)

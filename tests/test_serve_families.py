@@ -436,3 +436,38 @@ def test_qwen2_moe_served_matches_offline(rng):
                                         max_new_tokens=6)])
     assert done["qm"].output_ids == want
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_commandr_served_matches_offline(rng):
+    """Command-R (Cohere: parallel residual block, Cohere LN, qk-norm,
+    interleaved rotary, logit_scale) through the serving engine
+    (sglang srt/models/commandr.py parity)."""
+    import torch
+    import transformers
+    torch.manual_seed(59)
+    hf = transformers.CohereForCausalLM(transformers.CohereConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, use_qk_norm=True, logit_scale=0.5,
+        layer_norm_eps=1e-5, max_position_embeddings=256,
+        attn_implementation="eager", tie_word_embeddings=True)).eval()
+    _hf_roundtrip_serve(hf, rng)
+
+
+def test_dbrx_served_matches_offline(rng):
+    """DBRX (fused Wqkv + clip_qkv, bias-free LayerNorm, fused-expert
+    MoE) through the serving engine (sglang srt/models/dbrx.py)."""
+    import torch
+    import transformers
+    from transformers.models.dbrx.configuration_dbrx import (
+        DbrxAttentionConfig, DbrxFFNConfig)
+    torch.manual_seed(60)
+    hf = transformers.DbrxForCausalLM(transformers.DbrxConfig(
+        d_model=64, n_heads=4, n_layers=2, max_seq_len=256,
+        vocab_size=144,
+        attn_config=DbrxAttentionConfig(kv_n_heads=2, clip_qkv=6.0),
+        ffn_config=DbrxFFNConfig(ffn_hidden_size=48, moe_num_experts=4,
+                                 moe_top_k=2,
+                                 moe_normalize_expert_weights=1.0),
+        attn_implementation="eager")).eval()
+    _hf_roundtrip_serve(hf, rng)
