@@ -131,6 +131,22 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                    num_experts=f["moe_num_experts"],
                    num_experts_per_tok=f["moe_top_k"],
                    norm_topk_prob=norm_w is not None)
+    if cfg.get("model_type") == "gpt_bigcode":
+        # GPT-BigCode / Starcoder-v1 (sglang srt/models/gpt_bigcode.py):
+        # GPT-2 config names, MQA (multi_query → 1 kv head), learned
+        # absolute positions, non-gated GELU MLP, biases everywhere.
+        cfg = dict(cfg,
+                   hidden_size=cfg["n_embd"],
+                   num_attention_heads=cfg["n_head"],
+                   num_hidden_layers=cfg["n_layer"],
+                   intermediate_size=(cfg.get("n_inner")
+                                      or 4 * cfg["n_embd"]),
+                   max_position_embeddings=cfg["n_positions"],
+                   num_key_value_heads=(1 if cfg.get("multi_query", True)
+                                        else cfg["n_head"]),
+                   layer_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                   hidden_act=cfg.get("activation_function",
+                                      "gelu_pytorch_tanh"))
     scaling = cfg.get("rope_scaling") or {}
     linear = (scaling.get("factor")
               if scaling.get("type") == "linear" else None)
@@ -146,7 +162,7 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
     gemma = mt == "gemma"
     # StableLM/Starcoder2 carry torch LayerNorm (+bias params); OLMo's
     # LN is non-parametric (ones/zeros are synthesized at conversion)
-    layernorm = mt in ("stablelm", "olmo", "starcoder2")
+    layernorm = mt in ("stablelm", "olmo", "starcoder2", "gpt_bigcode")
     act_map = {"gelu_pytorch_tanh": "gelu_tanh", "gelu_new": "gelu_tanh",
                "gelu_tanh": "gelu_tanh", "gelu": "gelu"}
     return LlamaConfig(
@@ -154,7 +170,9 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                   or cfg.get("attention_bias", False)
                   or (mt == "stablelm" and cfg.get("use_qkv_bias",
                                                    False))
-                  or (mt == "starcoder2" and cfg.get("use_bias", True))),
+                  or (mt == "starcoder2" and cfg.get("use_bias", True))
+                  or mt == "gpt_bigcode"),
+        learned_pos=mt == "gpt_bigcode",
         qk_norm=(mt in ("qwen3", "qwen3_moe")
                  or (mt == "cohere" and cfg.get("use_qk_norm", False))),
         # Command-R (sglang srt/models/commandr.py zoo parity): parallel
@@ -176,7 +194,8 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         partial_rotary_factor=cfg.get("partial_rotary_factor", 1.0),
         rope_interleaved=mt in ("glm", "cohere"),
         clip_qkv=cfg.get("clip_qkv"),
-        mlp_style="mlp" if mt == "starcoder2" else "gated",
+        mlp_style=("mlp" if mt in ("starcoder2", "gpt_bigcode")
+                   else "gated"),
         head_dim_override=cfg.get("head_dim"),
         num_experts=cfg.get("num_local_experts",
                             cfg.get("num_experts", 0)) or 0,
@@ -360,6 +379,33 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         if "output.weight" in sd:
             sd["lm_head.weight"] = sd.pop("output.weight")
 
+    # GPT-BigCode (modeling_gpt_bigcode; sglang srt/models/
+    # gpt_bigcode.py): transformer.h layout, fused c_attn (q + MQA kv)
+    # with bias, learned wpe, LayerNorm with bias, c_fc/c_proj MLP.
+    if "transformer.h.0.attn.c_attn.weight" in sd:
+        nq = cfg.num_attention_heads * cfg.head_dim
+        nkv = cfg.num_key_value_heads * cfg.head_dim
+        out = {"embed_tokens.weight": sd["transformer.wte.weight"],
+               "wpe.weight": sd["transformer.wpe.weight"],
+               "norm.weight": sd["transformer.ln_f.weight"],
+               "norm.bias": sd["transformer.ln_f.bias"]}
+        for i in range(L):
+            b = f"transformer.h.{i}"
+            for suf in ("weight", "bias"):
+                qkv = sd[f"{b}.attn.c_attn.{suf}"]
+                out[f"layers.{i}.self_attn.q_proj.{suf}"] = qkv[:nq]
+                out[f"layers.{i}.self_attn.k_proj.{suf}"] = \
+                    qkv[nq:nq + nkv]
+                out[f"layers.{i}.self_attn.v_proj.{suf}"] = \
+                    qkv[nq + nkv:]
+                for a, c in (("attn.c_proj", "self_attn.o_proj"),
+                             ("mlp.c_fc", "mlp.up_proj"),
+                             ("mlp.c_proj", "mlp.down_proj"),
+                             ("ln_1", "input_layernorm"),
+                             ("ln_2", "post_attention_layernorm")):
+                    out[f"layers.{i}.{c}.{suf}"] = sd[f"{b}.{a}.{suf}"]
+        sd = out
+
     # Starcoder2 names its non-gated MLP c_fc/c_proj (GPT lineage);
     # canonicalize to up/down (sglang srt/models zoo parity)
     if "layers.0.mlp.c_fc.weight" in sd:
@@ -483,6 +529,8 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         for name in ("q", "k", "v"):
             p["layers"][f"{name}_bias"] = stack(
                 "layers.{}.self_attn." + name + "_proj.bias")
+    if cfg.learned_pos:
+        p["wpe"] = _j(sd["wpe.weight"], dtype)
     if not cfg.tie_word_embeddings:
         p["lm_head"] = _j(sd["lm_head.weight"].T, dtype)
     p["layers"] = {k: v for k, v in p["layers"].items() if v is not None}

@@ -104,6 +104,10 @@ class LlamaConfig:
     #     before softmax ---
     parallel_block: bool = False
     logit_scale: Optional[float] = None
+    # GPT-BigCode/Starcoder-v1 (sglang srt/models/gpt_bigcode.py): learned
+    # absolute position embeddings (params["wpe"]) added to the token
+    # embeds; NO rotary anywhere. MQA is just num_key_value_heads=1.
+    learned_pos: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -194,6 +198,9 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig,
             p["layers"]["k_norm"] = jnp.ones((L, hd), dtype)
     if cfg.parallel_block:  # shared input norm only
         del p["layers"]["post_attn_norm"]
+    if cfg.learned_pos:
+        p["wpe"] = w(jax.random.fold_in(ks[8], 1),
+                     cfg.max_position_embeddings, d)
     if cfg.num_experts > 0:
         from aurora_tpu.ops.moe import init_moe_params
         moe_ps = [init_moe_params(k, cfg.num_experts, d, i, dtype)
@@ -299,8 +306,9 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
     if "q_norm" in lp:  # Qwen3/Cohere per-head norm on q/k, pre-rope
         q = _qknorm(cfg, q, lp["q_norm"])
         k = _qknorm(cfg, k, lp["k_norm"])
-    q, k = apply_rope(q, k, cos, sin,
-                      interleaved=cfg.rope_interleaved)
+    if not cfg.learned_pos:
+        q, k = apply_rope(q, k, cos, sin,
+                          interleaved=cfg.rope_interleaved)
 
     if cache_k is not None:
         cache_k = jax.lax.dynamic_update_slice(
@@ -424,8 +432,13 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
     if position_ids is None:
         position_ids = jnp.arange(T)[None, :] + cache_len
         position_ids = jnp.broadcast_to(position_ids, (B, T))
-    cos, sin = rope_cos_sin(position_ids, cfg.rotary_dim, cfg.rope_theta,
-                            cfg.rope_linear_scaling, dtype=jnp.float32)
+    if cfg.learned_pos:  # GPT-BigCode wpe; rope disabled
+        x = x + jnp.take(params["wpe"], position_ids, axis=0)
+        cos = sin = jnp.zeros((1, T, 0), jnp.float32)
+    else:
+        cos, sin = rope_cos_sin(position_ids, cfg.rotary_dim,
+                                cfg.rope_theta, cfg.rope_linear_scaling,
+                                dtype=jnp.float32)
 
     def scan_fn(carry, xs):
         h = carry

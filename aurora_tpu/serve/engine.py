@@ -554,8 +554,14 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     quant = "ks" in rows
     positions = q_offsets[:, None] + jnp.arange(T)[None, :]       # [Bk, T]
     wpos = jnp.where(positions < kv_lens[:, None], positions, S_row)
-    cos, sin = rope_cos_sin(positions, cfg.rotary_dim, cfg.rope_theta,
-                            cfg.rope_linear_scaling, dtype=jnp.float32)
+    if cfg.learned_pos:  # GPT-BigCode wpe; rope disabled
+        safe = jnp.clip(positions, 0, params["wpe"].shape[0] - 1)
+        x = x + jnp.take(params["wpe"], safe, axis=0).astype(x.dtype)
+        cos = sin = jnp.zeros((1, T, 0), jnp.float32)
+    else:
+        cos, sin = rope_cos_sin(positions, cfg.rotary_dim,
+                                cfg.rope_theta, cfg.rope_linear_scaling,
+                                dtype=jnp.float32)
     ridx = row_ids[:, None]
 
     # rows ride the scan as CARRY, updated at layer index l and read by
@@ -582,8 +588,9 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
         h = _norm(cfg, x, lp["input_norm"],
                   lp.get("input_norm_bias"))
         q, k, v = _qkv(cfg, lp, h)
-        q, k = apply_rope(q, k, cos, sin,
-                          interleaved=cfg.rope_interleaved)
+        if not cfg.learned_pos:
+            q, k = apply_rope(q, k, cos, sin,
+                              interleaved=cfg.rope_interleaved)
         if T == 1:  # decode: fused write+attend, in-place via aliasing
             res = ragged_decode_attention(
                 q, k[:, 0], v[:, 0], r["k"], r["v"], kv_lens, row_ids,

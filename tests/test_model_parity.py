@@ -679,3 +679,33 @@ def test_dbrx_logits_match_hf(rng):
     got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
                                atol=5e-4)
+
+
+def test_gpt_bigcode_logits_match_hf(rng):
+    """GPT-BigCode / Starcoder-v1 through the universal llama path:
+    MQA (1 kv head) via fused c_attn split, LEARNED absolute position
+    embeddings instead of rotary, non-gated GELU MLP, LayerNorm+bias,
+    tied embeddings (modeling_gpt_bigcode; sglang
+    srt/models/gpt_bigcode.py zoo parity)."""
+    from transformers import GPTBigCodeConfig, GPTBigCodeForCausalLM
+    torch.manual_seed(45)
+    hf_cfg = GPTBigCodeConfig(
+        vocab_size=144, n_embd=64, n_inner=128, n_layer=2, n_head=4,
+        n_positions=256, multi_query=True,
+        activation_function="gelu_pytorch_tanh",
+        layer_norm_epsilon=1e-5, attn_implementation="eager",
+        tie_word_embeddings=True)
+    hf = GPTBigCodeForCausalLM(hf_cfg).eval()
+    cfg = llama_config_from_hf(hf_cfg.to_dict())
+    assert (cfg.learned_pos and cfg.num_key_value_heads == 1
+            and cfg.mlp_style == "mlp" and cfg.norm_type == "layernorm"
+            and cfg.qkv_bias and cfg.tie_word_embeddings)
+    params = llama_params_from_hf(state_dict_from_torch_module(hf), cfg,
+                                  dtype=jnp.float32)
+    assert params["wpe"].shape == (256, 64)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)

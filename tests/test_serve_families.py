@@ -471,3 +471,17 @@ def test_dbrx_served_matches_offline(rng):
                                  moe_normalize_expert_weights=1.0),
         attn_implementation="eager")).eval()
     _hf_roundtrip_serve(hf, rng)
+
+
+def test_gpt_bigcode_served_matches_offline(rng):
+    """GPT-BigCode (MQA + learned positions, no rope) through the
+    serving engine (sglang srt/models/gpt_bigcode.py)."""
+    import torch
+    import transformers
+    torch.manual_seed(61)
+    hf = transformers.GPTBigCodeForCausalLM(transformers.GPTBigCodeConfig(
+        vocab_size=144, n_embd=64, n_inner=128, n_layer=2, n_head=4,
+        n_positions=256, multi_query=True,
+        activation_function="gelu_pytorch_tanh",
+        attn_implementation="eager", tie_word_embeddings=True)).eval()
+    _hf_roundtrip_serve(hf, rng)
