@@ -131,6 +131,56 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                    num_experts=f["moe_num_experts"],
                    num_experts_per_tok=f["moe_top_k"],
                    norm_topk_prob=norm_w is not None)
+    if cfg.get("model_type") == "exaone":
+        # EXAONE (LG; sglang srt/models/exaone.py): llama semantics under
+        # renamed keys/config fields (num_layers, activation_function).
+        cfg = dict(cfg, num_hidden_layers=cfg["num_layers"],
+                   rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-5),
+                   hidden_act=cfg.get("activation_function", "silu"))
+    if cfg.get("model_type") == "qwen":
+        # Qwen (v1; sglang srt/models/qwen.py): GPT-style transformer.h
+        # layout, fused c_attn WITH bias, MLP w2(gate)/w1(up)/c_proj with
+        # ffn width = intermediate_size // 2, RMSNorm under ln_ names.
+        cfg = dict(cfg,
+                   intermediate_size=cfg["intermediate_size"] // 2,
+                   rms_norm_eps=cfg.get("layer_norm_epsilon", 1e-6),
+                   rope_theta=cfg.get("rotary_emb_base", 10000.0),
+                   max_position_embeddings=cfg.get(
+                       "seq_length",
+                       cfg.get("max_position_embeddings", 8192)),
+                   attention_bias=True)
+    if cfg.get("model_type") == "chatglm":
+        # ChatGLM-2/3 (THUDM; sglang srt/models/chatglm.py): GLM-family
+        # structure — interleaved HALF rotary (is_neox_style=False,
+        # rotary_dim = head_dim/2), MQA groups, fused query_key_value
+        # with bias, SwiGLU dense_h_to_4h packing [gate; up].
+        mqa = cfg.get("multi_query_attention", False)
+        cfg = dict(cfg,
+                   model_type="glm",  # shares every structural knob
+                   intermediate_size=cfg["ffn_hidden_size"],
+                   num_hidden_layers=cfg["num_layers"],
+                   num_key_value_heads=(cfg["multi_query_group_num"]
+                                        if mqa
+                                        else cfg["num_attention_heads"]),
+                   head_dim=cfg.get("kv_channels"),
+                   rms_norm_eps=cfg.get("layernorm_epsilon", 1e-5),
+                   partial_rotary_factor=0.5,
+                   rope_theta=10000.0 * cfg.get("rope_ratio", 1.0),
+                   max_position_embeddings=cfg.get("seq_length", 8192),
+                   attention_bias=cfg.get("add_qkv_bias",
+                                          cfg.get("add_bias_linear",
+                                                  False)))
+    if cfg.get("model_type") == "minicpm":
+        # MiniCPM (sglang srt/models/minicpm.py): llama keys with three
+        # scalar scalings — embeds * scale_emb, residual branches *
+        # scale_depth/sqrt(L), logits * dim_model_base/d (as logit_scale)
+        cfg = dict(cfg,
+                   embed_scale=float(cfg.get("scale_emb", 1.0)),
+                   residual_scale=(float(cfg.get("scale_depth", 1.0))
+                                   / cfg["num_hidden_layers"] ** 0.5),
+                   logit_scale=(float(cfg.get("dim_model_base",
+                                              cfg["hidden_size"]))
+                                / cfg["hidden_size"]))
     if cfg.get("model_type") == "gpt_bigcode":
         # GPT-BigCode / Starcoder-v1 (sglang srt/models/gpt_bigcode.py):
         # GPT-2 config names, MQA (multi_query → 1 kv head), learned
@@ -179,7 +229,10 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         # attn+MLP residual off ONE shared input norm, Cohere LN,
         # interleaved rotary, scaled logits, tied embeddings
         parallel_block=mt == "cohere",
-        logit_scale=(cfg.get("logit_scale") if mt == "cohere" else None),
+        logit_scale=(cfg.get("logit_scale")
+                     if mt in ("cohere", "minicpm") else None),
+        embed_scale=cfg.get("embed_scale"),
+        residual_scale=cfg.get("residual_scale"),
         # Gemma1 (srt/models/gemma.py zoo parity): GeGLU MLP, sqrt(d)
         # embedding scale, (1+w) RMSNorm with fp32 weight multiply (the
         # +1 is absorbed into the stored weights at conversion)
@@ -382,7 +435,8 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
     # GPT-BigCode (modeling_gpt_bigcode; sglang srt/models/
     # gpt_bigcode.py): transformer.h layout, fused c_attn (q + MQA kv)
     # with bias, learned wpe, LayerNorm with bias, c_fc/c_proj MLP.
-    if "transformer.h.0.attn.c_attn.weight" in sd:
+    if ("transformer.h.0.attn.c_attn.weight" in sd
+            and "transformer.wpe.weight" in sd):
         nq = cfg.num_attention_heads * cfg.head_dim
         nkv = cfg.num_key_value_heads * cfg.head_dim
         out = {"embed_tokens.weight": sd["transformer.wte.weight"],
@@ -404,6 +458,89 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                              ("ln_1", "input_layernorm"),
                              ("ln_2", "post_attention_layernorm")):
                     out[f"layers.{i}.{c}.{suf}"] = sd[f"{b}.{a}.{suf}"]
+        sd = out
+
+    # Qwen (v1): transformer.h layout, fused c_attn with bias (MHA
+    # thirds), MLP w2=gate / w1=up / c_proj=down at half the config's
+    # intermediate_size (sglang srt/models/qwen.py weight mapping).
+    if "transformer.h.0.mlp.w1.weight" in sd:
+        out = {"embed_tokens.weight": sd["transformer.wte.weight"],
+               "norm.weight": sd["transformer.ln_f.weight"],
+               "lm_head.weight": sd["lm_head.weight"]}
+        n = cfg.num_attention_heads * cfg.head_dim
+        for i in range(L):
+            b = f"transformer.h.{i}"
+            for suf in ("weight", "bias"):
+                if f"{b}.attn.c_attn.{suf}" not in sd:
+                    continue
+                qkv = sd[f"{b}.attn.c_attn.{suf}"]
+                out[f"layers.{i}.self_attn.q_proj.{suf}"] = qkv[:n]
+                out[f"layers.{i}.self_attn.k_proj.{suf}"] = qkv[n:2 * n]
+                out[f"layers.{i}.self_attn.v_proj.{suf}"] = qkv[2 * n:]
+            for a, c in (("attn.c_proj", "self_attn.o_proj"),
+                         ("mlp.w2", "mlp.gate_proj"),
+                         ("mlp.w1", "mlp.up_proj"),
+                         ("mlp.c_proj", "mlp.down_proj"),
+                         ("ln_1", "input_layernorm"),
+                         ("ln_2", "post_attention_layernorm")):
+                out[f"layers.{i}.{c}.weight"] = sd[f"{b}.{a}.weight"]
+        sd = out
+
+    # EXAONE: llama semantics under transformer.h naming with
+    # attn.attention.* projections and c_fc_0/c_fc_1 gate/up
+    # (sglang srt/models/exaone.py weight mapping).
+    if "transformer.h.0.attn.attention.q_proj.weight" in sd:
+        out = {"embed_tokens.weight": sd["transformer.wte.weight"],
+               "norm.weight": sd["transformer.ln_f.weight"],
+               "lm_head.weight": sd["lm_head.weight"]}
+        for i in range(L):
+            b = f"transformer.h.{i}"
+            for a, c in (("attn.attention.q_proj", "self_attn.q_proj"),
+                         ("attn.attention.k_proj", "self_attn.k_proj"),
+                         ("attn.attention.v_proj", "self_attn.v_proj"),
+                         ("attn.attention.out_proj", "self_attn.o_proj"),
+                         ("mlp.c_fc_0", "mlp.gate_proj"),
+                         ("mlp.c_fc_1", "mlp.up_proj"),
+                         ("mlp.c_proj", "mlp.down_proj"),
+                         ("ln_1", "input_layernorm"),
+                         ("ln_2", "post_attention_layernorm")):
+                out[f"layers.{i}.{c}.weight"] = sd[f"{b}.{a}.weight"]
+        sd = out
+
+    # ChatGLM-2/3 (THUDM layout; sglang srt/models/chatglm.py): encoder
+    # layers with fused query_key_value (+bias), SwiGLU dense_h_to_4h
+    # packed [gate; up], dense_4h_to_h down, output_layer head.
+    if "transformer.encoder.layers.0.self_attention.query_key_value." \
+            "weight" in sd:
+        out = {"embed_tokens.weight":
+               sd["transformer.embedding.word_embeddings.weight"],
+               "norm.weight":
+               sd["transformer.encoder.final_layernorm.weight"],
+               "lm_head.weight": sd["transformer.output_layer.weight"]}
+        nq = cfg.num_attention_heads * cfg.head_dim
+        nkv = cfg.num_key_value_heads * cfg.head_dim
+        for i in range(L):
+            b = f"transformer.encoder.layers.{i}"
+            for suf in ("weight", "bias"):
+                key = f"{b}.self_attention.query_key_value.{suf}"
+                if key not in sd:
+                    continue
+                qkv = sd[key]
+                out[f"layers.{i}.self_attn.q_proj.{suf}"] = qkv[:nq]
+                out[f"layers.{i}.self_attn.k_proj.{suf}"] = \
+                    qkv[nq:nq + nkv]
+                out[f"layers.{i}.self_attn.v_proj.{suf}"] = \
+                    qkv[nq + nkv:]
+            gu = sd[f"{b}.mlp.dense_h_to_4h.weight"]
+            F = gu.shape[0] // 2
+            out[f"layers.{i}.mlp.gate_proj.weight"] = gu[:F]
+            out[f"layers.{i}.mlp.up_proj.weight"] = gu[F:]
+            for a, c in (("self_attention.dense", "self_attn.o_proj"),
+                         ("mlp.dense_4h_to_h", "mlp.down_proj"),
+                         ("input_layernorm", "input_layernorm"),
+                         ("post_attention_layernorm",
+                          "post_attention_layernorm")):
+                out[f"layers.{i}.{c}.weight"] = sd[f"{b}.{a}.weight"]
         sd = out
 
     # Starcoder2 names its non-gated MLP c_fc/c_proj (GPT lineage);

@@ -108,6 +108,12 @@ class LlamaConfig:
     # absolute position embeddings (params["wpe"]) added to the token
     # embeds; NO rotary anywhere. MQA is just num_key_value_heads=1.
     learned_pos: bool = False
+    # MiniCPM (sglang srt/models/minicpm.py): embeds * scale_emb, every
+    # residual branch * scale_depth/sqrt(L), logits * dim_model_base/d
+    # (the last rides logit_scale). Scalar multiplies fuse into the
+    # surrounding elementwise chains under XLA — zero runtime cost.
+    embed_scale: Optional[float] = None
+    residual_scale: Optional[float] = None
 
     @property
     def head_dim(self) -> int:
@@ -349,6 +355,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "o_bias" in lp:
         attn = attn + lp["o_bias"]
+    if cfg.residual_scale is not None:  # MiniCPM depth scaling
+        attn = attn * cfg.residual_scale
     if cfg.parallel_block:  # Cohere: MLP reads the SAME normed input;
         h = h_in            # attn and MLP join the residual together
     else:
@@ -392,6 +400,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                     preferred_element_type=jnp.float32).astype(x.dtype)
         if "down_bias" in lp:
             h = h + lp["down_bias"]
+    if cfg.residual_scale is not None:  # MiniCPM depth scaling
+        h = h * cfg.residual_scale
     if cfg.parallel_block:
         return x + attn + h, cache_k, cache_v
     return x + h, cache_k, cache_v
@@ -423,6 +433,8 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
     x = inputs_embeds
     if cfg.scale_embeddings:  # gemma family: normalizer cast to model
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)  # dtype
+    if cfg.embed_scale is not None:  # MiniCPM scale_emb
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     B, T, _ = x.shape
     assert not (kv_cache is not None and segment_ids is not None), (
         "packed segment attention over a KV cache is unsupported: the "

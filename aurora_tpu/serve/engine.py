@@ -380,6 +380,8 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None, h=None):
         out = out + lp["down_bias"]
     if "post_ffw_norm" in lp:  # Gemma2: norm the ffw output pre-residual
         out = _norm(cfg, out, lp["post_ffw_norm"])
+    if cfg.residual_scale is not None:  # MiniCPM depth scaling
+        out = out * cfg.residual_scale
     return x + out
 
 
@@ -548,6 +550,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     x = embeds
     if cfg.scale_embeddings:  # Gemma2: normalizer cast to model dtype
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)
+    if cfg.embed_scale is not None:  # MiniCPM scale_emb
+        x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     Bk, T, _ = x.shape
     S_row = rows["k"].shape[3]
     L = rows["k"].shape[0]
@@ -631,6 +635,8 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
             attn = attn + lp["o_bias"]
         if "post_attn_out_norm" in lp:  # Gemma2: norm the attn output
             attn = _norm(cfg, attn, lp["post_attn_out_norm"])
+        if cfg.residual_scale is not None:  # MiniCPM depth scaling
+            attn = attn * cfg.residual_scale
         if cfg.parallel_block:  # Cohere: x + attn + mlp(shared h)
             return (_mlp(cfg, lp, x + attn, tp_axis, h=h), r), None
         x = x + attn

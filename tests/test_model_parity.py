@@ -709,3 +709,193 @@ def test_gpt_bigcode_logits_match_hf(rng):
     got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
                                atol=5e-4)
+
+
+def test_qwen_v1_remap_matches_llama_oracle(rng):
+    """Qwen (v1) GPT-style layout: fused c_attn WITH bias, MLP
+    w2=gate/w1=up/c_proj at intermediate_size//2, RMSNorm ln_ names.
+    No HF-native class (trust_remote_code upstream) — oracle is a torch
+    llama whose weights are re-emitted in the Qwen layout (the
+    internlm2-test pattern; sglang srt/models/qwen.py weight mapping)."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    torch.manual_seed(47)
+    hf = LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=4, attention_bias=True,
+        max_position_embeddings=256, rms_norm_eps=1e-6,
+        attn_implementation="eager", tie_word_embeddings=False)).eval()
+    # qwen has no o-proj bias: zero it in the oracle so both sides match
+    with torch.no_grad():
+        for lyr in hf.model.layers:
+            lyr.self_attn.o_proj.bias.zero_()
+    sd = state_dict_from_torch_module(hf)
+    out = {"transformer.wte.weight": sd["model.embed_tokens.weight"],
+           "transformer.ln_f.weight": sd["model.norm.weight"],
+           "lm_head.weight": sd["lm_head.weight"]}
+    for i in range(2):
+        p = f"model.layers.{i}"
+        b = f"transformer.h.{i}"
+        for suf in ("weight", "bias"):
+            out[f"{b}.attn.c_attn.{suf}"] = np.concatenate(
+                [sd[f"{p}.self_attn.q_proj.{suf}"],
+                 sd[f"{p}.self_attn.k_proj.{suf}"],
+                 sd[f"{p}.self_attn.v_proj.{suf}"]], axis=0)
+        out[f"{b}.attn.c_proj.weight"] = sd[f"{p}.self_attn.o_proj.weight"]
+        out[f"{b}.mlp.w2.weight"] = sd[f"{p}.mlp.gate_proj.weight"]
+        out[f"{b}.mlp.w1.weight"] = sd[f"{p}.mlp.up_proj.weight"]
+        out[f"{b}.mlp.c_proj.weight"] = sd[f"{p}.mlp.down_proj.weight"]
+        out[f"{b}.ln_1.weight"] = sd[f"{p}.input_layernorm.weight"]
+        out[f"{b}.ln_2.weight"] = \
+            sd[f"{p}.post_attention_layernorm.weight"]
+    cfg = llama_config_from_hf({
+        "model_type": "qwen", "vocab_size": 144, "hidden_size": 64,
+        "intermediate_size": 192, "num_hidden_layers": 2,
+        "num_attention_heads": 4, "layer_norm_epsilon": 1e-6,
+        "rotary_emb_base": 10000.0, "seq_length": 256})
+    assert cfg.qkv_bias and cfg.intermediate_size == 96
+    params = llama_params_from_hf(out, cfg, dtype=jnp.float32)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_exaone_remap_matches_llama_oracle(rng):
+    """EXAONE: llama semantics under transformer.h / attn.attention /
+    c_fc_0+c_fc_1 naming (sglang srt/models/exaone.py mapping)."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    torch.manual_seed(48)
+    hf = LlamaForCausalLM(HFLlamaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=256,
+        rms_norm_eps=1e-5, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    sd = state_dict_from_torch_module(hf)
+    out = {"transformer.wte.weight": sd["model.embed_tokens.weight"],
+           "transformer.ln_f.weight": sd["model.norm.weight"],
+           "lm_head.weight": sd["lm_head.weight"]}
+    for i in range(2):
+        p = f"model.layers.{i}"
+        b = f"transformer.h.{i}"
+        for a, c in (("attn.attention.q_proj", "self_attn.q_proj"),
+                     ("attn.attention.k_proj", "self_attn.k_proj"),
+                     ("attn.attention.v_proj", "self_attn.v_proj"),
+                     ("attn.attention.out_proj", "self_attn.o_proj"),
+                     ("mlp.c_fc_0", "mlp.gate_proj"),
+                     ("mlp.c_fc_1", "mlp.up_proj"),
+                     ("mlp.c_proj", "mlp.down_proj"),
+                     ("ln_1", "input_layernorm"),
+                     ("ln_2", "post_attention_layernorm")):
+            out[f"{b}.{a}.weight"] = sd[f"{p}.{c}.weight"]
+    cfg = llama_config_from_hf({
+        "model_type": "exaone", "vocab_size": 144, "hidden_size": 64,
+        "intermediate_size": 128, "num_layers": 2,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "layer_norm_epsilon": 1e-5, "activation_function": "silu",
+        "max_position_embeddings": 256})
+    params = llama_params_from_hf(out, cfg, dtype=jnp.float32)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_chatglm_remap_matches_glm_oracle(rng):
+    """ChatGLM-2/3 THUDM layout (fused query_key_value + bias, SwiGLU
+    dense_h_to_4h [gate; up], MQA groups, interleaved half rotary) maps
+    onto the validated GLM structural knobs — oracle is a torch
+    GlmForCausalLM re-emitted in the chatglm key layout (sglang
+    srt/models/chatglm.py parity)."""
+    import transformers
+    torch.manual_seed(49)
+    hf = transformers.GlmForCausalLM(transformers.GlmConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, head_dim=16, partial_rotary_factor=0.5,
+        attention_bias=True, max_position_embeddings=256,
+        rms_norm_eps=1e-5, pad_token_id=0, attn_implementation="eager",
+        tie_word_embeddings=False)).eval()
+    sd = state_dict_from_torch_module(hf)
+    out = {"transformer.embedding.word_embeddings.weight":
+           sd["model.embed_tokens.weight"],
+           "transformer.encoder.final_layernorm.weight":
+           sd["model.norm.weight"],
+           "transformer.output_layer.weight": sd["lm_head.weight"]}
+    for i in range(2):
+        p = f"model.layers.{i}"
+        b = f"transformer.encoder.layers.{i}"
+        for suf in ("weight", "bias"):
+            out[f"{b}.self_attention.query_key_value.{suf}"] = \
+                np.concatenate([sd[f"{p}.self_attn.q_proj.{suf}"],
+                                sd[f"{p}.self_attn.k_proj.{suf}"],
+                                sd[f"{p}.self_attn.v_proj.{suf}"]],
+                               axis=0)
+        out[f"{b}.self_attention.dense.weight"] = \
+            sd[f"{p}.self_attn.o_proj.weight"]
+        # Glm HF packs gate_up_proj exactly like dense_h_to_4h
+        out[f"{b}.mlp.dense_h_to_4h.weight"] = \
+            sd[f"{p}.mlp.gate_up_proj.weight"]
+        out[f"{b}.mlp.dense_4h_to_h.weight"] = \
+            sd[f"{p}.mlp.down_proj.weight"]
+        out[f"{b}.input_layernorm.weight"] = \
+            sd[f"{p}.input_layernorm.weight"]
+        out[f"{b}.post_attention_layernorm.weight"] = \
+            sd[f"{p}.post_attention_layernorm.weight"]
+    cfg = llama_config_from_hf({
+        "model_type": "chatglm", "vocab_size": 144, "hidden_size": 64,
+        "ffn_hidden_size": 128, "num_layers": 2,
+        "num_attention_heads": 4, "multi_query_attention": True,
+        "multi_query_group_num": 2, "kv_channels": 16,
+        "add_qkv_bias": True, "layernorm_epsilon": 1e-5,
+        "seq_length": 256, "rope_ratio": 1.0})
+    assert (cfg.rope_interleaved and cfg.partial_rotary_factor == 0.5
+            and cfg.qkv_bias and cfg.num_key_value_heads == 2)
+    params = llama_params_from_hf(out, cfg, dtype=jnp.float32)
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_minicpm_scales_match_absorbed_oracle(rng):
+    """MiniCPM's three scalar scalings (scale_emb on embeds, depth-scaled
+    residual branches, dim_model_base/d on logits) applied as runtime
+    knobs must equal the mathematically-absorbed plain-llama forward
+    (embeds*se, o/down*sr, head*ls) — the scalings' defining property
+    (sglang srt/models/minicpm.py:208-320)."""
+    from aurora_tpu.models.llama import init_llama_params
+    cfg_plain = LlamaConfig.tiny(vocab_size=128)
+    params = init_llama_params(jax.random.PRNGKey(7), cfg_plain,
+                               dtype=jnp.float32)
+    cfg = llama_config_from_hf({
+        "model_type": "minicpm", "vocab_size": 128, "hidden_size": 64,
+        "intermediate_size": 128, "num_hidden_layers": 3,
+        "num_attention_heads": 4, "num_key_value_heads": 2,
+        "max_position_embeddings": 512, "rms_norm_eps": 1e-5,
+        "scale_emb": 12.0, "scale_depth": 1.4, "dim_model_base": 16})
+    assert cfg.embed_scale == 12.0 and abs(
+        cfg.residual_scale - 1.4 / 3 ** 0.5) < 1e-9
+    assert abs(cfg.logit_scale - 16 / 64) < 1e-9
+    absorbed = jax.tree.map(lambda x: x, params)
+    absorbed = {**absorbed, "embed_tokens":
+                params["embed_tokens"] * 12.0,
+                "lm_head": params["lm_head"] * (16 / 64),
+                "layers": {**params["layers"],
+                           "o": params["layers"]["o"] * cfg.residual_scale,
+                           "down": params["layers"]["down"]
+                           * cfg.residual_scale}}
+    ids = jnp.asarray(rng.integers(0, 128, size=(2, 9)))
+    got, _ = llama_apply(params, cfg, input_ids=ids)
+    want, _ = llama_apply(absorbed, cfg_plain, input_ids=ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)

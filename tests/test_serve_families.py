@@ -485,3 +485,31 @@ def test_gpt_bigcode_served_matches_offline(rng):
         activation_function="gelu_pytorch_tanh",
         attn_implementation="eager", tie_word_embeddings=True)).eval()
     _hf_roundtrip_serve(hf, rng)
+
+
+def test_minicpm_served_matches_offline(rng):
+    """MiniCPM scalings (embed_scale / residual_scale / logit_scale)
+    through the serving engine: greedy decode == offline generate
+    (sglang srt/models/minicpm.py parity; the scalings themselves are
+    oracle-tested in test_model_parity)."""
+    from aurora_tpu.generate import generate
+    cfg = dataclasses.replace(LlamaConfig.tiny(vocab_size=128),
+                              embed_scale=12.0,
+                              residual_scale=1.4 / 3 ** 0.5,
+                              logit_scale=0.25)
+    params = init_llama_params(jax.random.PRNGKey(9), cfg,
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params, cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=14)]
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray([ids]), axis=0)
+    res = generate(params, cfg, embeds, jnp.ones((1, len(ids)), bool),
+                   max_new_tokens=6, eos_ids=(-1,))
+    want = [int(t) for t in
+            np.asarray(res.tokens[0, :int(res.lengths[0])])]
+    done = _run_engine(engine, [Request(rid="mc", input_ids=list(ids),
+                                        max_new_tokens=6)])
+    assert done["mc"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0
