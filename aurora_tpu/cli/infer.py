@@ -33,10 +33,23 @@ from aurora_tpu.utils.templates import PROMPT_TEMPLATE
 
 
 def load_model(model_path: str, dtype=jnp.bfloat16):
-    """xtuner-format dir → (params pytree, AuroraConfig, tokenizer)."""
+    """xtuner-format OR llava-hf dir → (params, AuroraConfig,
+    tokenizer). llava-hf single-dir checkpoints (model_type "llava")
+    are auto-detected — with --token_kept_ratio 1.0 the pipeline is
+    exactly LLaVA-1.5 (sglang srt/models/llava.py parity)."""
+    import json
+    import os
+
     from transformers import AutoTokenizer
-    llm, llm_cfg, vit, vit_cfg, pj, pj_cfg = load_auroracap_dir(
-        model_path, llm_dtype=dtype, vit_dtype=dtype)
+    with open(os.path.join(model_path, "config.json")) as f:
+        mt = json.load(f).get("model_type")
+    if mt in ("llava", "llava_next"):
+        from aurora_tpu.models.convert import load_llava_hf_dir
+        llm, llm_cfg, vit, vit_cfg, pj, pj_cfg = load_llava_hf_dir(
+            model_path, llm_dtype=dtype, vit_dtype=dtype)
+    else:
+        llm, llm_cfg, vit, vit_cfg, pj, pj_cfg = load_auroracap_dir(
+            model_path, llm_dtype=dtype, vit_dtype=dtype)
     params = {"llm": llm, "visual_encoder": vit, "projector": pj}
     cfg = AuroraConfig(vit=vit_cfg, llm=llm_cfg, projector=pj_cfg)
     tokenizer = AutoTokenizer.from_pretrained(model_path,

@@ -170,6 +170,17 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                    attention_bias=cfg.get("add_qkv_bias",
                                           cfg.get("add_bias_linear",
                                                   False)))
+    if cfg.get("model_type") == "deepseek":
+        # DeepSeek (v1) MoE (sglang srt/models/deepseek.py): standard
+        # GQA attention + MoE tail with UNGATED always-on shared experts
+        # and a dense prefix (first_k_dense_replace). Router = softmax
+        # over all experts → top-k → optional renormalize.
+        assert cfg.get("moe_layer_freq", 1) == 1, \
+            "deepseek v1 with interleaved dense layers unsupported"
+        cfg = dict(cfg,
+                   num_experts=cfg.get("n_routed_experts") or 0,
+                   first_k_dense=(cfg.get("first_k_dense_replace", 0)
+                                  if cfg.get("n_routed_experts") else 0))
     if cfg.get("model_type") == "minicpm":
         # MiniCPM (sglang srt/models/minicpm.py): llama keys with three
         # scalar scalings — embeds * scale_emb, residual branches *
@@ -256,8 +267,10 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         moe_router_mode=("softmax_topk"
                          if cfg.get("model_type") in ("qwen2_moe",
                                                       "qwen3_moe",
-                                                      "dbrx")
+                                                      "dbrx",
+                                                      "deepseek")
                          else "mixtral"),
+        first_k_dense=cfg.get("first_k_dense", 0),
         moe_norm_topk=cfg.get("norm_topk_prob", False),
         vocab_size=cfg["vocab_size"],
         hidden_size=cfg["hidden_size"],
@@ -571,6 +584,9 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
             sd[f"layers.{i}.mlp.gate_proj.weight"] = gu[:inter]
             sd[f"layers.{i}.mlp.up_proj.weight"] = gu[inter:]
 
+    if cfg.first_k_dense > 0:
+        return _deepseek_v1_params(sd, cfg, dtype)
+
     p: Params = {
         "embed_tokens": _j(sd["embed_tokens.weight"], dtype),
         "layers": {
@@ -674,6 +690,65 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
     return p
 
 
+def _deepseek_v1_params(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
+                        dtype) -> Params:
+    """DeepSeek (v1) heterogeneous stack: dense prefix (first_k_dense
+    layers, full intermediate_size) as an UNSTACKED python list under
+    "dense_layers" + the uniform MoE tail stacked for lax.scan —
+    mirroring serve/mla.py's DeepSeek-V2 layout. Shared experts are
+    ungated (no moe_shared_gate_w). sglang srt/models/deepseek.py
+    weight mapping."""
+    L, fk = cfg.num_hidden_layers, cfg.first_k_dense
+    E = cfg.num_experts
+
+    def lin(i, key):
+        return _j(sd[f"layers.{i}.{key}.weight"].T, dtype)
+
+    def attn_keys(i):
+        return {
+            "input_norm": _j(sd[f"layers.{i}.input_layernorm.weight"],
+                             dtype),
+            "post_attn_norm": _j(
+                sd[f"layers.{i}.post_attention_layernorm.weight"],
+                dtype),
+            "q": lin(i, "self_attn.q_proj"),
+            "k": lin(i, "self_attn.k_proj"),
+            "v": lin(i, "self_attn.v_proj"),
+            "o": lin(i, "self_attn.o_proj"),
+        }
+
+    dense_layers = []
+    for i in range(fk):
+        lp = attn_keys(i)
+        lp["gate"] = lin(i, "mlp.gate_proj")
+        lp["up"] = lin(i, "mlp.up_proj")
+        lp["down"] = lin(i, "mlp.down_proj")
+        dense_layers.append(lp)
+
+    tail: Dict[str, list] = {}
+    for i in range(fk, L):
+        lp = attn_keys(i)
+        lp["moe_router"] = _j(sd[f"layers.{i}.mlp.gate.weight"].T, dtype)
+        for ours, theirs in (("moe_gate", "gate_proj"),
+                             ("moe_up", "up_proj"),
+                             ("moe_down", "down_proj")):
+            lp[ours] = _j(np.stack(
+                [sd[f"layers.{i}.mlp.experts.{e}.{theirs}.weight"].T
+                 for e in range(E)]), dtype)
+            lp[f"moe_shared_{ours[4:]}"] = lin(
+                i, f"mlp.shared_experts.{theirs}")
+        for k, v in lp.items():
+            tail.setdefault(k, []).append(v)
+
+    return {
+        "embed_tokens": _j(sd["embed_tokens.weight"], dtype),
+        "dense_layers": dense_layers,
+        "layers": {k: jnp.stack(v) for k, v in tail.items()},
+        "final_norm": _j(sd["norm.weight"], dtype),
+        "lm_head": _j(sd["lm_head.weight"].T, dtype),
+    }
+
+
 def projector_params_from_hf(sd: Dict[str, np.ndarray],
                              cfg: ProjectorConfig,
                              dtype=jnp.float32) -> Params:
@@ -690,6 +765,60 @@ def projector_params_from_hf(sd: Dict[str, np.ndarray],
 # ---------------------------------------------------------------------------
 # xtuner-format directory loader (the AuroraCap release layout)
 # ---------------------------------------------------------------------------
+
+def load_llava_hf_dir(model_dir: str, llm_dtype=jnp.bfloat16,
+                      vit_dtype=jnp.float32,
+                      ) -> Tuple[Params, LlamaConfig, Params, ViTConfig,
+                                 Params, ProjectorConfig]:
+    """llava-hf single-dir checkpoint (LlavaForConditionalGeneration) →
+    the same tuple as load_auroracap_dir, so LLaVA-1.5 / LLaVA-NeXT-base
+    / Yi-VL-style models serve through the AuroraCap multimodal path
+    with token_kept_ratio=1.0 ⇒ EXACT LLaVA behavior (AuroraCap is the
+    same architecture + ToMe; sglang srt/models/llava.py, llavavid.py,
+    yivl.py zoo parity).
+
+    vision_feature_layer=-2 + strategy "default" (drop CLS) is exactly
+    our visual_select_layer=-2 + CLS-drop in models/aurora.encode_visual.
+    Handles both the 4.52+ key layout (model.vision_tower /
+    model.language_model + top-level lm_head) and the legacy one
+    (vision_tower / language_model.model)."""
+    cfg = _read_config(model_dir)
+    assert cfg.get("model_type") in ("llava", "llava_next"), \
+        f"not a llava checkpoint: {cfg.get('model_type')}"
+    assert cfg.get("vision_feature_select_strategy",
+                   "default") == "default", \
+        "only the CLS-dropping 'default' feature strategy is supported"
+    sel = cfg.get("vision_feature_layer", -2)
+
+    llm_cfg = llama_config_from_hf(cfg["text_config"])
+    vit_cfg = vit_config_from_hf({"vision_config": cfg["vision_config"],
+                                  "model_type": "clip"})
+    sd = load_torch_state_dict(model_dir)
+
+    def split(marker):
+        return {k.split(marker, 1)[1]: v for k, v in sd.items()
+                if marker in k}
+
+    vit_sd = split("vision_tower.")
+    llm_sd = split("language_model.")
+    if "lm_head.weight" in sd:  # 4.52+ layout: head at top level
+        llm_sd["lm_head.weight"] = sd["lm_head.weight"]
+    proj_sd = split("multi_modal_projector.")
+
+    llm = llama_params_from_hf(llm_sd, llm_cfg, llm_dtype)
+    vit = vit_params_from_hf(vit_sd, vit_cfg, vit_dtype)
+    pj_cfg = ProjectorConfig(visual_hidden_size=vit_cfg.hidden_size,
+                             llm_hidden_size=llm_cfg.hidden_size,
+                             depth=2)
+    pj = {"layers": [
+        {"kernel": _j(proj_sd["linear_1.weight"].T, vit_dtype),
+         "bias": _j(proj_sd["linear_1.bias"], vit_dtype)},
+        {"kernel": _j(proj_sd["linear_2.weight"].T, vit_dtype),
+         "bias": _j(proj_sd["linear_2.bias"], vit_dtype)},
+    ]}
+    assert sel == -2, f"vision_feature_layer={sel} unsupported (-2 only)"
+    return llm, llm_cfg, vit, vit_cfg, pj, pj_cfg
+
 
 def load_auroracap_dir(model_dir: str, llm_dtype=jnp.bfloat16,
                        vit_dtype=jnp.float32,

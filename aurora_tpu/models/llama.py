@@ -114,6 +114,12 @@ class LlamaConfig:
     # surrounding elementwise chains under XLA — zero runtime cost.
     embed_scale: Optional[float] = None
     residual_scale: Optional[float] = None
+    # DeepSeek (v1) MoE (sglang srt/models/deepseek.py): the first k
+    # layers are DENSE (different MLP width than the MoE tail) — they
+    # live unstacked in params["dense_layers"] (python list) and run as
+    # an unrolled prefix before one lax.scan over the uniform stacked
+    # tail, mirroring serve/mla.py's heterogeneous-layer layout.
+    first_k_dense: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -452,6 +458,17 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
                                 cfg.rope_theta, cfg.rope_linear_scaling,
                                 dtype=jnp.float32)
 
+    first_k = len(params.get("dense_layers", ()))
+    pre_k, pre_v = [], []
+    for i in range(first_k):  # unrolled dense prefix (DeepSeek v1)
+        ck = kv_cache["k"][i] if kv_cache is not None else None
+        cv = kv_cache["v"][i] if kv_cache is not None else None
+        x, ck, cv = _layer(cfg, x, params["dense_layers"][i], ck, cv,
+                           cos, sin, attention_mask, segment_ids,
+                           cache_len, use_flash, sp_attn)
+        pre_k.append(ck)
+        pre_v.append(cv)
+
     def scan_fn(carry, xs):
         h = carry
         if kv_cache is not None:
@@ -464,7 +481,8 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
 
     body = jax.checkpoint(scan_fn) if remat else scan_fn
     if kv_cache is not None:
-        xs = (params["layers"], kv_cache["k"], kv_cache["v"])
+        xs = (params["layers"], kv_cache["k"][first_k:],
+              kv_cache["v"][first_k:])
     else:
         xs = params["layers"]
     x, caches = jax.lax.scan(body, x, xs)
@@ -481,7 +499,11 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
 
     new_cache = None
     if kv_cache is not None:
-        new_cache = {"k": caches[0], "v": caches[1]}
+        ck, cv = caches
+        if first_k:
+            ck = jnp.concatenate([jnp.stack(pre_k), ck])
+            cv = jnp.concatenate([jnp.stack(pre_v), cv])
+        new_cache = {"k": ck, "v": cv}
     return logits, new_cache
 
 

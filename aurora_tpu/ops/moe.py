@@ -163,6 +163,10 @@ def shared_expert_mlp(lp: Params, h: jnp.ndarray) -> jnp.ndarray:
                 preferred_element_type=jnp.float32).astype(h.dtype)
     out = jnp.dot(jax.nn.silu(g) * u, lp["moe_shared_down"],
                   preferred_element_type=jnp.float32)
+    if "moe_shared_gate_w" not in lp:
+        # DeepSeek-family shared experts are always-on with NO scalar
+        # gate (sglang srt/models/deepseek.py DeepseekMoE.shared_experts)
+        return out.astype(h.dtype)
     gate = jax.nn.sigmoid(jnp.dot(h, lp["moe_shared_gate_w"],
                                   preferred_element_type=jnp.float32))
     return (out * gate).astype(h.dtype)

@@ -642,8 +642,20 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
         x = x + attn
         return (_mlp(cfg, lp, x, tp_axis), r), None
 
-    (x, rows), _ = jax.lax.scan(
-        layer, (x, rows), (params["layers"], jnp.arange(L)))
+    first_k = len(params.get("dense_layers", ()))
+    if first_k:  # DeepSeek-v1 heterogeneous stack (see serve/mla.py):
+        # unrolled dense prefix, then ONE scan over the MoE tail
+        assert tp_axis is None, \
+            "dense-prefix (first_k_dense) serving is single-device"
+        for i in range(first_k):
+            (x, rows), _ = layer((x, rows),
+                                 (params["dense_layers"][i], i))
+        (x, rows), _ = jax.lax.scan(
+            layer, (x, rows), (params["layers"],
+                               jnp.arange(first_k, L)))
+    else:
+        (x, rows), _ = jax.lax.scan(
+            layer, (x, rows), (params["layers"], jnp.arange(L)))
     x = _norm(cfg, x, params["final_norm"],
               params.get("final_norm_bias"))
     # last valid token per lane (lanes may be partially padded)

@@ -899,3 +899,139 @@ def test_minicpm_scales_match_absorbed_oracle(rng):
     want, _ = llama_apply(absorbed, cfg_plain, input_ids=ids)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def _deepseek_v1_hybrid_oracle():
+    """Torch oracle for DeepSeek (v1): an HF llama whose MoE-tail layers
+    get their mlp swapped for the reference DeepseekMoE semantics —
+    fp32 softmax over ALL experts → top-k → optional renormalize →
+    weighted expert sum + UNGATED always-on shared experts
+    (sglang srt/models/deepseek.py:88-175). Attention/norms stay HF."""
+    from transformers import LlamaConfig as HFLlamaConfig
+    from transformers import LlamaForCausalLM
+    from transformers.models.llama.modeling_llama import LlamaMLP
+
+    class _DSMoE(torch.nn.Module):
+        def __init__(self, base_cfg, moe_inter, E, k, shared_inter,
+                     norm_topk):
+            super().__init__()
+            import copy
+            mcfg = copy.deepcopy(base_cfg)
+            mcfg.intermediate_size = moe_inter
+            scfg = copy.deepcopy(base_cfg)
+            scfg.intermediate_size = shared_inter
+            self.gate = torch.nn.Linear(base_cfg.hidden_size, E,
+                                        bias=False)
+            self.experts = torch.nn.ModuleList(
+                [LlamaMLP(mcfg) for _ in range(E)])
+            self.shared_experts = LlamaMLP(scfg)
+            self.k, self.norm_topk = k, norm_topk
+
+        def forward(self, x):
+            w = torch.softmax(self.gate(x).float(), dim=-1)
+            topw, topi = torch.topk(w, self.k, dim=-1)
+            if self.norm_topk:
+                topw = topw / topw.sum(-1, keepdim=True)
+            topw = topw.to(x.dtype)
+            out = torch.zeros_like(x)
+            for j in range(self.k):
+                for e, expert in enumerate(self.experts):
+                    m = topi[..., j] == e
+                    if m.any():
+                        out[m] += topw[..., j][m, None] * expert(x[m])
+            return out + self.shared_experts(x)
+
+    torch.manual_seed(51)
+    hf_cfg = HFLlamaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=256,
+        rms_norm_eps=1e-6, attn_implementation="eager",
+        tie_word_embeddings=False)
+    hf = LlamaForCausalLM(hf_cfg).eval()
+    for i in (1, 2):  # first_k_dense_replace = 1
+        hf.model.layers[i].mlp = _DSMoE(hf_cfg, moe_inter=48, E=4, k=2,
+                                        shared_inter=80, norm_topk=True)
+    torch.manual_seed(52)
+    for i in (1, 2):
+        for p in hf.model.layers[i].mlp.parameters():
+            torch.nn.init.normal_(p, std=0.05)
+    return hf.eval()
+
+
+def _deepseek_v1_convert(hf):
+    sd = state_dict_from_torch_module(hf)
+    out = {k: v for k, v in sd.items() if ".mlp." not in k}
+    out["model.layers.0.mlp.gate_proj.weight"] = \
+        sd["model.layers.0.mlp.gate_proj.weight"]
+    out["model.layers.0.mlp.up_proj.weight"] = \
+        sd["model.layers.0.mlp.up_proj.weight"]
+    out["model.layers.0.mlp.down_proj.weight"] = \
+        sd["model.layers.0.mlp.down_proj.weight"]
+    for i in (1, 2):
+        p = f"model.layers.{i}.mlp"
+        out[f"model.layers.{i}.mlp.gate.weight"] = sd[f"{p}.gate.weight"]
+        for e in range(4):
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                out[f"model.layers.{i}.mlp.experts.{e}.{n}.weight"] = \
+                    sd[f"{p}.experts.{e}.{n}.weight"]
+        for n in ("gate_proj", "up_proj", "down_proj"):
+            out[f"model.layers.{i}.mlp.shared_experts.{n}.weight"] = \
+                sd[f"{p}.shared_experts.{n}.weight"]
+    cfg = llama_config_from_hf({
+        "model_type": "deepseek", "vocab_size": 144, "hidden_size": 64,
+        "intermediate_size": 128, "moe_intermediate_size": 48,
+        "num_hidden_layers": 3, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "n_routed_experts": 4,
+        "n_shared_experts": 1, "num_experts_per_tok": 2,
+        "norm_topk_prob": True, "first_k_dense_replace": 1,
+        "moe_layer_freq": 1, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 256})
+    params = llama_params_from_hf(out, cfg, dtype=jnp.float32)
+    return cfg, params
+
+
+def test_deepseek_v1_logits_match_hybrid_oracle(rng):
+    """DeepSeek (v1): dense prefix + MoE tail with ungated shared
+    experts through the heterogeneous llama stack."""
+    hf = _deepseek_v1_hybrid_oracle()
+    cfg, params = _deepseek_v1_convert(hf)
+    assert (cfg.first_k_dense == 1 and cfg.num_experts == 4
+            and cfg.moe_router_mode == "softmax_topk"
+            and cfg.moe_norm_topk)
+    assert len(params["dense_layers"]) == 1
+    assert "moe_shared_gate" in params["layers"]
+    assert "moe_shared_gate_w" not in params["layers"]
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
+
+
+def test_deepseek_v1_kv_decode_matches_full(rng):
+    """The heterogeneous stack's KV cache (unrolled prefix slices +
+    scanned tail) stays consistent between full forward and
+    cached decode."""
+    hf = _deepseek_v1_hybrid_oracle()
+    cfg, params = _deepseek_v1_convert(hf)
+    ids = jnp.asarray(rng.integers(0, 144, size=(1, 12)))
+    full_logits, _ = llama_apply(params, cfg, input_ids=ids)
+    cache = init_kv_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, cache = llama_apply(params, cfg, input_ids=ids[:, :8],
+                                kv_cache=cache, cache_len=0)
+    np.testing.assert_allclose(np.asarray(logits[:, -1]),
+                               np.asarray(full_logits[:, 7]),
+                               rtol=2e-4, atol=2e-4)
+    mask = jnp.arange(16)[None, :] < 9
+    for t in range(8, 12):
+        logits, cache = llama_apply(params, cfg,
+                                    input_ids=ids[:, t:t + 1],
+                                    attention_mask=(
+                                        jnp.arange(16)[None, :] <= t),
+                                    kv_cache=cache, cache_len=t)
+        np.testing.assert_allclose(np.asarray(logits[:, 0]),
+                                   np.asarray(full_logits[:, t]),
+                                   rtol=2e-4, atol=2e-4)
+    del mask

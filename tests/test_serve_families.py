@@ -513,3 +513,34 @@ def test_minicpm_served_matches_offline(rng):
                                         max_new_tokens=6)])
     assert done["mc"].output_ids == want
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_deepseek_v1_served_matches_offline(rng):
+    """DeepSeek (v1) heterogeneous stack (unrolled dense prefix + MoE
+    tail with ungated shared experts) through the serving engine
+    (sglang srt/models/deepseek.py parity)."""
+    from tests.test_model_parity import (_deepseek_v1_convert,
+                                         _deepseek_v1_hybrid_oracle)
+    import torch
+
+    from aurora_tpu.generate import generate
+    hf = _deepseek_v1_hybrid_oracle()
+    cfg, params = _deepseek_v1_convert(hf)
+    ids = [int(x) for x in rng.integers(3, 144, size=12)]
+    with torch.no_grad():
+        want_hf = hf.generate(torch.tensor([ids]), max_new_tokens=6,
+                              do_sample=False).numpy()[0, len(ids):]
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray([ids]), axis=0)
+    res = generate(params, cfg, embeds, jnp.ones((1, len(ids)), bool),
+                   max_new_tokens=6, eos_ids=(-1,))
+    want = [int(t) for t in
+            np.asarray(res.tokens[0, :int(res.lengths[0])])]
+    assert want == [int(t) for t in want_hf]
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params, cfg, ecfg)
+    done = _run_engine(engine, [Request(rid="ds", input_ids=list(ids),
+                                        max_new_tokens=6)])
+    assert done["ds"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0

@@ -178,3 +178,58 @@ def test_embed_cache_skips_recompute(mm_setup, rng):
     finally:
         M.encode_visual = orig
     assert calls["n"] == 0
+
+
+def test_llava_hf_checkpoint_matches_hf_forward(rng, tmp_path):
+    """A llava-hf checkpoint dir loads through load_llava_hf_dir and the
+    AuroraCap pipeline at token_kept_ratio=1.0 reproduces HF
+    LlavaForConditionalGeneration logits exactly — AuroraCap IS the
+    LLaVA architecture + ToMe (sglang srt/models/llava.py parity)."""
+    import torch
+    import transformers
+
+    from aurora_tpu.models.aurora import AuroraConfig, aurora_forward
+    from aurora_tpu.models.convert import load_llava_hf_dir
+    from aurora_tpu.models.llama import llama_apply
+    from aurora_tpu.utils.constants import IMAGE_TOKEN_INDEX
+
+    torch.manual_seed(71)
+    vc = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+        num_attention_heads=4, image_size=28, patch_size=14,
+        projection_dim=32)
+    tc = transformers.LlamaConfig(
+        vocab_size=144, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, rms_norm_eps=1e-5,
+        attn_implementation="eager")
+    hf_cfg = transformers.LlavaConfig(
+        vision_config=vc, text_config=tc, image_token_index=99,
+        vision_feature_layer=-2,
+        vision_feature_select_strategy="default")
+    hf = transformers.LlavaForConditionalGeneration(hf_cfg).eval()
+    hf.save_pretrained(tmp_path / "llava")
+
+    llm, llm_cfg, vit, vit_cfg, pj, pj_cfg = load_llava_hf_dir(
+        str(tmp_path / "llava"), llm_dtype=jnp.float32,
+        vit_dtype=jnp.float32)
+    params = {"llm": llm, "visual_encoder": vit, "projector": pj}
+    cfg = AuroraConfig(vit=vit_cfg, llm=llm_cfg, projector=pj_cfg)
+
+    n_patches = (28 // 14) ** 2  # 4
+    px = rng.standard_normal((1, 3, 28, 28)).astype(np.float32)
+    text = [3, 7, 11]
+    hf_ids = text[:1] + [99] * n_patches + text[1:]
+    our_ids = text[:1] + [IMAGE_TOKEN_INDEX] + text[1:]
+    with torch.no_grad():
+        want = hf(input_ids=torch.tensor([hf_ids]),
+                  pixel_values=torch.from_numpy(px)).logits.numpy()
+    fused = aurora_forward(params, cfg, jnp.asarray([our_ids]),
+                           jnp.asarray(px)[None], kept_ratio=1.0,
+                           mode="inference")
+    got, _ = llama_apply(params["llm"], cfg.llm,
+                         inputs_embeds=fused["inputs_embeds"],
+                         attention_mask=fused["attention_mask"])
+    assert got.shape[1] == want.shape[1]
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
