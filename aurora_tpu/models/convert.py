@@ -810,12 +810,15 @@ def load_llava_hf_dir(model_dir: str, llm_dtype=jnp.bfloat16,
     pj_cfg = ProjectorConfig(visual_hidden_size=vit_cfg.hidden_size,
                              llm_hidden_size=llm_cfg.hidden_size,
                              depth=2)
-    pj = {"layers": [
-        {"kernel": _j(proj_sd["linear_1.weight"].T, vit_dtype),
-         "bias": _j(proj_sd["linear_1.bias"], vit_dtype)},
-        {"kernel": _j(proj_sd["linear_2.weight"].T, vit_dtype),
-         "bias": _j(proj_sd["linear_2.bias"], vit_dtype)},
-    ]}
+    pj_layers = []
+    for i in (1, 2):
+        lp = {"kernel": _j(proj_sd[f"linear_{i}.weight"].T, vit_dtype),
+              "bias": _j(proj_sd[f"linear_{i}.bias"], vit_dtype)}
+        if f"ln_{i}.weight" in proj_sd:  # Yi-VL projector LayerNorms
+            lp["ln_scale"] = _j(proj_sd[f"ln_{i}.weight"], vit_dtype)
+            lp["ln_bias"] = _j(proj_sd[f"ln_{i}.bias"], vit_dtype)
+        pj_layers.append(lp)
+    pj = {"layers": pj_layers}
     assert sel == -2, f"vision_feature_layer={sel} unsupported (-2 only)"
     return llm, llm_cfg, vit, vit_cfg, pj, pj_cfg
 

@@ -41,10 +41,18 @@ def init_projector_params(rng: jax.Array, cfg: ProjectorConfig,
 
 def apply_projector(params: Params, x: jnp.ndarray,
                     cfg: ProjectorConfig) -> jnp.ndarray:
-    """x: [..., visual_hidden] → [..., llm_hidden]."""
+    """x: [..., visual_hidden] → [..., llm_hidden].
+
+    Per-layer optional LayerNorm right after each linear (Yi-VL's
+    mm_projector: Linear → LN → GELU → Linear → LN; sglang
+    srt/models/yivl.py:74-79) — present when the layer dict carries
+    "ln_scale"/"ln_bias"."""
+    from aurora_tpu.ops.norms import layer_norm
     for i, lp in enumerate(params["layers"]):
         if i > 0:
             x = jax.nn.gelu(x, approximate=False)
         x = (jnp.dot(x, lp["kernel"], preferred_element_type=jnp.float32)
              .astype(x.dtype) + lp["bias"])
+        if "ln_scale" in lp:
+            x = layer_norm(x, lp["ln_scale"], lp["ln_bias"])
     return x

@@ -233,3 +233,40 @@ def test_llava_hf_checkpoint_matches_hf_forward(rng, tmp_path):
     assert got.shape[1] == want.shape[1]
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
                                atol=5e-4)
+
+
+def test_yivl_projector_layernorms(rng, tmp_path):
+    """Yi-VL's projector LayerNorms (Linear → LN → GELU → Linear → LN,
+    sglang srt/models/yivl.py mm_projector mapping) load from a
+    llava-format dir and match a torch oracle."""
+    import torch
+
+    from aurora_tpu.models.projector import (ProjectorConfig,
+                                             apply_projector)
+
+    torch.manual_seed(72)
+    lin1 = torch.nn.Linear(32, 64)
+    ln1 = torch.nn.LayerNorm(64)
+    lin2 = torch.nn.Linear(64, 64)
+    ln2 = torch.nn.LayerNorm(64)
+    oracle = torch.nn.Sequential(lin1, ln1, torch.nn.GELU(), lin2, ln2)
+
+    from aurora_tpu.models.convert import _j
+    pj = {"layers": [
+        {"kernel": _j(lin1.weight.detach().numpy().T, jnp.float32),
+         "bias": _j(lin1.bias.detach().numpy(), jnp.float32),
+         "ln_scale": _j(ln1.weight.detach().numpy(), jnp.float32),
+         "ln_bias": _j(ln1.bias.detach().numpy(), jnp.float32)},
+        {"kernel": _j(lin2.weight.detach().numpy().T, jnp.float32),
+         "bias": _j(lin2.bias.detach().numpy(), jnp.float32),
+         "ln_scale": _j(ln2.weight.detach().numpy(), jnp.float32),
+         "ln_bias": _j(ln2.bias.detach().numpy(), jnp.float32)},
+    ]}
+    x = rng.standard_normal((2, 5, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = oracle(torch.from_numpy(x)).numpy()
+    got = apply_projector(pj, jnp.asarray(x),
+                          ProjectorConfig(visual_hidden_size=32,
+                                          llm_hidden_size=64))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
+                               atol=2e-5)
