@@ -1,9 +1,10 @@
 """Built-in task definitions. Importing this package registers them."""
 
-from aurora_tpu.eval.tasks import (captions, image_judge,  # noqa: F401
-                                   image_mc, mmbench, refcoco,
-                                   text_mc, vdc, video_mc,
-                                   videochatgpt, videoqa, vqa, yesno)
+from aurora_tpu.eval.tasks import (captions, gsm8k,  # noqa: F401
+                                   ifeval, image_judge, image_mc,
+                                   mmbench, refcoco, text_mc, vdc,
+                                   video_mc, videochatgpt, videoqa,
+                                   vqa, yesno)
 
 # Catalog of every built-in task: name → (env var that points at the
 # local dataset, default path). Tasks auto-register at import when their
@@ -82,6 +83,52 @@ TASK_CATALOG = {
     "arc_challenge": ("AURORA_ARC_CHALLENGE",
                       "data/arc_challenge/test.jsonl"),
     "arc_easy": ("AURORA_ARC_EASY", "data/arc_easy/test.jsonl"),
+    "gpqa": ("AURORA_GPQA", "data/gpqa/main.jsonl"),
+    "mmlu_pro": ("AURORA_MMLU_PRO", "data/mmlu_pro/test.jsonl"),
+    "gsm8k": ("AURORA_GSM8K", "data/gsm8k/test.jsonl"),
+    "ifeval": ("AURORA_IFEVAL", "data/ifeval/input_data.jsonl"),
+    # image MC (round-3 batch 2)
+    "cmmmu (+ppl)": ("AURORA_CMMMU", "data/cmmmu/val.jsonl"),
+    "iconqa (+ppl)": ("AURORA_ICONQA", "data/iconqa/test.jsonl"),
+    "ii_bench (+ppl)": ("AURORA_IIBENCH", "data/ii_bench/test.jsonl"),
+    "mmmu_pro (+ppl)": ("AURORA_MMMU_PRO", "data/mmmu_pro/test.jsonl"),
+    "mmupd (+ppl)": ("AURORA_MMUPD", "data/mmupd/test.jsonl"),
+    "qbench (+ppl)": ("AURORA_QBENCH", "data/qbench/dev.jsonl"),
+    "seedbench2_plus (+ppl)": ("AURORA_SEEDBENCH2PLUS",
+                               "data/seedbench2_plus/test.jsonl"),
+    "muirbench (+ppl)": ("AURORA_MUIRBENCH",
+                         "data/muirbench/test.jsonl"),
+    "mirb (+ppl)": ("AURORA_MIRB", "data/mirb/test.jsonl"),
+    # judge-scored image sets
+    "llava_bench_coco": ("AURORA_LLAVA_BENCH_COCO",
+                         "data/llava_bench_coco/test.jsonl"),
+    "llava_wilder": ("AURORA_LLAVA_WILDER",
+                     "data/llava_wilder/test.jsonl"),
+    "wild_vision_bench": ("AURORA_WILD_VISION",
+                          "data/wild_vision_bench/test.jsonl"),
+    "vibe_eval": ("AURORA_VIBE_EVAL", "data/vibe_eval/test.jsonl"),
+    "llava_wild_multilingual": ("AURORA_LLAVA_WILD_ML",
+                                "data/llava_wild_multilingual/"
+                                "test.jsonl"),
+    # open-ended / OCR / web
+    "gqa_ru": ("AURORA_GQA_RU", "data/gqa_ru/val.jsonl"),
+    "multidocvqa": ("AURORA_MULTIDOCVQA", "data/multidocvqa/val.jsonl"),
+    "synthdog": ("AURORA_SYNTHDOG", "data/synthdog/val.jsonl"),
+    "websrc": ("AURORA_WEBSRC", "data/websrc/dev.jsonl"),
+    "vcr_wiki": ("AURORA_VCR_WIKI", "data/vcr_wiki/test.jsonl"),
+    "detailcaps": ("AURORA_DETAILCAPS", "data/detailcaps/test.jsonl"),
+    # grounding
+    "refcoco_plus": ("AURORA_REFCOCO_PLUS",
+                     "data/refcoco_plus/val.jsonl"),
+    "refcocog": ("AURORA_REFCOCOG", "data/refcocog/val.jsonl"),
+    "screenspot": ("AURORA_SCREENSPOT", "data/screenspot/test.jsonl"),
+    # video
+    "cvrr": ("AURORA_CVRR", "data/cvrr/test.jsonl"),
+    "worldqa": ("AURORA_WORLDQA", "data/worldqa/test.jsonl"),
+    "video_detail_description": ("AURORA_VIDEO_DETAIL",
+                                 "data/video_detail_description/"
+                                 "test.jsonl"),
+    "vitatecs": ("AURORA_VITATECS", "data/vitatecs/test.jsonl"),
 }
 
 

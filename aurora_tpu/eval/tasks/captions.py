@@ -132,6 +132,12 @@ def register_vatex_task(dataset_path: str, name: str = "vatex_test",
     ))
 
 
+# DetailCaps (lmms-eval tasks/detailcaps): detailed image captioning
+# scored with the same CIDEr-D family
+_path = os.environ.get("AURORA_DETAILCAPS", "data/detailcaps/test.jsonl")
+if os.path.exists(_path):
+    register_caption_task("detailcaps", _path, max_new_tokens=256)
+
 _vatex_path = os.environ.get("AURORA_VATEX", "data/vatex/test.jsonl")
 if os.path.exists(_vatex_path):
     register_vatex_task(_vatex_path)

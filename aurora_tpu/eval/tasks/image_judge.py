@@ -135,7 +135,20 @@ def register_image_judge_task(name: str, dataset_path: str,
 for _name, _env, _default in (
         ("mmvet", "AURORA_MMVET", "data/mmvet/test.jsonl"),
         ("llava_in_the_wild", "AURORA_LLAVA_WILD",
-         "data/llava_in_the_wild/test.jsonl")):
+         "data/llava_in_the_wild/test.jsonl"),
+        # same generate-then-judge protocol (lmms-eval dirs:
+        # tasks/llava-bench-coco, tasks/llava_wilder,
+        # tasks/wild_vision_bench, tasks/vibe_eval,
+        # tasks/multilingual-llava-bench-in-the-wild)
+        ("llava_bench_coco", "AURORA_LLAVA_BENCH_COCO",
+         "data/llava_bench_coco/test.jsonl"),
+        ("llava_wilder", "AURORA_LLAVA_WILDER",
+         "data/llava_wilder/test.jsonl"),
+        ("wild_vision_bench", "AURORA_WILD_VISION",
+         "data/wild_vision_bench/test.jsonl"),
+        ("vibe_eval", "AURORA_VIBE_EVAL", "data/vibe_eval/test.jsonl"),
+        ("llava_wild_multilingual", "AURORA_LLAVA_WILD_ML",
+         "data/llava_wild_multilingual/test.jsonl")):
     _path = os.environ.get(_env, _default)
     if os.path.exists(_path):
         register_image_judge_task(_name, _path)

@@ -39,7 +39,12 @@ POST_PROMPT = ("\nAnswer with the option's letter from the given "
 
 def doc_to_visual(doc):
     base = doc.get("_root", "")
-    return [os.path.join(base, doc["image"])]
+    img = doc["image"]
+    if isinstance(img, (list, tuple)):  # multi-image benchmarks
+        # (muirbench tasks/muirbench/utils.py, mirb tasks/mirb/utils.py:
+        #  the images feed the visual stream in order, like video frames)
+        return [os.path.join(base, i) for i in img]
+    return [os.path.join(base, img)]
 
 
 def answer_index(doc) -> int:
@@ -153,6 +158,21 @@ BENCHMARKS = (
      True),
     ("vstar_bench", "AURORA_VSTAR", "data/vstar_bench/test.jsonl",
      True),
+    # (lmms-eval dirs: tasks/cmmmu, tasks/iconqa, tasks/ii_bench,
+    #  tasks/mmmu_pro, tasks/mmupd, tasks/qbench, tasks/seedbench_2_plus
+    #  — the same letter-MC protocol over their own datasets)
+    ("cmmmu", "AURORA_CMMMU", "data/cmmmu/val.jsonl", True),
+    ("iconqa", "AURORA_ICONQA", "data/iconqa/test.jsonl", False),
+    ("ii_bench", "AURORA_IIBENCH", "data/ii_bench/test.jsonl", False),
+    ("mmmu_pro", "AURORA_MMMU_PRO", "data/mmmu_pro/test.jsonl", False),
+    ("mmupd", "AURORA_MMUPD", "data/mmupd/test.jsonl", True),
+    ("qbench", "AURORA_QBENCH", "data/qbench/dev.jsonl", False),
+    ("seedbench2_plus", "AURORA_SEEDBENCH2PLUS",
+     "data/seedbench2_plus/test.jsonl", True),
+    # multi-image MC (image lists; tasks/muirbench, tasks/mirb)
+    ("muirbench", "AURORA_MUIRBENCH", "data/muirbench/test.jsonl",
+     True),
+    ("mirb", "AURORA_MIRB", "data/mirb/test.jsonl", True),
 )
 
 for _name, _env, _default, _bycat in BENCHMARKS:

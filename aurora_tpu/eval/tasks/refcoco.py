@@ -84,6 +84,47 @@ def register_refcoco(dataset_path: str, name: str = "refcoco_val"):
     ))
 
 
-_path = os.environ.get("AURORA_REFCOCO", "data/refcoco/val.jsonl")
+def screenspot_process_results(doc, result):
+    """ScreenSpot GUI grounding (lmms-eval tasks/screenspot): the
+    predicted CLICK POINT (or a predicted box's center) must land inside
+    the ground-truth element box."""
+    gt = doc_to_target(doc)
+    raw = [int(x) for x in re.findall(r"\d+", result[0])]
+    if len(raw) >= 4:  # a predicted box → use its center
+        cx, cy = (raw[0] + raw[2]) / 2, (raw[1] + raw[3]) / 2
+    elif len(raw) >= 2:
+        cx, cy = raw[0], raw[1]
+    else:
+        return {"point_acc": 0.0}
+    x1, y1, x2, y2 = gt
+    return {"point_acc": float(x1 <= cx <= x2 and y1 <= cy <= y2)}
+
+
+def register_screenspot(dataset_path: str, name: str = "screenspot"):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.refcoco:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.refcoco:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.refcoco:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.refcoco:"
+                        "screenspot_process_results",
+        metric_aggregations={"point_acc": "mean"},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0.0}))
+
+
+# refcoco / refcoco+ / refcocog share one protocol (lmms-eval dirs:
+# tasks/refcoco, tasks/refcoco+, tasks/refcocog); ScreenSpot adds
+# point-in-box scoring (tasks/screenspot)
+for _name, _env, _default in (
+        ("refcoco", "AURORA_REFCOCO", "data/refcoco/val.jsonl"),
+        ("refcoco_plus", "AURORA_REFCOCO_PLUS",
+         "data/refcoco_plus/val.jsonl"),
+        ("refcocog", "AURORA_REFCOCOG", "data/refcocog/val.jsonl")):
+    _path = os.environ.get(_env, _default)
+    if os.path.exists(_path):
+        register_refcoco(_path, name=(_name if _name != "refcoco"
+                                      else "refcoco_val"))
+
+_path = os.environ.get("AURORA_SCREENSPOT", "data/screenspot/test.jsonl")
 if os.path.exists(_path):
-    register_refcoco(_path)
+    register_screenspot(_path)

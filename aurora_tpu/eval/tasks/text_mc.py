@@ -25,7 +25,7 @@ import numpy as np
 
 from aurora_tpu.eval.api import TaskConfig, register_task
 
-_LETTERS = "ABCDEFGH"
+_LETTERS = "ABCDEFGHIJ"  # mmlu-pro carries up to 10 options
 
 
 # --- MMLU ------------------------------------------------------------------
@@ -161,6 +161,12 @@ def register_arc(dataset_path: str, name: str = "arc_challenge"):
 
 for _reg, _name, _env, _default in (
         (register_mmlu, "mmlu", "AURORA_MMLU", "data/mmlu/test.jsonl"),
+        # same letter-loglikelihood protocol (lmms-eval tasks/gpqa —
+        # 4-option science MC; tasks/mmlu_pro — 10-option MC whose
+        # "category" rides the subject key)
+        (register_mmlu, "gpqa", "AURORA_GPQA", "data/gpqa/main.jsonl"),
+        (register_mmlu, "mmlu_pro", "AURORA_MMLU_PRO",
+         "data/mmlu_pro/test.jsonl"),
         (register_hellaswag, "hellaswag", "AURORA_HELLASWAG",
          "data/hellaswag/val.jsonl"),
         (register_arc, "arc_challenge", "AURORA_ARC_CHALLENGE",

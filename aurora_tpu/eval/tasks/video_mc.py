@@ -554,7 +554,11 @@ for _reg, _env, _default in (
         (register_perceptiontest, "AURORA_PERCEPTIONTEST",
          "data/perceptiontest/val.jsonl"),
         (register_tempcompass, "AURORA_TEMPCOMPASS",
-         "data/tempcompass/mc.jsonl")):
+         "data/tempcompass/mc.jsonl"),
+        # VITATECS temporal-concept MC (lmms-eval tasks/vitatecs) rides
+        # the generic candidates/answer MC protocol per aspect
+        (lambda p: register_video_mc("vitatecs", p, by_category=True),
+         "AURORA_VITATECS", "data/vitatecs/test.jsonl")):
     _path = os.environ.get(_env, _default)
     if os.path.exists(_path):
         _reg(_path)

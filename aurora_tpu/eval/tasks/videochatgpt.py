@@ -337,3 +337,20 @@ def register_videochatgpt_tasks(base_dir: str,
 _base = os.environ.get("AURORA_VIDEOCHATGPT_DIR", "data/videochatgpt")
 if os.path.isdir(_base):
     register_videochatgpt_tasks(_base)
+
+# Video Detail Description (lmms-eval tasks/video_detail_description):
+# the videochatgpt GENERIC judge protocol (correctness/detail/context
+# axes) over its own caption set — one jsonl, same two-phase flow
+_vdd = os.environ.get("AURORA_VIDEO_DETAIL",
+                      "data/video_detail_description/test.jsonl")
+if os.path.exists(_vdd):
+    register_task(TaskConfig(
+        name="video_detail_description",
+        dataset_path=_vdd,
+        doc_to_visual="aurora_tpu.eval.tasks.videochatgpt:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.videochatgpt:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.videochatgpt:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.videochatgpt:"
+                        "process_results_generation_only",
+        metric_aggregations={},
+        generation_kwargs={"max_new_tokens": 256, "temperature": 0.0}))

@@ -109,7 +109,11 @@ def register_videoqa_task(name: str, dataset_path: str,
 
 
 for _name, _env in (("activitynetqa", "AURORA_ACTIVITYNETQA"),
-                    ("videochatgpt_qa", "AURORA_VIDEOCHATGPT")):
+                    ("videochatgpt_qa", "AURORA_VIDEOCHATGPT"),
+                    # same generate-then-judge open-ended video QA
+                    # (lmms-eval tasks/cvrr, tasks/worldqa)
+                    ("cvrr", "AURORA_CVRR"),
+                    ("worldqa", "AURORA_WORLDQA")):
     _path = os.environ.get(_env, f"data/{_name}/test.jsonl")
     if os.path.exists(_path):
         register_videoqa_task(_name, _path)

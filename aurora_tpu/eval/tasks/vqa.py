@@ -141,6 +141,44 @@ def chartqa_process_results(doc, result):
     return {"relaxed_acc": score}
 
 
+def squad_f1(pred: str, gt: str) -> float:
+    """SQuAD-style token F1 (lmms-eval tasks/websrc/utils.py metric)."""
+    p = pred.strip().lower().split()
+    g = gt.strip().lower().split()
+    if not p or not g:
+        return float(p == g)
+    common = {}
+    for t in p:
+        common[t] = common.get(t, 0)
+    hits = 0
+    remaining = dict()
+    for t in g:
+        remaining[t] = remaining.get(t, 0) + 1
+    for t in p:
+        if remaining.get(t, 0) > 0:
+            hits += 1
+            remaining[t] -= 1
+    if hits == 0:
+        return 0.0
+    prec = hits / len(p)
+    rec = hits / len(g)
+    return 2 * prec * rec / (prec + rec)
+
+
+def websrc_process_results(doc, result):
+    score = max(squad_f1(result[0], gt) for gt in doc_to_target(doc))
+    return {"squad_f1": score}
+
+
+def em_process_results(doc, result):
+    """Exact-match after normalization (lmms-eval tasks/vcr_wiki
+    scoring family)."""
+    pred = result[0].strip().lower()
+    score = max(float(pred == str(gt).strip().lower())
+                for gt in doc_to_target(doc))
+    return {"exact_match": score}
+
+
 def ocrbench_process_results(doc, result):
     pred = result[0].strip().lower().replace("\n", " ")
     score = float(any(str(gt).strip().lower() in pred
@@ -232,20 +270,59 @@ def register_ocrbench_task(dataset_path: str, name: str = "ocrbench"):
         generation_kwargs={"max_new_tokens": 64, "temperature": 0.0}))
 
 
+def register_websrc_task(name: str, dataset_path: str):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.vqa:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.vqa:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.vqa:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.vqa:"
+                        "websrc_process_results",
+        metric_aggregations={"squad_f1": "mean"},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0.0}))
+
+
+def register_em_task(name: str, dataset_path: str):
+    return register_task(TaskConfig(
+        name=name, dataset_path=dataset_path,
+        doc_to_visual="aurora_tpu.eval.tasks.vqa:doc_to_visual",
+        doc_to_text="aurora_tpu.eval.tasks.vqa:doc_to_text",
+        doc_to_target="aurora_tpu.eval.tasks.vqa:doc_to_target",
+        process_results="aurora_tpu.eval.tasks.vqa:em_process_results",
+        metric_aggregations={"exact_match": "mean"},
+        generation_kwargs={"max_new_tokens": 32, "temperature": 0.0}))
+
+
 for _name, _env in (("vqav2", "AURORA_VQAV2"), ("gqa", "AURORA_GQA"),
                     ("textvqa", "AURORA_TEXTVQA"),
                     ("vizwiz_vqa", "AURORA_VIZWIZ"),
-                    ("ok_vqa", "AURORA_OKVQA")):
+                    ("ok_vqa", "AURORA_OKVQA"),
+                    # Russian GQA split — same open-ended protocol
+                    # (lmms-eval tasks/gqa_ru)
+                    ("gqa_ru", "AURORA_GQA_RU")):
     _path = os.environ.get(_env, f"data/{_name}/val.jsonl")
     if os.path.exists(_path):
         register_vqa_task(_name, _path)
 
 for _name, _env in (("docvqa", "AURORA_DOCVQA"),
                     ("infovqa", "AURORA_INFOVQA"),
-                    ("stvqa", "AURORA_STVQA")):
+                    ("stvqa", "AURORA_STVQA"),
+                    # ANLS families: tasks/multidocvqa (multi-page ANLS)
+                    # and tasks/synthdog (donut-style normalized edit
+                    # similarity == ANLS over the OCR transcription)
+                    ("multidocvqa", "AURORA_MULTIDOCVQA"),
+                    ("synthdog", "AURORA_SYNTHDOG")):
     _path = os.environ.get(_env, f"data/{_name}/val.jsonl")
     if os.path.exists(_path):
         register_docvqa_task(_name, _path)
+
+_path = os.environ.get("AURORA_WEBSRC", "data/websrc/dev.jsonl")
+if os.path.exists(_path):
+    register_websrc_task("websrc", _path)
+
+_path = os.environ.get("AURORA_VCR_WIKI", "data/vcr_wiki/test.jsonl")
+if os.path.exists(_path):
+    register_em_task("vcr_wiki", _path)
 
 _path = os.environ.get("AURORA_CHARTQA", "data/chartqa/test.jsonl")
 if os.path.exists(_path):

@@ -269,3 +269,87 @@ def test_pope_generation_e2e(zoo_env):
     res = simple_evaluate(model, ["zoo_pope_tiny"])
     metrics = res["results"]["zoo_pope_tiny"]
     assert set(metrics) >= {"pope_accuracy", "pope_f1", "pope_yes_ratio"}
+
+
+# --- round-3 batch-2 additions ---------------------------------------------
+
+def test_gsm8k_extraction():
+    from aurora_tpu.eval.tasks import gsm8k
+    doc = {"question": "2+2?", "answer": "It is simple.\n#### 4"}
+    assert gsm8k.gold_answer(doc) == "4"
+    r = gsm8k.process_results(doc, ["Let's see... 2+2 = 4. The answer is 4"])
+    assert r["exact_match_flexible"] == 1.0
+    assert r["exact_match_strict"] == 1.0
+    r = gsm8k.process_results(doc, ["I think it is 5"])
+    assert r["exact_match_flexible"] == 0.0
+    assert r["exact_match_strict"] == 0.0
+    # commas and dollars normalize ("#### 1,234")
+    assert gsm8k.gold_answer({"answer": "#### 1,234"}) == "1234"
+    assert gsm8k.extract_flexible("costs $1,234.") == "1234"
+
+
+def test_ifeval_verifiers():
+    from aurora_tpu.eval.tasks import ifeval
+    t = "My answer has a [placeholder].\n\nP.S. done"
+    v = ifeval.check_instructions(
+        t, ["detectable_content:number_placeholders",
+            "detectable_content:postscript",
+            "punctuation:no_comma",
+            "keywords:existence"],
+        [{"num_placeholders": 1}, {"postscript_marker": "P.S."},
+         {}, {"keywords": ["answer", "placeholder"]}])
+    assert v == [True, True, True, True]
+    assert ifeval.check_instructions("a, b", ["punctuation:no_comma"],
+                                     [{}]) == [False]
+    assert ifeval.check_instructions(
+        "<<My Title>> ok", ["detectable_format:title"], [{}]) == [True]
+    assert ifeval.check_instructions(
+        '{"a": 1}', ["detectable_format:json_format"], [{}]) == [True]
+    assert ifeval.check_instructions(
+        "word " * 10, ["length_constraints:number_words"],
+        [{"num_words": 5, "relation": "at least"}]) == [True]
+    # unknown instruction ids surface as None, and fail prompt-level
+    assert ifeval.check_instructions("x", ["bogus:id"], [{}]) == [None]
+    r = ifeval.process_results(
+        {"instruction_id_list": ["punctuation:no_comma", "bogus:id"],
+         "kwargs": [{}, {}]}, ["no commas here"])
+    assert r["prompt_level_strict_acc"] == 0.0
+    assert r["inst_level_strict_acc"]["unknown"] == ["bogus:id"]
+
+
+def test_squad_f1_and_em():
+    assert vqa.squad_f1("the cat sat", "the cat sat") == 1.0
+    assert vqa.squad_f1("cat", "the cat") > 0.5
+    assert vqa.squad_f1("dog", "cat") == 0.0
+    r = vqa.em_process_results({"answers": ["Paris"]}, ["paris"])
+    assert r["exact_match"] == 1.0
+
+
+def test_screenspot_point_in_box():
+    from aurora_tpu.eval.tasks import refcoco
+    doc = {"bbox": [10, 10, 50, 50], "height": 100, "width": 100}
+    # predicted box center inside gt
+    r = refcoco.screenspot_process_results(doc, ["(20, 20, 40, 40)"])
+    assert r["point_acc"] == 1.0
+    # bare point outside
+    r = refcoco.screenspot_process_results(doc, ["click at (90, 90)"])
+    assert r["point_acc"] == 0.0
+    r = refcoco.screenspot_process_results(doc, ["no numbers"])
+    assert r["point_acc"] == 0.0
+
+
+def test_multi_image_doc_to_visual():
+    doc = {"image": ["a.npy", "b.npy"], "_root": "/x",
+           "question": "?", "options": ["y", "n"], "answer": 0}
+    assert image_mc.doc_to_visual(doc) == ["/x/a.npy", "/x/b.npy"]
+    assert image_mc.doc_to_visual(
+        {"image": "c.npy", "_root": "/x"}) == ["/x/c.npy"]
+
+
+def test_mmlu_pro_ten_options():
+    docs = {"question": "q", "subject": "law",
+            "choices": [f"opt{i}" for i in range(10)], "answer": 9}
+    text = text_mc.mmlu_doc_to_text(docs)
+    assert "J. opt9" in text
+    assert text_mc.mmlu_target(docs) == "J"
+    assert len(text_mc.mmlu_doc_to_choice(docs)) == 10
