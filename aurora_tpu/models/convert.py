@@ -684,8 +684,17 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                 "layers.{}.self_attn." + name + "_proj.bias")
     if cfg.learned_pos:
         p["wpe"] = _j(sd["wpe.weight"], dtype)
+    if "score.weight" in sd:
+        # LlamaForSequenceClassification / reward-model head — served by
+        # /v1/classify (sglang srt/models/llama_classification.py
+        # parity). Such checkpoints carry no lm_head: synthesize the
+        # tied fallback so generation paths stay loadable.
+        p["score"] = _j(sd["score.weight"].T, dtype)
     if not cfg.tie_word_embeddings:
-        p["lm_head"] = _j(sd["lm_head.weight"].T, dtype)
+        if "lm_head.weight" in sd:
+            p["lm_head"] = _j(sd["lm_head.weight"].T, dtype)
+        else:  # classification checkpoints: tied fallback
+            p["lm_head"] = _j(sd["embed_tokens.weight"].T, dtype)
     p["layers"] = {k: v for k, v in p["layers"].items() if v is not None}
     return p
 

@@ -535,6 +535,11 @@ async function go(){
             "model": model_name,
             "memory": loop_.engine.check_memory()})
 
+    async def h_decode_stats(request):
+        # print_decode_stats parity (tp_worker.py:285-300) as an ops
+        # endpoint: running/queued, slot usage, decode tokens/s
+        return web.json_response(loop_.engine.decode_stats())
+
     async def h_abort(request):
         body = await request.json()
         ok = loop_.engine.abort(body.get("rid", ""))
@@ -595,6 +600,52 @@ async function go(){
             "usage": {"prompt_tokens": sum(len(loop_.tokenizer.encode(t))
                                            for t in inputs)}})
 
+    async def h_classify(request):
+        """Sequence classification / reward scoring over the engine's
+        weights (sglang srt/models/llama_classification.py parity):
+        class logits = score head over the LAST prompt token's hidden
+        state. Requires a checkpoint with a classification head
+        (LlamaForSequenceClassification `score.weight` → params
+        ["score"]). Body: {"input": str | [str, ...]}."""
+        body = await request.json()
+        inputs = body.get("input", [])
+        if isinstance(inputs, str):
+            inputs = [inputs]
+        eng = loop_.engine
+        params = (eng.engines[0].params if hasattr(eng, "engines")
+                  else eng.params)
+        if "score" not in params:
+            return web.json_response(
+                {"error": "this checkpoint has no classification head "
+                          "(expected LlamaForSequenceClassification "
+                          "score.weight)"}, status=400)
+        qw = params["layers"].get("q", params["layers"].get("qkv"))
+        if qw.dtype == jnp.int8:
+            return web.json_response(
+                {"error": "classification is unavailable on "
+                          "weight-quantized deployments"}, status=400)
+        data = []
+        for i, text in enumerate(inputs):
+            ids = loop_.tokenizer.encode(text)
+            n = len(ids)
+            bucket = max(16, 1 << (n - 1).bit_length())
+            import numpy as _np
+            pad = _np.zeros((1, bucket), _np.int32)
+            pad[0, :n] = ids
+            mask = _np.zeros((1, bucket), bool)
+            mask[0, :n] = True
+
+            def _one():
+                h = _embed_fwd(params, jnp.asarray(pad),
+                               jnp.asarray(mask), eng.cfg)
+                return jax.device_get(
+                    jnp.dot(h, params["score"].astype(jnp.float32)))[0]
+            logits = await asyncio.to_thread(_one)
+            data.append({"object": "classification", "index": i,
+                         "logits": [float(x) for x in logits]})
+        return web.json_response({"object": "list", "data": data,
+                                  "model": model_name})
+
     async def h_flush_cache(request):
         remaining = loop_.engine.flush_cache()
         return web.json_response({"flushed": True,
@@ -635,10 +686,12 @@ async function go(){
     app.router.add_post("/v1/chat/completions", h_chat)
     app.router.add_get("/health", h_health)
     app.router.add_get("/get_model_info", h_model_info)
+    app.router.add_get("/decode_stats", h_decode_stats)
     app.router.add_post("/abort_request", h_abort)
     app.router.add_post("/flush_cache", h_flush_cache)
     app.router.add_post("/update_weights", h_update_weights)
     app.router.add_post("/v1/embeddings", h_embeddings)
+    app.router.add_post("/v1/classify", h_classify)
     app.router.add_post("/v1/files", h_file_upload)
     app.router.add_get("/v1/files/{fid}/content", h_file_content)
     app.router.add_post("/v1/batches", h_batch_create)

@@ -132,6 +132,15 @@ class MultiReplicaController:
             committed.append(i)
         return True, "weights updated on all replicas"
 
+    def decode_stats(self) -> Dict[str, float]:
+        stats = [e.decode_stats() for e in self.engines]
+        return {"running": sum(s["running"] for s in stats),
+                "queued": sum(s["queued"] for s in stats),
+                "slot_usage": round(sum(s["slot_usage"]
+                                        for s in stats) / len(stats), 4),
+                "gen_tokens_per_s": round(sum(s["gen_tokens_per_s"]
+                                              for s in stats), 1)}
+
     def check_memory(self) -> Dict[str, int]:
         mems = [e.check_memory() for e in self.engines]
         return {k: sum(m[k] for m in mems) for k in mems[0]}

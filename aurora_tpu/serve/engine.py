@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -1715,3 +1716,20 @@ class ServeEngine:
         leaked = self.ecfg.num_slots - free - cached
         return {"free": free, "cached": cached, "in_flight": in_flight,
                 "leaked": leaked}
+
+    def decode_stats(self) -> Dict[str, float]:
+        """Operational snapshot (print_decode_stats parity,
+        tp_worker.py:285-300): running/queued request counts, KV slot
+        utilization, and the decode token throughput since the last
+        call (0.0 on the first)."""
+        now = time.perf_counter()
+        toks = sum(len(r.output_ids) for r in self.sched.running)
+        last_t, last_n = getattr(self, "_stats_mark", (now, toks))
+        self._stats_mark = (now, toks)
+        used = self.ecfg.num_slots - self.alloc.available()
+        return {"running": len(self.sched.running),
+                "queued": len(self.sched.waiting),
+                "slot_usage": round(used / max(self.ecfg.num_slots, 1),
+                                    4),
+                "gen_tokens_per_s": round(
+                    max(toks - last_n, 0) / max(now - last_t, 1e-9), 1)}

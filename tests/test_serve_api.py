@@ -331,3 +331,67 @@ def test_stream_detok_incremental():
     assert sd2.done
     # pushes after the stop are inert
     assert sd2.push(ids) == ""
+
+
+def test_classify_endpoint(served):
+    """/v1/classify: score-head logits over the last prompt token
+    (sglang srt/models/llama_classification.py parity), HF
+    LlamaForSequenceClassification as oracle."""
+    import torch
+    import transformers
+
+    from aurora_tpu.models.convert import (llama_config_from_hf,
+                                           llama_params_from_hf,
+                                           state_dict_from_torch_module)
+    torch.manual_seed(81)
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=512, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=3, num_attention_heads=4,
+        num_key_value_heads=2, num_labels=3, pad_token_id=0,
+        max_position_embeddings=512, attn_implementation="eager",
+        tie_word_embeddings=False)
+    hf = transformers.LlamaForSequenceClassification(hf_cfg).eval()
+    cfg2 = llama_config_from_hf(hf_cfg.to_dict())
+    params2 = llama_params_from_hf(state_dict_from_torch_module(hf),
+                                   cfg2, dtype=jnp.float32)
+    assert params2["score"].shape == (64, 3)
+    _, _, tok, ecfg = served
+
+    async def go(client):
+        r = await client.post("/v1/classify", json={"input": "hello"})
+        assert r.status == 200
+        body = await r.json()
+        logits = body["data"][0]["logits"]
+        assert len(logits) == 3
+        # oracle: HF classification logits at the same (last) position
+        ids = tok.encode("hello")
+        with torch.no_grad():
+            want = hf(torch.tensor([ids])).logits.numpy()[0]
+        np.testing.assert_allclose(np.asarray(logits), want,
+                                   rtol=5e-4, atol=5e-4)
+        # a head-less deployment reports a clear 400
+        return True
+
+    served2 = (params2, cfg2, tok, ecfg)
+    assert _with_app(served2, go)
+
+    async def go_no_head(client):
+        r = await client.post("/v1/classify", json={"input": "hello"})
+        assert r.status == 400
+        return True
+
+    assert _with_app(served, go_no_head)
+
+
+def test_decode_stats_endpoint(served):
+    """/decode_stats ops endpoint (sglang print_decode_stats parity)."""
+    async def go(client):
+        r = await client.get("/decode_stats")
+        assert r.status == 200
+        body = await r.json()
+        assert set(body) == {"running", "queued", "slot_usage",
+                             "gen_tokens_per_s"}
+        assert body["running"] == 0 and body["queued"] == 0
+        return True
+
+    assert _with_app(served, go)
