@@ -186,6 +186,95 @@ class _TraceBackend:
         return f"<gen_{len(self.ops) - 1}>"
 
 
+class _Placeholder(str):
+    """Lazy argument used during compilation tracing: stringifies to a
+    stable marker so f-strings/concats in user code leave substitution
+    points in the recorded message template (the role sglang's
+    SglArgument plays, lang/compiler.py tracing)."""
+
+    def __new__(cls, name: str):
+        return super().__new__(cls, "{__" + name + "__}")
+
+
+class _RecordingState(State):
+    """Trace-time State: records every applied piece instead of (for
+    messages) or in addition to (for gens) executing it."""
+
+    def __init__(self):
+        super().__init__(_TraceBackend())
+        self.program: List[Any] = []
+
+    def __iadd__(self, piece):
+        if isinstance(piece, _Assistant):
+            piece = piece.gen
+        if isinstance(piece, _Message):
+            self.program.append(("msg", piece.role, piece.content))
+        elif isinstance(piece, _Gen):
+            self.program.append(("gen", piece))
+            # placeholder capture so later prompt text referencing
+            # state[name] stays a substitution point
+            self.captured[piece.name] = "{__gen_" + piece.name + "__}"
+        else:
+            piece.apply(self)
+        return self
+
+
+class CompiledFunction:
+    """Static op-graph form of a program (lang/compiler.py parity):
+    the Python body runs ONCE at compile time against placeholder
+    arguments; each .run() replays the recorded message/gen sequence
+    with argument substitution — no user Python on the hot path, and
+    run_batch dispatches instances concurrently so the server batches
+    their decode steps."""
+
+    def __init__(self, program: List[Any], arg_names: Sequence[str]):
+        self.program = program
+        self.arg_names = list(arg_names)
+
+    def graph(self) -> List[Dict[str, Any]]:
+        """Inspectable op list: roles/templates and gen dependencies
+        (a gen depends on every earlier op in the chat chain)."""
+        out = []
+        for op in self.program:
+            if op[0] == "msg":
+                out.append({"op": "msg", "role": op[1], "template": op[2]})
+            else:
+                g = op[1]
+                out.append({"op": "gen", "name": g.name,
+                            "depends_on": len(out)})
+        return out
+
+    def _subst(self, text: str, kwargs: Dict[str, Any],
+               captured: Dict[str, str]) -> str:
+        for k, v in kwargs.items():
+            text = text.replace("{__" + k + "__}", str(v))
+        for k, v in captured.items():
+            text = text.replace("{__gen_" + k + "__}", v)
+        return text
+
+    def run(self, backend=None, **kwargs) -> State:
+        backend = backend or _default_backend
+        assert backend is not None, \
+            "call set_default_backend(RuntimeEndpoint(...)) first"
+        state = State(backend)
+        for op in self.program:
+            if op[0] == "msg":
+                state += _Message(op[1], self._subst(op[2], kwargs,
+                                                     state.captured))
+            else:
+                op[1].apply(state)
+        return state
+
+    def run_batch(self, batch_kwargs: Sequence[Dict[str, Any]],
+                  backend=None, num_threads: int = 8) -> List[State]:
+        from concurrent.futures import ThreadPoolExecutor
+        backend = backend or _default_backend
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            futs = [pool.submit(self.run, backend=backend, **kw)
+                    for kw in batch_kwargs]
+            return [f.result() for f in futs]
+
+
 class function:  # noqa: N801 — decorator name matches the reference API
     """@function — wraps a program; .run(**kwargs) executes it."""
 
@@ -219,6 +308,16 @@ class function:  # noqa: N801 — decorator name matches the reference API
         state = State(tb)
         self.fn(state, **kwargs)
         return tb.ops
+
+    def compile(self, arg_names: Sequence[str] = ()) -> CompiledFunction:
+        """Trace the body once with placeholder arguments into a static
+        op graph (lang/compiler.py parity). Limitation shared with the
+        reference compiler: control flow that branches on an argument's
+        VALUE is frozen at its traced path — such programs should use
+        .run/.run_batch (the interpreter) instead."""
+        rec = _RecordingState()
+        self.fn(rec, **{a: _Placeholder(a) for a in arg_names})
+        return CompiledFunction(rec.program, arg_names)
 
     def __call__(self, state: State, **kwargs):
         return self.fn(state, **kwargs)

@@ -152,3 +152,45 @@ def test_run_batch_concurrent(echo):
     assert all(isinstance(st["out"], str) and st["out"] for st in states)
     assert all(st.messages[0]["content"] == f"question {i}"
                for i, st in enumerate(states))
+
+
+def test_compile_static_graph(echo):
+    """function.compile traces the body once into a static op graph
+    (sglang lang/compiler.py parity): argument substitution + gen-result
+    references replay without re-running user Python."""
+    from aurora_tpu.lang import RuntimeEndpoint, function, gen, system, user
+
+    calls = {"n": 0}
+
+    @function
+    def prog(s, topic, style):
+        calls["n"] += 1
+        s += system(f"You write {style} text.")
+        s += user(f"Write about {topic}.")
+        s += gen("draft", max_tokens=8)
+        s += user(f"Improve this {style} draft: {s['draft']}")
+        s += gen("final", max_tokens=8)
+
+    cf = prog.compile(arg_names=["topic", "style"])
+    assert calls["n"] == 1  # body ran exactly once, at compile time
+    g = cf.graph()
+    assert [op["op"] for op in g] == ["msg", "msg", "gen", "msg", "gen"]
+    assert "{__topic__}" in g[1]["template"]
+    assert "{__gen_draft__}" in g[3]["template"]
+
+    backend = RuntimeEndpoint(f"http://127.0.0.1:{echo.port}")
+    st = cf.run(backend=backend, topic="tpus", style="terse")
+    assert calls["n"] == 1  # replay did NOT re-run the Python body
+    assert st.messages[0]["content"] == "You write terse text."
+    assert st.messages[1]["content"] == "Write about tpus."
+    # the second prompt embeds the ACTUAL first generation
+    assert st["draft"] in st.messages[3]["content"]
+    assert "{__" not in st.messages[3]["content"]
+    assert st["final"]
+
+    # batched replay: per-instance substitution survives concurrency
+    states = cf.run_batch(
+        [{"topic": f"t{i}", "style": "dry"} for i in range(4)],
+        backend=backend, num_threads=4)
+    assert all(s.messages[1]["content"] == f"Write about t{i}."
+               for i, s in enumerate(states))
