@@ -79,14 +79,36 @@ def _vit_stage(jax, jnp, detail):
     clips = [jnp.asarray(host.standard_normal((FRAMES, 3, IMAGE_SIZE,
                                                IMAGE_SIZE)), jnp.bfloat16)
              for _ in range(E2E_VIDEOS)]
+    # group G clips per dispatch (G*FRAMES frames in one kernel wave):
+    # fewer relay round-trips + fuller MXU tiles than per-clip calls.
+    # Tail clips (E2E_VIDEOS % G) go through the per-clip shape.
+    group = max(1, int(os.environ.get("BENCH_VIT_GROUP", 4)))
     t0 = time.perf_counter()
-    out = enc(params, pj, clips[0])
-    _sync(out)
-    print(f"[bench] vit compile {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+    if group > 1:
+        try:
+            out = enc(params, pj, jnp.concatenate(clips[:group]))
+            _sync(out)
+        except Exception as e:  # noqa: BLE001 — e.g. HBM at big groups
+            print(f"[bench] vit group={group} failed ({str(e)[:120]}); "
+                  "per-clip fallback", file=sys.stderr)
+            group = 1
+    n_grouped = (E2E_VIDEOS // group) * group
+    if n_grouped < E2E_VIDEOS or group == 1:
+        out = enc(params, pj, clips[0])
+        _sync(out)
+    print(f"[bench] vit compile {time.perf_counter() - t0:.1f}s "
+          f"(group={group})", file=sys.stderr)
 
     t0 = time.perf_counter()
-    embeds = [enc(params, pj, c) for c in clips]
+    embeds = []
+    for i in range(0, n_grouped, group):
+        if group > 1:
+            g = enc(params, pj, jnp.concatenate(clips[i:i + group]))
+            embeds.extend(g.reshape(group, FRAMES, *g.shape[1:]))
+        else:
+            embeds.append(enc(params, pj, clips[i]))
+    for c in clips[n_grouped:]:
+        embeds.append(enc(params, pj, c))
     _sync(embeds[-1])
     t_vit = time.perf_counter() - t0
     detail["e2e_vit_encode_s"] = round(t_vit, 3)
