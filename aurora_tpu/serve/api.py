@@ -550,6 +550,23 @@ async function go(){
     import jax
     import jax.numpy as jnp
 
+    def _offline_fwd_unavailable(params):
+        """Why the offline llama_apply path (embeddings/classify) can't
+        run on this deployment's params, or None if it can. MLA layouts
+        (q_a/kv_a latents) and quantized weights have no llama_apply
+        forward — answer a clean 400, never a 500."""
+        layers = params.get("layers", {})
+        qw = layers.get("q", layers.get("qkv"))
+        if qw is None:
+            return ("are unavailable on this architecture (no dense "
+                    "q/qkv projection — e.g. MLA latent attention)")
+        if qw.dtype == jnp.int8:
+            # llama_apply has no W8A8/W4 path; silently dotting raw
+            # int8/packed matrices would return garbage
+            return ("are unavailable on weight-quantized deployments "
+                    "(start without --weight-quant)")
+        return None
+
     @functools.partial(jax.jit, static_argnames=("cfg",))
     def _embed_fwd(params, ids, mask, cfg):
         from aurora_tpu.models.llama import llama_apply
@@ -571,14 +588,10 @@ async function go(){
         eng = loop_.engine
         params = (eng.engines[0].params if hasattr(eng, "engines")
                   else eng.params)
-        qw = params["layers"].get("q", params["layers"].get("qkv"))
-        if qw.dtype == jnp.int8:
-            # llama_apply has no W8A8 path; silently dotting raw int8
-            # matrices would return garbage embeddings
-            return web.json_response(
-                {"error": "embeddings are unavailable on weight-quantized "
-                          "deployments (start without --weight-quant)"},
-                status=400)
+        err = _offline_fwd_unavailable(params)
+        if err:
+            return web.json_response({"error": "embeddings " + err},
+                                     status=400)
         data = []
         for i, text in enumerate(inputs):
             ids = loop_.tokenizer.encode(text)
@@ -619,11 +632,10 @@ async function go(){
                 {"error": "this checkpoint has no classification head "
                           "(expected LlamaForSequenceClassification "
                           "score.weight)"}, status=400)
-        qw = params["layers"].get("q", params["layers"].get("qkv"))
-        if qw.dtype == jnp.int8:
+        err = _offline_fwd_unavailable(params)
+        if err:
             return web.json_response(
-                {"error": "classification is unavailable on "
-                          "weight-quantized deployments"}, status=400)
+                {"error": "classification logits " + err}, status=400)
         data = []
         for i, text in enumerate(inputs):
             ids = loop_.tokenizer.encode(text)

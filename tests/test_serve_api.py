@@ -395,3 +395,39 @@ def test_decode_stats_endpoint(served):
         return True
 
     assert _with_app(served, go)
+
+
+def test_offline_fwd_endpoints_mla_400(served):
+    """/v1/embeddings and /v1/classify answer a clean 400 (not a 500
+    AttributeError) on architectures without a dense q/qkv projection
+    (MLA latent attention — deepseek-v2 layouts)."""
+    params, cfg, tok, ecfg = served
+
+    async def run():
+        engine = ServeEngine(params, cfg, ecfg)
+        loop_ = ServingLoop(engine, tok)
+        await loop_.start()
+        # simulate an MLA deployment: latent projections, no q/qkv
+        engine.params = dict(engine.params)
+        engine.params["layers"] = {
+            k: v for k, v in engine.params["layers"].items()
+            if k not in ("q", "qkv")}
+        engine.params["layers"]["q_a"] = jnp.zeros((2, 4, 4))
+        app = build_app(loop_, "tiny")
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r1 = await client.post("/v1/embeddings",
+                                   json={"input": "x"})
+            b1 = await r1.json()
+            r2 = await client.post("/v1/classify", json={"input": "x"})
+            b2 = await r2.json()
+            return r1.status, b1, r2.status, b2
+        finally:
+            await client.close()
+            loop_._task.cancel()
+
+    s1, b1, s2, b2 = asyncio.run(run())
+    assert s1 == 400 and "architecture" in b1["error"]
+    # classify reports the missing head first (checkpoint has no score)
+    assert s2 == 400
