@@ -1113,6 +1113,10 @@ class ServeEngine:
             # match the live tree: quantize the incoming bf16 weights the
             # same way engine init did
             new_params = quantize_weights_int8(dict(new_params))
+        elif self.ecfg.weight_quant == "int4" and \
+                "q_scale4" not in new_layers and \
+                "qkv_scale4" not in new_layers:
+            new_params = quantize_weights_int4(dict(new_params))
         if "qkv" in self.params.get("layers", {}) and \
                 "qkv" not in new_params.get("layers", {}):
             new_params = fuse_serving_weights(new_params)

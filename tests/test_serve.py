@@ -917,3 +917,25 @@ def test_fused_weight_streams_parity(tiny_engine, rng, wq):
     assert fused == plain
     # source tree untouched without free_source
     assert "q" in params["layers"]
+
+
+@pytest.mark.parametrize("wq", ["int8", "int4"])
+def test_update_weights_on_quantized_engine(tiny_engine, rng, wq):
+    """update_weights on a weight-quantized engine quantizes the
+    incoming bf16/fp32 tree the same way engine init did (int8 AND
+    int4 — the production W4 deployment must stay live-reloadable)."""
+    import dataclasses as dc
+    params, cfg, ecfg = tiny_engine
+    eng = ServeEngine({**params, "layers": dict(params["layers"])}, cfg,
+                      dc.replace(ecfg, weight_quant=wq))
+    ids = [int(x) for x in rng.integers(3, 128, size=9)]
+    out1 = _run_engine(eng, [Request(rid="a", input_ids=list(ids),
+                                     max_new_tokens=4, eos_ids=(-1,))])
+    other = init_llama_params(jax.random.PRNGKey(123), cfg,
+                              dtype=jnp.float32)
+    ok, msg = eng.update_weights(other)
+    assert ok, msg
+    out2 = _run_engine(eng, [Request(rid="b", input_ids=list(ids),
+                                     max_new_tokens=4, eos_ids=(-1,))])
+    assert out1["a"].output_ids != out2["b"].output_ids
+    assert eng.check_memory()["leaked"] == 0
