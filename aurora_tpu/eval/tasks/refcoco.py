@@ -46,8 +46,19 @@ def compute_iou(b1, b2) -> float:
     return inter / (a1 + a2 - inter)
 
 
+def _coords(text: str, grid: int = 100):
+    """Numbers from a model response, decimal-aware: '(0.52, 0.48)'
+    must parse as two normalized coordinates (scaled onto the 0-grid
+    target space), not shred into [0, 52, 0, 48] via an int-only
+    regex."""
+    vals = [float(x) for x in re.findall(r"-?\d+(?:\.\d+)?", text)]
+    if vals and all(0.0 <= v <= 1.0 for v in vals):
+        vals = [v * grid for v in vals]
+    return vals
+
+
 def parse_bbox(text: str):
-    nums = [int(x) for x in re.findall(r"\d+", text)]
+    nums = _coords(text)
     return nums[:4] if len(nums) >= 4 else None
 
 
@@ -89,7 +100,7 @@ def screenspot_process_results(doc, result):
     predicted CLICK POINT (or a predicted box's center) must land inside
     the ground-truth element box."""
     gt = doc_to_target(doc)
-    raw = [int(x) for x in re.findall(r"\d+", result[0])]
+    raw = _coords(result[0])
     if len(raw) >= 4:  # a predicted box → use its center
         cx, cy = (raw[0] + raw[2]) / 2, (raw[1] + raw[3]) / 2
     elif len(raw) >= 2:

@@ -31,15 +31,24 @@ _LETTERS = string.ascii_uppercase
 
 def extract_characters_regex(s: str) -> str:
     """videomme/utils.py:336-356 verbatim semantics: strip known answer
-    prefixes, reject long non-letter ramble, first [ABCD] hit."""
+    prefixes, reject long non-letter ramble, first [ABCD] hit.
+
+    NOTE the adjacent-string concatenation in the last two entries
+    ("The best option isThe correct option is", "Best answer:Best
+    option:") reproduces the reference list BYTE-FOR-BYTE
+    (videomme/utils.py:343-344 has the same missing commas) — so e.g.
+    "Best answer: C" scores as "B" there too. Kept deliberately: the
+    benchmark's published numbers were computed with this extractor,
+    and separating the prefixes would silently shift our scores off
+    the reference's."""
     s = s.strip()
     answer_prefixes = [
         "The best answer is",
         "The correct answer is",
         "The answer is",
         "The answer",
-        "The best option is" "The correct option is",
-        "Best answer:" "Best option:",
+        "The best option is" "The correct option is",  # sic — see above
+        "Best answer:" "Best option:",                 # sic — see above
     ]
     for answer_prefix in answer_prefixes:
         s = s.replace(answer_prefix, "")

@@ -213,9 +213,16 @@ def mathvista_process_results(doc, result):
         pred = parse_multi_choice_response(result[0], letters)
         want = doc["answer"]
         if not isinstance(want, str) or want.upper() not in letters:
-            # answer given as the option text → map to its letter
-            want = _LETTERS[[str(o) for o in doc["options"]].index(
-                str(want))]
+            opts = [str(o) for o in doc["options"]]
+            if str(want) in opts:
+                # answer given as the option text → map to its letter
+                want = _LETTERS[opts.index(str(want))]
+            elif isinstance(want, int) and 0 <= want < len(opts):
+                # answer given as an int option INDEX (image_mc
+                # convention) — not as option text
+                want = _LETTERS[want]
+            else:  # unmappable ground truth: score 0, don't crash
+                return {"mathvista_acc": 0.0}
         return {"mathvista_acc": float(pred == str(want).upper())}
     score = max(relaxed_accuracy(result[0], gt)
                 for gt in doc_to_target(doc))

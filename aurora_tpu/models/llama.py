@@ -235,31 +235,19 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, max_len: int,
 
 
 def _mlp_act(cfg: LlamaConfig, gate):
-    """MLP activation: SiLU (llama family), tanh-approx GELU in fp32
-    (gemma GeGLU / Starcoder2), or exact GELU."""
-    if cfg.hidden_act == "gelu_tanh":
-        return jax.nn.gelu(gate.astype(jnp.float32),
-                           approximate=True).astype(gate.dtype)
-    if cfg.hidden_act == "gelu":
-        return jax.nn.gelu(gate.astype(jnp.float32),
-                           approximate=False).astype(gate.dtype)
-    return jax.nn.silu(gate)
+    """MLP activation — shared dispatch (ops/norms.py family_act)."""
+    from aurora_tpu.ops.norms import family_act
+    return family_act(cfg, gate)
 
 
 def _dnorm(cfg: LlamaConfig, x, tree, key):
-    """Decoder norm dispatch: RMSNorm (default), torch LayerNorm with
+    """Decoder norm dispatch — shared with the serving engine
+    (ops/norms.py family_norm): RMSNorm (default), torch LayerNorm with
     the '<key>_bias' companion param (StableLM/Starcoder2; OLMo stores
     ones/zeros for its non-parametric variant), or Cohere's bias-free
     mean-centered LN (Command-R)."""
-    if cfg.norm_type == "layernorm":
-        from aurora_tpu.ops.norms import layer_norm
-        return layer_norm(x, tree[key], tree[key + "_bias"],
-                          cfg.rms_norm_eps)
-    if cfg.norm_type == "cohere":
-        from aurora_tpu.ops.norms import cohere_layer_norm
-        return cohere_layer_norm(x, tree[key], cfg.rms_norm_eps)
-    return rms_norm(x, tree[key], cfg.rms_norm_eps,
-                    upcast_weight_mul=cfg.norm_upcast_mul)
+    from aurora_tpu.ops.norms import family_norm
+    return family_norm(cfg, x, tree[key], tree.get(key + "_bias"))
 
 
 def _qknorm(cfg: LlamaConfig, x, w):

@@ -59,3 +59,36 @@ def cohere_layer_norm(x: jnp.ndarray, weight: jnp.ndarray,
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
     """CLIP activation: x * sigmoid(1.702 x)."""
     return x * jnp.reciprocal(1.0 + jnp.exp(-1.702 * x))
+
+
+def family_norm(cfg, x: jnp.ndarray, weight: jnp.ndarray,
+                bias: jnp.ndarray = None) -> jnp.ndarray:
+    """Decoder-family norm dispatch — the ONE source of truth shared by
+    the offline modeling (models/llama.py llama_apply) and the serving
+    engine (serve/engine.py _forward_rows): RMSNorm (default, optional
+    (1+w) fp32 multiply via cfg.norm_upcast_mul), torch LayerNorm with
+    optional bias (StableLM/OLMo/Starcoder2), or Cohere's bias-free
+    mean-centered LN (Command-R). Keeping this in one place means a new
+    family's norm variant cannot drift between offline and served
+    outputs."""
+    if cfg.norm_type == "layernorm":
+        return layer_norm(x, weight,
+                          bias if bias is not None
+                          else jnp.zeros_like(weight), cfg.rms_norm_eps)
+    if cfg.norm_type == "cohere":
+        return cohere_layer_norm(x, weight, cfg.rms_norm_eps)
+    return rms_norm(x, weight, cfg.rms_norm_eps,
+                    upcast_weight_mul=cfg.norm_upcast_mul)
+
+
+def family_act(cfg, gate: jnp.ndarray) -> jnp.ndarray:
+    """MLP activation dispatch shared by modeling and serving: SiLU
+    (llama family), tanh-approx GELU in fp32 (gemma GeGLU /
+    Starcoder2), or exact GELU."""
+    if cfg.hidden_act == "gelu_tanh":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=True).astype(gate.dtype)
+    if cfg.hidden_act == "gelu":
+        return jax.nn.gelu(gate.astype(jnp.float32),
+                           approximate=False).astype(gate.dtype)
+    return jax.nn.silu(gate)

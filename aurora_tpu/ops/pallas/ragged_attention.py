@@ -232,7 +232,6 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     aligned = T % qb == 0
     qr_pad = -(-qr // qb) * qb
     hb = _pick_hb(Hkv, head_block)
-    import os as _os
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
         print(f"[ragged] extend hb={hb} qb={qb} qr_pad={qr_pad} "

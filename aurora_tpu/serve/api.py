@@ -116,23 +116,39 @@ class StreamDetok:
         self.stop = stop
         self.prefix = 0      # decode-window start (last clean boundary)
         self.read = 0        # tokens already rendered into `acc`
+        self.window = []     # ids[prefix:read] snapshot (rewrite detect)
         self.acc = ""        # full decoded text so far
         self.sent = 0        # chars already returned to the client
         self.done = False    # stop string reached
 
-    def push(self, ids) -> str:
-        """ids: full output_ids so far → newly-stable text delta."""
+    def push(self, ids, final: bool = False) -> str:
+        """ids: full output_ids so far → newly-stable text delta.
+        final=True (the stream's done event) flushes text held back
+        behind an incomplete-UTF-8 boundary instead of dropping it."""
         if self.done:
             return ""
         ids = [int(t) for t in ids]
-        last = self.tok.decode(ids[self.prefix:self.read],
-                               skip_special_tokens=True)
-        new = self.tok.decode(ids[self.prefix:],
-                              skip_special_tokens=True)
-        if len(new) > len(last) and not new.endswith("�"):
-            self.acc += new[len(last):]
-            self.prefix = self.read
+        if ids[self.prefix:self.read] != self.window:
+            # output_ids were REWRITTEN, not appended — jump-forward
+            # retokenization healing rewinds the list to the canonical
+            # tokenization of the same text (engine._maybe_jump). The
+            # incremental window is meaningless now: resync from a full
+            # decode. Already-sent chars stay monotonic (`sent` never
+            # rewinds), so clients see no duplication.
+            self.acc = self.tok.decode(ids, skip_special_tokens=True)
             self.read = len(ids)
+            self.prefix = max(0, self.read - 4)
+        else:
+            last = self.tok.decode(ids[self.prefix:self.read],
+                                   skip_special_tokens=True)
+            new = self.tok.decode(ids[self.prefix:],
+                                  skip_special_tokens=True)
+            if len(new) > len(last) and (final
+                                         or not new.endswith("�")):
+                self.acc += new[len(last):]
+                self.prefix = self.read
+                self.read = len(ids)
+        self.window = ids[self.prefix:self.read]
         text = self.acc
         if self.stop:
             i = text.find(self.stop)
@@ -140,7 +156,7 @@ class StreamDetok:
                 text = text[:i]
                 self.done = True
         delta = text[self.sent:]
-        self.sent = len(text)
+        self.sent = max(self.sent, len(text))
         return delta
 
 
@@ -272,7 +288,7 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
                 await resp.write(
                     f"data: {json.dumps({'error': str(r)})}\n\n".encode())
                 break
-            delta = detok.push(r.output_ids)
+            delta = detok.push(r.output_ids, final=(kind == "done"))
             if not delta and kind != "done":
                 continue  # held back (incomplete UTF-8) or no new tokens
             if openai == "chat":

@@ -44,7 +44,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from aurora_tpu.models.llama import LlamaConfig
-from aurora_tpu.ops.norms import rms_norm
 from aurora_tpu.ops.pallas.ragged_attention import (
     ragged_attention, ragged_decode_attention)
 from aurora_tpu.ops.rope import apply_rope, rope_cos_sin
@@ -309,27 +308,10 @@ def _qkv(cfg: LlamaConfig, lp, h):
     return q, k, v
 
 
-def _norm(cfg: LlamaConfig, x, w, b=None):
-    if cfg.norm_type == "layernorm":  # StableLM/OLMo/Starcoder2
-        from aurora_tpu.ops.norms import layer_norm
-        return layer_norm(x, w, b if b is not None
-                          else jnp.zeros_like(w), cfg.rms_norm_eps)
-    if cfg.norm_type == "cohere":  # Command-R bias-free mean-centered
-        from aurora_tpu.ops.norms import cohere_layer_norm
-        return cohere_layer_norm(x, w, cfg.rms_norm_eps)
-    return rms_norm(x, w, cfg.rms_norm_eps,
-                    upcast_weight_mul=cfg.norm_upcast_mul)
-
-
-def _act(cfg: LlamaConfig, gate):
-    """MLP activation: SiLU / tanh-approx GELU (fp32) / exact GELU."""
-    if cfg.hidden_act == "gelu_tanh":
-        return jax.nn.gelu(gate.astype(jnp.float32),
-                           approximate=True).astype(gate.dtype)
-    if cfg.hidden_act == "gelu":
-        return jax.nn.gelu(gate.astype(jnp.float32),
-                           approximate=False).astype(gate.dtype)
-    return jax.nn.silu(gate)
+# one source of truth with the offline modeling (ops/norms.py): a norm
+# or activation variant added for a new family lands in BOTH paths
+from aurora_tpu.ops.norms import family_act as _act  # noqa: E402
+from aurora_tpu.ops.norms import family_norm as _norm  # noqa: E402
 
 
 def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None, h=None):
@@ -1419,6 +1401,7 @@ class ServeEngine:
     def _accept_token(self, req: Request, tok: int, logprob: float,
                       top_lp, top_ids) -> None:
         req.output_ids.append(tok)
+        self._gen_total = getattr(self, "_gen_total", 0) + 1
         if req.logprobs:
             req.output_logprobs.append(logprob)
             req.output_top_logprobs.append(
@@ -1727,7 +1710,10 @@ class ServeEngine:
         utilization, and the decode token throughput since the last
         call (0.0 on the first)."""
         now = time.perf_counter()
-        toks = sum(len(r.output_ids) for r in self.sched.running)
+        # cumulative accepted-token counter — NOT a sum over running
+        # requests (finished requests would vanish between polls and
+        # clamp a busy server's rate to 0)
+        toks = getattr(self, "_gen_total", 0)
         last_t, last_n = getattr(self, "_stats_mark", (now, toks))
         self._stats_mark = (now, toks)
         used = self.ecfg.num_slots - self.alloc.available()

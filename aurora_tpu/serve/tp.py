@@ -86,7 +86,23 @@ def tp_param_specs(params: Params) -> Params:
                 # Cohere per-head qk-norm weights [L, H, hd]: the head
                 # axis follows the column-sharded q/k heads
                 out[name] = P(None, "tp", None)
-            else:  # norms, MoE router, anything else: replicated
+            elif base in ("moe_gate", "moe_up"):
+                # experts megatron-sharded on the MLP-width axis
+                # [L, E, D, F] — every shard runs ALL experts on its
+                # width slice, the router stays replicated, and the
+                # existing down-proj psum sums the partials (without
+                # this, replicated experts + psum returned tp× the MLP)
+                out[name] = P(None, None, None, "tp")
+            elif base == "moe_down":                # [L, E, F, D]
+                out[name] = P(None, None, "tp", None)
+            elif base in ("moe_shared_gate", "moe_shared_up"):
+                out[name] = P(None, None, "tp")     # [L, D, Fs]
+            elif base == "moe_shared_down":
+                out[name] = P(None, "tp", None)     # [L, Fs, D]
+            else:  # norms, MoE router + scalar shared gate (their
+                # outputs are token-scalars identical on every shard,
+                # and the sigmoid gate distributes over the psum),
+                # anything else: replicated
                 out[name] = P(*([None] * w.ndim))
         return out
 

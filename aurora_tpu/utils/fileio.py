@@ -123,6 +123,14 @@ def open_file(path: str, mode: str = "rb"):
             raw.decode("utf-8"))
     backend = get_backend(path)
 
+    if "b" not in mode:  # text write: encode on close
+        class _WT(io.StringIO):
+            def close(self_w):
+                backend.put(str(path), self_w.getvalue().encode("utf-8"))
+                super().close()
+
+        return _WT()
+
     class _W(io.BytesIO):
         def close(self_w):
             backend.put(str(path), self_w.getvalue())

@@ -939,3 +939,45 @@ def test_update_weights_on_quantized_engine(tiny_engine, rng, wq):
                                      max_new_tokens=4, eos_ids=(-1,))])
     assert out1["a"].output_ids != out2["b"].output_ids
     assert eng.check_memory()["leaked"] == 0
+
+
+def test_engine_tp2_moe_matches_tp1(rng):
+    """TP-sharded MoE serving: expert weights are megatron-sharded on
+    the MLP-width axis (router replicated), so the down-proj psum sums
+    true partials. Regression: replicated experts + psum returned tp×
+    the MLP output. Covers routed experts AND the Qwen2-MoE-style
+    shared expert (sigmoid scalar gate distributes over the psum)."""
+    import dataclasses as dc
+    cfg = dc.replace(LlamaConfig.tiny(vocab_size=128),
+                     num_experts=4, num_experts_per_tok=2)
+    params = init_llama_params(jax.random.PRNGKey(11), cfg,
+                               dtype=jnp.float32)
+    lay = params["layers"]
+    assert "moe_router" in lay
+    L, D, Fs = cfg.num_hidden_layers, cfg.hidden_size, 24
+    keys = jax.random.split(jax.random.PRNGKey(12), 4)
+    sd = 0.2 / np.sqrt(D)
+    lay["moe_shared_gate"] = sd * jax.random.normal(
+        keys[0], (L, D, Fs), jnp.float32)
+    lay["moe_shared_up"] = sd * jax.random.normal(
+        keys[1], (L, D, Fs), jnp.float32)
+    lay["moe_shared_down"] = sd * jax.random.normal(
+        keys[2], (L, Fs, D), jnp.float32)
+    lay["moe_shared_gate_w"] = sd * jax.random.normal(
+        keys[3], (L, D, 1), jnp.float32)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    ids = [int(x) for x in rng.integers(3, 128, size=13)]
+
+    def run(tp):
+        eng = ServeEngine({**params, "layers": dict(lay)}, cfg,
+                          __import__("dataclasses").replace(ecfg, tp=tp))
+        done = _run_engine(eng, [Request(rid="m", input_ids=list(ids),
+                                         max_new_tokens=6,
+                                         eos_ids=(-1,))])
+        assert eng.check_memory()["leaked"] == 0
+        return done["m"].output_ids
+
+    t1 = run(1)
+    assert run(2) == t1

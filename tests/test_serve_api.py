@@ -431,3 +431,46 @@ def test_offline_fwd_endpoints_mla_400(served):
     assert s1 == 400 and "architecture" in b1["error"]
     # classify reports the missing head first (checkpoint has no score)
     assert s2 == 400
+
+
+def test_stream_detok_rewrite_and_final_flush():
+    """StreamDetok survives output_ids REWRITES (jump-forward
+    retokenization healing replaces the token list with the canonical
+    tokenization of the same text) without garbling or duplicating, and
+    final=True flushes text held behind an incomplete-UTF-8 tail."""
+    from transformers import AutoTokenizer
+
+    from aurora_tpu.serve.api import StreamDetok
+    from utils import make_tiny_xtuner_dir
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        root, *_ = make_tiny_xtuner_dir(d + "/m")
+        tok = AutoTokenizer.from_pretrained(root)
+
+    text = "hello world this is streaming"
+    ids_a = tok.encode(text, add_special_tokens=False)
+    # a different tokenization of the SAME text (healing's invariant):
+    # re-encode the decoded text — then simulate the rewrite mid-stream
+    sd = StreamDetok(tok)
+    out = sd.push(ids_a[:3])
+    rewritten = list(ids_a[:2]) + list(
+        tok.encode(tok.decode(ids_a[2:], skip_special_tokens=True),
+                   add_special_tokens=False))
+    for i in range(2, len(rewritten) + 1):
+        out += sd.push(rewritten[:i])
+    out += sd.push(rewritten, final=True)
+    full = tok.decode(rewritten, skip_special_tokens=True)
+    # no duplication and no garbling: what was emitted is exactly the
+    # full decode (or a monotonic prefix that the final flush completed)
+    assert out == full
+
+    # final flush releases an incomplete-UTF-8 tail (byte-level token
+    # cut mid-multibyte would hold '�' back forever without final=True)
+    sd2 = StreamDetok(tok)
+    ids_b = tok.encode("abc", add_special_tokens=False)
+    partial = "".join(sd2.push(ids_b[:i + 1])
+                      for i in range(len(ids_b)))
+    final_delta = sd2.push(ids_b, final=True)
+    assert partial + final_delta == tok.decode(
+        ids_b, skip_special_tokens=True)
