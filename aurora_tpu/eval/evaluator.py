@@ -44,6 +44,13 @@ def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
             # multiple-choice: per-choice Σ log p(choice | context);
             # process_results receives the loglikelihood list
             # (lmms-eval output_type multiple_choice / mc_ppl parity)
+            if not hasattr(model, "loglikelihood_choices"):
+                raise ValueError(
+                    f"task {task.cfg.name!r} scores by loglikelihood, "
+                    f"which {type(model).__name__} cannot provide "
+                    "(HTTP-served models expose generated-token "
+                    "logprobs only) — run it with --model auroracap, "
+                    "or use the task's generation variant")
             preds = [model.loglikelihood_choices(doc, task)
                      for doc in docs]
         else:

@@ -41,11 +41,25 @@ class AuroraCapEval:
         return clip_preprocess(list(raw), size=self.image_size,
                                crop=self.image_size)
 
+    def _frames_all(self, visuals) -> np.ndarray:
+        """doc_to_visual returns a LIST: one video/image for most tasks,
+        N images for multi-image benchmarks (muirbench/mirb). Multi-image
+        docs map each image to ONE frame of AuroraCap's native
+        multi-frame input — dropping all but visuals[0] would silently
+        answer comparison questions from the first image alone."""
+        if len(visuals) == 1:
+            return self._frames(visuals[0])
+        raws = []
+        for v in visuals:
+            raw = v if isinstance(v, np.ndarray) else read_video(v, 1)
+            raws.append(np.asarray(raw)[0])
+        return clip_preprocess(raws, size=self.image_size,
+                               crop=self.image_size)
+
     def generate_until(self, doc, task) -> str:
-        visual = task.doc_to_visual(doc)[0]
         prompt = task.doc_to_text(doc)
         gk = task.cfg.generation_kwargs
-        px = self._frames(visual)
+        px = self._frames_all(task.doc_to_visual(doc))
         return caption(
             self.params, self.cfg, self.tokenizer, pixel_values=px,
             prompt=prompt,
@@ -79,7 +93,7 @@ class AuroraCapEval:
                               image_size=self.image_size)
         reqs = []
         for i, doc in enumerate(docs):
-            px = self._frames(task.doc_to_visual(doc)[0])
+            px = self._frames_all(task.doc_to_visual(doc))
             prompt_text = build_video_prompt(task.doc_to_text(doc),
                                              px.shape[0],
                                              PROMPT_TEMPLATE.vicuna)
@@ -160,9 +174,9 @@ class AuroraCapEval:
                                           encode_with_image_tokens)
         from aurora_tpu.utils.templates import PROMPT_TEMPLATE
         choices = task.doc_to_choice(doc)
-        visual = (task.doc_to_visual(doc)[0] if task.doc_to_visual
-                  else None)
-        px = self._frames(visual) if visual is not None else None
+        visuals = (task.doc_to_visual(doc) if task.doc_to_visual
+                   else None)
+        px = self._frames_all(visuals) if visuals else None
         prompt = task.doc_to_text(doc)
         if px is not None:
             prompt = build_video_prompt(prompt, px.shape[0],

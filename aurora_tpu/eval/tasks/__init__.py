@@ -144,6 +144,10 @@ def catalog_status():
             pre, rest = base.split("{", 1)
             opts = rest.split("}")[0].split(",")
             return any(pre + o + rest.split("}")[1] in live for o in opts)
-        return base in live
+        # registries may suffix the split/protocol (refcoco → refcoco_val,
+        # perceptiontest → perceptiontest_mc): accept the common variants
+        # so a ready task never shows as 'needs data' in list-cfg
+        return any(base + suf in live
+                   for suf in ("", "_val", "_test", "_dev", "_mc"))
     return [(n, env, path, _hit(n))
             for n, (env, path) in TASK_CATALOG.items()]

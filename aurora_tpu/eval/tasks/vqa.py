@@ -147,9 +147,6 @@ def squad_f1(pred: str, gt: str) -> float:
     g = gt.strip().lower().split()
     if not p or not g:
         return float(p == g)
-    common = {}
-    for t in p:
-        common[t] = common.get(t, 0)
     hits = 0
     remaining = dict()
     for t in g:

@@ -47,17 +47,25 @@ def doc_to_target(doc):
 
 
 def parse_yes_no(pred: str) -> str:
-    """lmms-eval pope/mme answer parsing: leading token match, then
-    substring fallback; anything else counts as 'other' (wrong)."""
+    """lmms-eval pope/mme answer parsing (mme/utils.py parse_pred_ans
+    semantics): exact match, single-letter y/n, then a substring check
+    over the FIRST 4 CHARS only — a whole-response substring fallback
+    would turn 'I cannot determine' into 'no' ('no' ⊂ 'cannot') and
+    'nothing is visible' into 'no'; anything else is 'other' (wrong)."""
     text = pred.lower().strip().rstrip(".")
     if text in ("yes", "no"):
         return text
+    if text == "y":
+        return "yes"
+    if text == "n":
+        return "no"
     head = text.split(",")[0].split()[0] if text.split() else ""
     if head in ("yes", "no"):
         return head
-    if "yes" in text and "no" not in text:
+    prefix = text[:4]  # reference checks only this window
+    if "yes" in prefix:
         return "yes"
-    if "no" in text and "yes" not in text:
+    if "no" in prefix:  # incl. "not …" — a negation IS a no
         return "no"
     return "other"
 

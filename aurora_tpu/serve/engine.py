@@ -388,7 +388,10 @@ def quantize_weights_int8(params: Params,
     quantize a 7B next to 16GB of HBM). The input pytree is MUTATED."""
     out = dict(params)
     layers = dict(params["layers"])
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+    for name in ("q", "k", "v", "o", "gate", "up", "down",
+                 "qkv", "gateup"):  # incl. pre-fused trees —
+        # skipping them would silently serve mostly-bf16 weights
+        # while reporting weight_quant
         if name not in layers:
             continue
         layers[name], layers[name + "_scale"] = _w8(layers[name])
@@ -444,7 +447,10 @@ def quantize_weights_int4(params: Params, free_source: bool = False,
     free_source contract matches quantize_weights_int8."""
     out = dict(params)
     layers = dict(params["layers"])
-    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+    for name in ("q", "k", "v", "o", "gate", "up", "down",
+                 "qkv", "gateup"):  # incl. pre-fused trees —
+        # skipping them would silently serve mostly-bf16 weights
+        # while reporting weight_quant
         if name not in layers:
             continue
         layers[name], layers[name + "_scale4"] = _w4(layers[name], group)

@@ -225,7 +225,9 @@ def _llm_stage(jax, jnp, embeds, detail):
         return min(t1, t2), n
 
     t_llm = n_videos = None
-    for b in [x for x in (LLM_BATCH, 24, 16, 8, 2) if x <= LLM_BATCH]:
+    ladder = list(dict.fromkeys(  # dedupe: never retry the failing batch
+        x for x in (LLM_BATCH, 24, 16, 8, 2) if x <= LLM_BATCH))
+    for b in ladder:
         try:
             t_llm, n_videos = best_of_2(run_e2e, b)
             detail["e2e_llm_batch"] = b

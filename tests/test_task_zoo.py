@@ -47,11 +47,22 @@ def test_image_mc_aggregates():
 # --- yes/no families --------------------------------------------------------
 
 def test_parse_yes_no():
+    """mme/utils.py parse_pred_ans semantics: exact / y,n / first-4-chars
+    substring window ONLY — a full-text substring fallback would score
+    'I cannot determine' as 'no' ('no' ⊂ 'cannot')."""
     assert yesno.parse_yes_no("Yes.") == "yes"
     assert yesno.parse_yes_no("no") == "no"
+    assert yesno.parse_yes_no("y") == "yes"
     assert yesno.parse_yes_no("Yes, there is a dog") == "yes"
-    assert yesno.parse_yes_no("There is no dog") == "no"
+    assert yesno.parse_yes_no("No, the plate is empty") == "no"
+    assert yesno.parse_yes_no("not really") == "no"
     assert yesno.parse_yes_no("maybe") == "other"
+    # regression: substrings OUTSIDE the 4-char window must not match
+    assert yesno.parse_yes_no("I cannot determine") == "other"
+    assert yesno.parse_yes_no("There is nothing visible") == "other"
+    # reference scores trailing mentions as 'other' too (POPE is
+    # exact-match; MME checks only the leading window)
+    assert yesno.parse_yes_no("There is no dog") == "other"
 
 
 def test_pope_metrics():
@@ -353,3 +364,47 @@ def test_mmlu_pro_ten_options():
     assert "J. opt9" in text
     assert text_mc.mmlu_target(docs) == "J"
     assert len(text_mc.mmlu_doc_to_choice(docs)) == 10
+
+
+def test_catalog_hit_suffixed_names(tmp_path):
+    """catalog_status recognizes registries that suffix the split
+    (refcoco → refcoco_val, perceptiontest → perceptiontest_mc) —
+    a ready task must not show as 'needs data' in list-cfg."""
+    import json as _json
+
+    from aurora_tpu.eval.tasks import catalog_status
+    from aurora_tpu.eval.tasks.refcoco import register_refcoco
+    f = tmp_path / "val.jsonl"
+    f.write_text(_json.dumps({"image": "x.jpg", "sentence": "s",
+                              "bbox": [0, 0, 5, 5], "height": 10,
+                              "width": 10}) + "\n")
+    register_refcoco(str(f))
+    rows = {n: ok for n, _, _, ok in catalog_status()}
+    assert rows["refcoco"] is True
+
+
+def test_grounding_decimal_coordinates():
+    """Decimal/normalized model outputs parse as coordinates instead of
+    shredding into digit runs ('(0.52, 0.48)' ≠ [0, 52, 0, 48])."""
+    from aurora_tpu.eval.tasks.refcoco import (_coords, parse_bbox,
+                                               screenspot_process_results)
+    assert _coords("(0.52, 0.48)") == [52.0, 48.0]
+    assert _coords("[10, 20, 30, 40]") == [10, 20, 30, 40]
+    assert parse_bbox("box: 0.1, 0.2, 0.5, 0.6") == [10, 20, 50, 60]
+    doc = {"bbox": [20, 30, 80, 90], "height": 100, "width": 100}
+    # normalized point prediction inside the gt box
+    r = screenspot_process_results(doc, ["(0.52, 0.48)"])
+    assert r["point_acc"] == 1.0
+    r = screenspot_process_results(doc, ["(0.05, 0.05)"])
+    assert r["point_acc"] == 0.0
+
+
+def test_mathvista_int_answer_no_crash():
+    from aurora_tpu.eval.tasks.vqa import mathvista_process_results
+    doc = {"options": ["10", "20", "30"], "answer": 1}
+    # int 1: matches no option TEXT "1" → falls to the int-INDEX branch
+    r = mathvista_process_results(doc, ["B"])
+    assert r["mathvista_acc"] == 1.0
+    doc2 = {"options": ["alpha", "beta"], "answer": 7}
+    r2 = mathvista_process_results(doc2, ["A"])  # unmappable → 0, no crash
+    assert r2["mathvista_acc"] == 0.0
