@@ -408,3 +408,31 @@ def test_mathvista_int_answer_no_crash():
     doc2 = {"options": ["alpha", "beta"], "answer": 7}
     r2 = mathvista_process_results(doc2, ["A"])  # unmappable → 0, no crash
     assert r2["mathvista_acc"] == 0.0
+
+
+def test_multi_image_mc_e2e(zoo_env):
+    """Multi-image doc (muirbench/mirb shape): ALL images flow into the
+    visual stream as frames — the adapter must not silently answer from
+    image 1 alone (round-3 regression)."""
+    base, model = zoo_env
+    rng = np.random.default_rng(3)
+    np.save(base / "img1.npy",
+            rng.integers(0, 255, (1, 56, 56, 3)).astype(np.uint8))
+    px = model._frames_all([str(base / "img0.npy"),
+                            str(base / "img1.npy")])
+    assert px.shape[0] == 2  # one frame per image
+    # and differs from the single-image load (image 2 is present)
+    px0 = model._frames_all([str(base / "img0.npy")])
+    assert px0.shape[0] == 1
+    assert not np.allclose(np.asarray(px[1]), np.asarray(px[0]))
+
+    with open(base / "multi.jsonl", "w") as f:
+        f.write(json.dumps({
+            "image": ["img0.npy", "img1.npy"], "_root": str(base),
+            "question": "which image has a cat?",
+            "options": ["first", "second"], "answer": 0}) + "\n")
+    from aurora_tpu.eval.tasks.image_mc import register_image_mc
+    register_image_mc("zoo_multi_tiny", str(base / "multi.jsonl"))
+    res = simple_evaluate(model, ["zoo_multi_tiny"])
+    val = res["results"]["zoo_multi_tiny"]["mc_accuracy"]["value"]
+    assert val in (0.0, 100.0)
