@@ -178,7 +178,6 @@ def load_balancing_loss(router_logits: jnp.ndarray, top_k: int):
     E = router_logits.shape[-1]
     probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
     _, top_idx = jax.lax.top_k(router_logits, top_k)
-    counts = jnp.zeros(router_logits.shape[:-1] + (E,), jnp.float32)
     counts = jnp.sum(jax.nn.one_hot(top_idx, E), axis=-2)
     f = jnp.mean(counts, axis=tuple(range(counts.ndim - 1))) / top_k
     p = jnp.mean(probs, axis=tuple(range(probs.ndim - 1)))

@@ -32,8 +32,18 @@ def init_distributed(coordinator_address: Optional[str] = None,
     Returns True if distributed mode was initialized."""
     import jax
 
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # "already initialized?" must NOT go through jax.process_count():
+    # that call initializes the local XLA backend as a side effect, after
+    # which jax.distributed.initialize() below raises ("must be called
+    # before any JAX computations") and the except turns every multi-host
+    # launch into a silent single-host run. Check the distributed
+    # client's own state instead (backend-free).
+    try:
+        from jax._src import distributed as _dist
+        if getattr(_dist.global_state, "client", None) is not None:
+            return True  # already initialized
+    except ImportError:  # private API moved: fall through, initialize()
+        pass             # itself raises cleanly on double-init
 
     if coordinator_address is None and "MASTER_ADDR" in os.environ \
             and "WORLD_SIZE" in os.environ:

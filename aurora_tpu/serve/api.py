@@ -42,16 +42,47 @@ class ServingLoop:
         self._events: Dict[str, asyncio.Queue] = {}
         self._task: Optional[asyncio.Task] = None
         self._wake: Optional[asyncio.Event] = None
+        # engine-mutating ops staged by handlers and applied between
+        # steps: engine.step runs in a worker thread (asyncio.to_thread)
+        # and mutates scheduler lists — a concurrent add_request/abort/
+        # flush from the event-loop thread would race the step thread's
+        # waiting.sort() (CPython raises 'list modified during sort' and
+        # the in-flight batch gets failed)
+        import collections
+        self._ops = collections.deque()
 
     async def start(self) -> None:
         self._wake = asyncio.Event()
         self._task = asyncio.create_task(self._run())
 
+    def _drain_ops(self) -> None:
+        """Apply staged engine mutations — called ONLY between steps."""
+        while self._ops:
+            fn, fut = self._ops.popleft()
+            try:
+                res = fn()
+                if fut is not None and not fut.cancelled():
+                    fut.set_result(res)
+            except Exception as e:  # noqa: BLE001 — deliver to caller
+                if fut is not None and not fut.cancelled():
+                    fut.set_exception(e)
+
+    async def call(self, fn):
+        """Run an engine-mutating callable between steps, await result."""
+        fut = asyncio.get_running_loop().create_future()
+        self._ops.append((fn, fut))
+        if self._wake is not None:
+            self._wake.set()
+        return await fut
+
     async def _run(self) -> None:
         while True:
+            self._drain_ops()
             if not self.engine.has_work():
                 # park until submit() wakes us (no idle polling)
                 self._wake.clear()
+                if self._ops:  # staged between drain and clear
+                    continue
                 await self._wake.wait()
                 continue
             try:
@@ -85,7 +116,9 @@ class ServingLoop:
     async def submit(self, req: Request) -> asyncio.Queue:
         q: asyncio.Queue = asyncio.Queue()
         self._events[req.rid] = q
-        self.engine.add_request(req)
+        # staged, not direct: a step may be mutating scheduler lists in
+        # its worker thread right now
+        self._ops.append((lambda: self.engine.add_request(req), None))
         if self._wake is not None:
             self._wake.set()
         return q
@@ -111,9 +144,11 @@ class StreamDetok:
     and holds back text while the tail is an incomplete UTF-8 sequence
     ('\\ufffd'). Stop-string trimming matches ServingLoop.detok."""
 
-    def __init__(self, tokenizer, stop: Optional[str] = None):
+    def __init__(self, tokenizer, stop=None):
         self.tok = tokenizer
-        self.stop = stop
+        # one stop string or a tuple of them (Request.stop_strs)
+        self.stops = ((stop,) if isinstance(stop, str)
+                      else tuple(stop or ()))
         self.prefix = 0      # decode-window start (last clean boundary)
         self.read = 0        # tokens already rendered into `acc`
         self.window = []     # ids[prefix:read] snapshot (rewrite detect)
@@ -150,11 +185,10 @@ class StreamDetok:
                 self.read = len(ids)
         self.window = ids[self.prefix:self.read]
         text = self.acc
-        if self.stop:
-            i = text.find(self.stop)
-            if i >= 0:
-                text = text[:i]
-                self.done = True
+        hits = [text.find(s) for s in self.stops if text.find(s) >= 0]
+        if hits:
+            text = text[:min(hits)]
+            self.done = True
         delta = text[self.sent:]
         self.sent = max(self.sent, len(text))
         return delta
@@ -280,8 +314,11 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
             headers={"Content-Type": "text/event-stream"})
         await resp.prepare(request)
         q = await loop_.submit(req)
+        # the request's stop strings, not stop_trim: stop_trim is only
+        # set by the ENGINE at finish time, so passing it here always
+        # handed StreamDetok None and streamed responses never trimmed
         detok = StreamDetok(loop_.tokenizer,
-                            getattr(req, "stop_trim", None))
+                            getattr(req, "stop_strs", None))
         while True:
             kind, r = await q.get()
             if kind == "error":
@@ -558,7 +595,9 @@ async function go(){
 
     async def h_abort(request):
         body = await request.json()
-        ok = loop_.engine.abort(body.get("rid", ""))
+        # staged: abort mutates scheduler lists the step thread may hold
+        ok = await loop_.call(
+            lambda: loop_.engine.abort(body.get("rid", "")))
         return web.json_response({"aborted": ok})
 
     import functools
@@ -675,7 +714,8 @@ async function go(){
                                   "model": model_name})
 
     async def h_flush_cache(request):
-        remaining = loop_.engine.flush_cache()
+        # staged: eviction mutates the radix tree the step thread reads
+        remaining = await loop_.call(loop_.engine.flush_cache)
         return web.json_response({"flushed": True,
                                   "cached_tokens": remaining})
 
@@ -701,7 +741,8 @@ async function go(){
                 status=400)
         deadline = time.monotonic() + float(body.get("drain_timeout", 10))
         while True:
-            ok, msg = loop_.engine.update_weights(new_params)
+            ok, msg = await loop_.call(
+                lambda: loop_.engine.update_weights(new_params))
             if ok or time.monotonic() > deadline:
                 break
             await asyncio.sleep(0.05)

@@ -122,8 +122,12 @@ class MultiReplicaController:
         old = [e.params for e in self.engines]
         committed = []
         for i, e in enumerate(self.engines):
-            ok, msg = e.update_weights(jax.device_put(
-                new_params, e.params["embed_tokens"].devices().pop()))
+            # hand the host tree straight to the engine: update_weights
+            # device_puts each leaf onto the LIVE leaf's own sharding —
+            # pre-placing the whole tree on one device would force a
+            # full unsharded model copy per replica (OOM for tp>1
+            # replicas whose model only fits sharded)
+            ok, msg = e.update_weights(new_params)
             if not ok:
                 for j in committed:  # rollback
                     self.engines[j].params = old[j]

@@ -730,12 +730,17 @@ def _sample_core(logits, counts, seen, samp, allowed, key,
     cum = jnp.cumsum(probs, axis=-1)
     cand = jnp.where((cum - probs) > samp["top_p"][:, None],
                      -jnp.inf, cand)
-    # min-p: drop candidates below min_p × max-prob
-    pmax = probs[:, :1]
+    # min-p: drop candidates below min_p × max-prob — computed on ONE
+    # distribution (the post-top-p renormalized candidates; the head of
+    # the descending list survives the masks, so [:, :1] is its max).
+    # Mixing a pre-top-p pmax with post-top-p candidate probs made the
+    # filter up to 1/top_p too lenient (HF MinPLogitsWarper semantics:
+    # both sides from the current distribution).
     lp_c = jax.nn.log_softmax(cand, axis=-1)
+    p_c = jnp.exp(lp_c)
     cand = jnp.where(
         (samp["min_p"][:, None] > 0)
-        & (jnp.exp(lp_c) < samp["min_p"][:, None] * pmax),
+        & (p_c < samp["min_p"][:, None] * p_c[:, :1]),
         -jnp.inf, cand)
 
     choice = jax.random.categorical(key, cand, axis=-1)
@@ -1033,6 +1038,15 @@ class ServeEngine:
                 f"tp={tp} must divide num_key_value_heads="
                 f"{self.cfg.num_key_value_heads} and "
                 f"num_attention_heads={self.cfg.num_attention_heads}")
+        fused = {"qkv", "gateup"} & set(self.params.get("layers", {}))
+        if fused:
+            # tp_param_specs would replicate unknown names, and the
+            # local head-slice math would silently compute first-shard
+            # heads on every device — refuse loudly instead
+            raise ValueError(
+                f"tp={tp} requires the per-name weight layout; fuse "
+                f"AFTER deciding tp (found fused {sorted(fused)} — "
+                "fuse_serving_weights is single-device only)")
         self.mesh = make_tp_mesh(self.ecfg.tp, devices)
         pspecs = tp_param_specs(self.params)
         self.params = shard_tree(self.params, pspecs, self.mesh)

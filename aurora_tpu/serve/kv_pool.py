@@ -78,13 +78,10 @@ class KVPool:
         if self.quant:
             self.ks, self.vs = d["ks"], d["vs"]
 
-    def write(self, slots: jnp.ndarray, k_new: jnp.ndarray,
-              v_new: jnp.ndarray) -> None:
-        """slots [N] int32; k_new/v_new [L, N, Hkv, D]. In-place via donation
-        at the jit boundary (engine threads the pool arrays through its
-        compiled step functions)."""
-        self.k = self.k.at[:, slots].set(k_new.astype(self.k.dtype))
-        self.v = self.v.at[:, slots].set(v_new.astype(self.v.dtype))
+    # NOTE: the engine writes the pool exclusively through its compiled
+    # _store_prompt path (scales + MLA layouts handled there); a naive
+    # write(slots, k, v) helper was removed — it dereferenced self.v
+    # (None for MLA) and skipped the quant scale planes.
 
     def hbm_bytes(self) -> int:
         n = int(np.prod(self.k.shape)) * self.k.dtype.itemsize

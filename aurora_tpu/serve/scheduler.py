@@ -41,7 +41,8 @@ class FinishReason(str, enum.Enum):
 class Request:
     rid: str
     input_ids: List[int]
-    sampling: SamplingParams = SamplingParams()
+    sampling: SamplingParams = dataclasses.field(
+        default_factory=SamplingParams)  # per-request instance
     max_new_tokens: int = 128
     eos_ids: tuple = (2,)
     stop_strs: tuple = ()          # OpenAI `stop` / template STOP_WORDS

@@ -981,3 +981,44 @@ def test_engine_tp2_moe_matches_tp1(rng):
 
     t1 = run(1)
     assert run(2) == t1
+
+
+def test_sample_core_min_p_post_top_p_consistency(rng):
+    """min-p filters on the SAME (post-top-p renormalized) distribution
+    as its pmax. Regression: pre-top-p pmax vs post-top-p candidate
+    probs let sub-threshold tokens survive (up to 1/top_p too lenient)."""
+    import jax
+    from aurora_tpu.serve.engine import _sample_core
+
+    # raw probs ∝ [0.5, 0.3, 0.2, ...tail]; top_p=0.5 keeps the first
+    # two → renormalized [0.625, 0.375]; min_p=0.7 must then drop the
+    # second (0.375 < 0.7×0.625). The buggy mix compared 0.375 against
+    # 0.7×0.5=0.35 and kept it.
+    V = 64
+    base = np.full(V, 1e-6)
+    base[:3] = [0.5, 0.3, 0.2]
+    logits = jnp.asarray([np.log(base / base.sum())], jnp.float32)
+    samp = {"temp": jnp.ones(1), "top_p": jnp.asarray([0.5]),
+            "top_k": jnp.zeros(1, jnp.int32),
+            "min_p": jnp.asarray([0.7]),
+            "rep": jnp.ones(1), "freq": jnp.zeros(1),
+            "pres": jnp.zeros(1)}
+    counts = jnp.zeros((1, V), jnp.float32)
+    seen = jnp.zeros((1, V), bool)
+    toks = {int(_sample_core(logits, counts, seen, samp, None,
+                             jax.random.PRNGKey(k))[0][0])
+            for k in range(24)}
+    assert toks == {0}, toks
+
+
+def test_engine_tp_rejects_fused_layout(tiny_engine):
+    """tp>1 on a pre-fused qkv/gateup tree must raise, not silently
+    compute first-shard heads on every device (tp_param_specs would
+    replicate the unknown fused names)."""
+    import dataclasses as dc
+    from aurora_tpu.serve.engine import fuse_serving_weights
+    params, cfg, ecfg = tiny_engine
+    fused = fuse_serving_weights({**params,
+                                  "layers": dict(params["layers"])})
+    with pytest.raises(ValueError, match="fused"):
+        ServeEngine(fused, cfg, dc.replace(ecfg, tp=2))

@@ -474,3 +474,59 @@ def test_stream_detok_rewrite_and_final_flush():
     final_delta = sd2.push(ids_b, final=True)
     assert partial + final_delta == tok.decode(
         ids_b, skip_special_tokens=True)
+
+
+def test_stream_stop_trim_matches_nonstream(served):
+    """Streamed responses trim stop strings exactly like the
+    non-streamed path (regression: StreamDetok was constructed with
+    stop_trim, which the engine only sets at finish → streams never
+    trimmed)."""
+    params, cfg, tok, ecfg = served
+
+    async def go(client):
+        body = {"text": "hello world", "max_new_tokens": 12,
+                "temperature": 0.0}
+        plain = await (await client.post("/generate", json=body)).json()
+        full = plain["text"]
+        # stop at a substring the greedy output provably contains
+        stop = full.strip().split()[-1]
+        r = await client.post("/generate", json={**body, "stop": [stop],
+                                                 "stream": True})
+        assert r.status == 200
+        streamed = ""
+        async for line in r.content:
+            line = line.decode()
+            if line.startswith("data: ") and "[DONE]" not in line:
+                payload = json.loads(line[len("data: "):])
+                streamed += payload.get("text", "")
+        want = full[:full.find(stop)]
+        assert streamed == want
+        return True
+
+    assert _with_app(served, go)
+
+
+def test_concurrent_submit_and_ops_during_steps(served):
+    """Requests submitted while steps are in flight, plus staged
+    flush_cache/abort between steps: nothing lost, nothing failed
+    (regression: scheduler lists were mutated from two threads)."""
+    async def go(client):
+        async def one(i):
+            r = await client.post("/generate", json={
+                "text": f"prompt number {i}", "max_new_tokens": 8,
+                "temperature": 0.0})
+            return (await r.json())["meta_info"]["completion_tokens"]
+
+        import asyncio as aio
+        tasks = [aio.create_task(one(i)) for i in range(6)]
+        await aio.sleep(0.05)           # steps are running now
+        fl = await client.post("/flush_cache", json={})
+        assert fl.status == 200
+        ab = await client.post("/abort_request", json={"rid": "nope"})
+        assert (await ab.json())["aborted"] is False
+        tasks += [aio.create_task(one(100 + i)) for i in range(4)]
+        done = await aio.gather(*tasks)
+        assert all(n == 8 for n in done), done
+        return True
+
+    assert _with_app(served, go)
