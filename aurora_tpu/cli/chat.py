@@ -81,9 +81,12 @@ def main():
             user = image_tokens + "\n" + user
         history += tpl["INSTRUCTION"].format(input=user, round=1)
         ids = ids_to_array(encode_with_image_tokens(history, tokenizer))
+        # px on EVERY turn: the accumulated history keeps its <image>
+        # markers, so turn 2+ must re-fuse the visual embeddings — with
+        # pixel_values=None the -200 marker ids would be embedded as
+        # (clipped) vocab rows and the image silently lost
         fused = aurora_forward(
-            params, cfg, jnp.asarray(ids),
-            px if (first and px is not None) else None,
+            params, cfg, jnp.asarray(ids), px,
             kept_ratio=args.token_kept_ratio, mode="inference")
         result = generate(
             params["llm"], cfg.llm, fused["inputs_embeds"],

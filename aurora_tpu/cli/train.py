@@ -219,6 +219,7 @@ def main():
         run_name=f"{args.stage}-{os.path.basename(args.work_dir)}",
         config=vars(args))
     it = iter(batched(iter(sampler), batch_size))
+    last_logged = start
     for step_i in range(start, tcfg.max_steps):
         try:
             idxs = next(it)
@@ -240,9 +241,14 @@ def main():
         if (step_i + 1) % args.log_interval == 0 or step_i == start:
             loss = float(jax.device_get(metrics["loss"]))
             ntok = int(jax.device_get(metrics["ntokens"]))
-            m = thr.step(ntok * args.log_interval,
+            # window = steps actually covered since the last log (the
+            # first log lands after ONE step — multiplying its tokens
+            # by log_interval inflated tgs/tflops ~interval x)
+            window = (step_i + 1) - last_logged
+            last_logged = step_i + 1
+            m = thr.step(ntok * window,
                          batch["input_ids"].shape[1], step_i + 1,
-                         tcfg.max_steps)
+                         tcfg.max_steps, window_steps=window)
             rec = {"step": step_i + 1, "loss": round(loss, 4),
                    "grad_norm": round(float(jax.device_get(
                        metrics["grad_norm"])), 4),

@@ -62,12 +62,17 @@ def default_collate_fn(samples: List[Dict[str, Any]],
         }
     if "pixel_values" in samples[0]:
         fmax = max(s["pixel_values"].shape[0] for s in samples)
-        px = np.stack([
-            np.pad(s["pixel_values"],
-                   ((0, fmax - s["pixel_values"].shape[0]), (0, 0),
-                    (0, 0), (0, 0)))
-            for s in samples])
-        batch["pixel_values"] = px
+        if fmax > 0:
+            px = np.stack([
+                np.pad(s["pixel_values"],
+                       ((0, fmax - s["pixel_values"].shape[0]), (0, 0),
+                        (0, 0), (0, 0)))
+                for s in samples])
+            batch["pixel_values"] = px
+        # fmax == 0: all-text batch → no pixel_values key at all, so
+        # the trainer's aurora_forward(pixel_values=None) fast path
+        # skips the ViT entirely (the reference burns a full ViT pass
+        # on dummy zero images here)
     return batch
 
 
@@ -182,7 +187,8 @@ class SoftPackerMM:
                 if px.ndim == 3:      # single image [C, H, W]
                     px = px[None]
                 assert px.ndim == 4, px.shape
-                frames.append(px)
+                if px.shape[0]:       # text-only samples carry 0 frames
+                    frames.append(px)
         return {"input_ids": np.asarray(ids, np.int32),
                 "labels": np.asarray(labels, np.int32),
                 "segment_ids": np.asarray(segs, np.int32),

@@ -93,12 +93,11 @@ def template_map_fn(example: Dict, template: Dict,
 # ---------------------------------------------------------------------------
 
 def _encode_with_markers(text: str, tokenizer) -> List[int]:
-    ids: List[int] = []
-    for idx, chunk in enumerate(text.split(DEFAULT_IMAGE_TOKEN)):
-        if idx > 0:
-            ids.append(IMAGE_TOKEN_INDEX)
-        ids.extend(tokenizer.encode(chunk, add_special_tokens=False))
-    return ids
+    # shared marker tokenizer (data/text.py) — no special tokens on the
+    # first chunk: encode_conversation adds BOS itself per turn
+    from aurora_tpu.data.text import encode_with_image_tokens
+    return encode_with_image_tokens(text, tokenizer,
+                                    first_chunk_special=False)
 
 
 def encode_conversation(example: Dict, tokenizer, max_length: int,
@@ -231,8 +230,17 @@ class AuroraDataset:
                         img, self.image_size, self.image_size)[0])
             d["pixel_values"] = np.stack(frames)
         else:
+            # text-only sample: ZERO frames, not one zero frame. The
+            # reference pads a dummy image so DeepSpeed batches stay
+            # uniform (dataset zero fallback) — on TPU the collator
+            # drops an all-text batch's pixel_values entirely and
+            # aurora_forward takes its pixel_values=None fast path, so
+            # language-stage steps skip the full ViT on zero images.
+            # (LengthGroupedSampler's modality-signed lengths keep
+            # batches modality-homogeneous; a mixed batch still pads
+            # this to the batch frame count below.)
             d["pixel_values"] = np.zeros(
-                (1, 3, self.image_size, self.image_size), np.float32)
+                (0, 3, self.image_size, self.image_size), np.float32)
         return d
 
 

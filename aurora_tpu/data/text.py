@@ -14,13 +14,22 @@ import numpy as np
 from aurora_tpu.utils.constants import DEFAULT_IMAGE_TOKEN, IMAGE_TOKEN_INDEX
 
 
-def encode_with_image_tokens(text: str, tokenizer) -> List[int]:
-    """Tokenize `text`, replacing each '<image>' with IMAGE_TOKEN_INDEX."""
+def encode_with_image_tokens(text: str, tokenizer,
+                             first_chunk_special: bool = True
+                             ) -> List[int]:
+    """Tokenize `text`, replacing each '<image>' with IMAGE_TOKEN_INDEX.
+
+    The ONE marker tokenizer for every path (infer/chat/serve/eval via
+    the default, training's encode_conversation via
+    first_chunk_special=False — it adds BOS itself per turn); keeping a
+    second copy in data/dataset.py let train/inference tokenization
+    drift apart."""
     ids: List[int] = []
     chunks = text.split(DEFAULT_IMAGE_TOKEN)
     for idx, chunk in enumerate(chunks):
         if idx == 0:
-            ids.extend(tokenizer.encode(chunk))
+            ids.extend(tokenizer.encode(
+                chunk, add_special_tokens=first_chunk_special))
         else:
             ids.append(IMAGE_TOKEN_INDEX)
             ids.extend(tokenizer.encode(chunk, add_special_tokens=False))

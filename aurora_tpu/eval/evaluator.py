@@ -74,9 +74,18 @@ def simple_evaluate(model, tasks: List[str], *, limit: Optional[int] = None,
                                            if task.doc_to_target else None),
                                 "metrics": per_doc,
                                 "latency_s": lat})
-        results["results"][name] = {
-            k: task.aggregate(k, v) for k, v in metrics.items()
-            if not isinstance(v[0], str)}
+        agg = {}
+        for k, v in metrics.items():
+            if k.startswith("_"):
+                continue  # bookkeeping for sample-level aggregation
+            if k not in task.cfg.metric_aggregations \
+                    and isinstance(v[0], str):
+                continue  # string metric with no declared aggregation
+            # DECLARED aggregations run regardless of value type — the
+            # old isinstance-str filter silently killed generation-only
+            # judge tasks' declared aggregations (vdc 'pred' agg_noop)
+            agg[k] = task.aggregate(k, v)
+        results["results"][name] = agg
         if log_samples:
             results["samples"][name] = samples
         # per-doc predictions for post_eval live in the samples jsonl

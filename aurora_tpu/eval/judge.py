@@ -79,10 +79,13 @@ class JudgeClient:
         self.max_tokens = max_tokens
         self.timeout = timeout
 
-    def chat(self, system: str, user: str) -> str:
+    def chat(self, system: str, user: str, *,
+             temperature: float = 0.0,
+             max_tokens: Optional[int] = None) -> str:
         payload = {"messages": [{"role": "system", "content": system},
                                 {"role": "user", "content": user}],
-                   "max_tokens": self.max_tokens, "temperature": 0.0}
+                   "max_tokens": max_tokens or self.max_tokens,
+                   "temperature": temperature}
         req = urllib.request.Request(
             self.base_url + "/v1/chat/completions",
             data=json.dumps(payload).encode(),

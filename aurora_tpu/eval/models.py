@@ -194,11 +194,47 @@ class AuroraCapEval:
 
 class HTTPModelEval:
     """Adapter that evaluates a served model over the OpenAI API — lets
-    the harness score any aurora_tpu.cli.serve deployment."""
+    the harness score any aurora_tpu.cli.serve deployment. Multimodal
+    docs go through the native /generate endpoint's `video_path` (the
+    server loads frames host-side — standard for local deployments that
+    share a filesystem); silently evaluating an image task text-blind
+    would produce plausible-but-meaningless scores."""
 
     def __init__(self, base_url: str, max_new_tokens: int = 1024):
         from aurora_tpu.eval.judge import JudgeClient
+        self.base_url = base_url.rstrip("/")
+        self.max_new_tokens = max_new_tokens
         self._client = JudgeClient(base_url, max_tokens=max_new_tokens)
 
     def generate_until(self, doc, task) -> str:
-        return self._client.chat("", task.doc_to_text(doc))
+        import json as _json
+        import urllib.request
+
+        gk = task.cfg.generation_kwargs
+        prompt = task.doc_to_text(doc)
+        visuals = task.doc_to_visual(doc) if task.doc_to_visual else None
+        if not visuals:
+            return self._client.chat(
+                "", prompt,
+                temperature=float(gk.get("temperature", 0.0)),
+                max_tokens=int(gk.get("max_new_tokens",
+                                      self.max_new_tokens)))
+        if len(visuals) != 1 or not isinstance(visuals[0], str):
+            raise ValueError(
+                f"task {task.cfg.name!r}: HTTP-served models accept one "
+                "server-visible visual path per doc (got "
+                f"{len(visuals)} of {type(visuals[0]).__name__}) — run "
+                "multi-image/array tasks with --model auroracap")
+        body = {"text": prompt, "video_path": visuals[0],
+                "max_new_tokens": int(gk.get("max_new_tokens",
+                                             self.max_new_tokens)),
+                "temperature": float(gk.get("temperature", 0.0))}
+        req = urllib.request.Request(
+            self.base_url + "/generate",
+            data=_json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            out = _json.loads(r.read())
+        if "error" in out:
+            raise RuntimeError(f"/generate failed: {out['error']}")
+        return out["text"]

@@ -85,8 +85,10 @@ def extract_choice(pred: str, doc) -> str:
 
 def process_results(doc, result):
     choice = extract_choice(result[0], doc)
+    # _index/_pred are sample-level bookkeeping for CircularEval —
+    # the leading underscore keeps them out of the aggregate table
     return {"acc": float(choice == doc.get("answer", "")),
-            "index": doc["index"], "pred": choice}
+            "_index": doc["index"], "_pred": choice}
 
 
 def circular_aggregate(results: List[Dict]) -> float:
@@ -94,7 +96,7 @@ def circular_aggregate(results: List[Dict]) -> float:
     if every rotation is correct (mmbench.py:CircularEval)."""
     groups = defaultdict(list)
     for r in results:
-        groups[r["index"] % 1_000_000].append(r["acc"])
+        groups[r["_index"] % 1_000_000].append(r["acc"])
     if not groups:
         return 0.0
     return float(np.mean([float(all(v)) for v in groups.values()]))

@@ -114,7 +114,14 @@ def parse_multi_choice_response(response: str,
             if f"{choice}." in response:
                 candidates.append(choice)
     if not candidates:
-        return all_choices[0] if not response.strip() else ""
+        # reference fallback is random.choice(all_choices) — uniform
+        # expected credit for EVERY unparseable response (mmmu
+        # utils.py:308). We keep that semantics but seed by the
+        # response text so runs stay reproducible. (The old behavior —
+        # 'A' for empty, '' otherwise — gave free credit on A-gold
+        # docs for degenerate runs and zero elsewhere.)
+        import random as _random
+        return _random.Random(response).choice(all_choices)
     if len(candidates) > 1:
         # last mentioned wins (reference start_indexes argmax)
         starts = [response.rfind(f"({c})") if f"({c})" in response

@@ -646,7 +646,15 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
         # Qwen2-MoE adds an always-on shared_expert with a scalar
         # sigmoid gate (Qwen3-MoE has none)
         E = cfg.num_experts
-        shared = "layers.0.mlp.shared_expert.gate_proj.weight" in sd
+        # shared-expert prefix: Qwen2-MoE uses the SINGULAR
+        # 'mlp.shared_expert.' (+ scalar sigmoid gate); DeepSeek-family
+        # all-MoE checkpoints (first_k_dense_replace=0 skips the
+        # dedicated deepseek-v1 path) use the PLURAL
+        # 'mlp.shared_experts.' with NO scalar gate — probing only the
+        # singular form silently dropped DeepSeek's always-on experts
+        shared_pre = next(
+            (pre for pre in ("mlp.shared_expert.", "mlp.shared_experts.")
+             if f"layers.0.{pre}gate_proj.weight" in sd), None)
         del p["layers"]["gate"], p["layers"]["up"], p["layers"]["down"]
         p["layers"]["moe_router"] = _j(np.stack(
             [sd[f"layers.{i}.mlp.gate.weight"].T for i in range(L)]),
@@ -658,11 +666,11 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                 [np.stack([sd[f"layers.{i}.mlp.experts.{e}."
                               f"{theirs}.weight"].T
                            for e in range(E)]) for i in range(L)]), dtype)
-            if shared:
+            if shared_pre:
                 p["layers"][f"moe_shared_{ours[4:]}"] = _j(np.stack(
-                    [sd[f"layers.{i}.mlp.shared_expert."
+                    [sd[f"layers.{i}.{shared_pre}"
                         f"{theirs}.weight"].T for i in range(L)]), dtype)
-        if shared:
+        if shared_pre and "layers.0.mlp.shared_expert_gate.weight" in sd:
             p["layers"]["moe_shared_gate_w"] = _j(np.stack(
                 [sd[f"layers.{i}.mlp.shared_expert_gate.weight"].T
                  for i in range(L)]), dtype)

@@ -164,8 +164,10 @@ def internvl_forward(params: Params, cfg: InternVLConfig, input_ids,
     from aurora_tpu.models.aurora import fuse_multimodal
     if pixel_values is not None:
         feats = internvl_image_features(params, cfg, pixel_values)
-        group = feats[None] if feats.ndim == 2 else feats[:, None]
-        # [B, n_images=1, N_vis, D]
+        # fuse_multimodal groups are [B, n_images=1, N_vis, D]; an
+        # unbatched [N, D] feats needs BOTH axes added (a bare [None]
+        # would read D as the token count and splice garbage)
+        group = feats[None, None] if feats.ndim == 2 else feats[:, None]
         fused = fuse_multimodal(params["text"]["embed_tokens"], input_ids,
                                 [group], attention_mask, labels)
     else:

@@ -51,7 +51,10 @@ class Throughput:
     def data_tick(self):
         self._data_t = time.perf_counter()
 
-    def step(self, tokens: int, seq_len: int, step: int, max_steps: int):
+    def step(self, tokens: int, seq_len: int, step: int, max_steps: int,
+             window_steps: int = 1):
+        """tokens = tokens processed since the LAST call; window_steps =
+        train steps that window covers (eta scales dt to per-step)."""
         now = time.perf_counter()
         dt = now - self._t
         self._t = now
@@ -59,7 +62,7 @@ class Throughput:
         tflops = megatron_tflops_per_device(
             tokens, dt, self.hidden, self.num_layers, self.vocab, seq_len,
             self.num_devices, self.intermediate)
-        eta = dt * (max_steps - step)
+        eta = dt / max(window_steps, 1) * (max_steps - step)
         return {"step_time": dt, "tgs": tgs, "tflops": tflops,
                 "eta_s": eta,
                 "data_time": max(0.0, self._data_t - (now - dt))}

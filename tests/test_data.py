@@ -248,3 +248,22 @@ def test_dataset_tokenization_cache(tmp_path, rng):
     ds3 = AuroraDataset(str(path), tokenizer=tok, cache_dir=cache)
     assert len(ds3) == 4
     assert len(os.listdir(cache)) == 2
+
+
+def test_text_only_batch_skips_pixels(tok, tmp_path):
+    """Text-only samples carry ZERO frames and an all-text batch omits
+    pixel_values entirely — the trainer's pixel_values=None fast path
+    then skips the ViT (the reference runs a full ViT pass on dummy
+    zero images for language-stage data)."""
+    records = [{"conversations": [
+        {"from": "human", "value": f"question {i}"},
+        {"from": "gpt", "value": "answer"}]} for i in range(2)]
+    path = tmp_path / "text.json"
+    with open(path, "w") as f:
+        json.dump(records, f)
+    ds = AuroraDataset(str(path), tok, image_folder=str(tmp_path),
+                       template=PROMPT_TEMPLATE.vicuna, image_size=56)
+    s = ds[0]
+    assert s["pixel_values"].shape == (0, 3, 56, 56)
+    batch = default_collate_fn([ds[0], ds[1]])
+    assert "pixel_values" not in batch

@@ -281,7 +281,8 @@ def test_mmbench_task_end_to_end(tmp_path, rng):
     assert mmbench.extract_choice("unknown", docs[0]) == ""
 
     # CircularEval: both rotations right → 1; one wrong → 0
-    res = [{"index": 7, "acc": 1.0}, {"index": 1_000_007, "acc": 1.0}]
+    res = [{"_index": 7, "acc": 1.0},
+           {"_index": 1_000_007, "acc": 1.0}]
     assert mmbench.circular_aggregate(res) == 1.0
     res[1]["acc"] = 0.0
     assert mmbench.circular_aggregate(res) == 0.0

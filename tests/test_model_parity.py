@@ -1035,3 +1035,51 @@ def test_deepseek_v1_kv_decode_matches_full(rng):
                                    np.asarray(full_logits[:, t]),
                                    rtol=2e-4, atol=2e-4)
     del mask
+
+
+def test_deepseek_all_moe_generic_branch(rng):
+    """first_k_dense_replace=0 skips the dedicated deepseek-v1 path and
+    converts through the GENERIC MoE branch — which must pick up
+    DeepSeek's PLURAL 'mlp.shared_experts.' weights (regression: the
+    probe checked only Qwen2's singular 'mlp.shared_expert.' and
+    silently dropped the always-on shared experts)."""
+    hf = _deepseek_v1_hybrid_oracle()
+    DSMoE = type(hf.model.layers[1].mlp)
+    hf.model.layers[0].mlp = DSMoE(hf.config, moe_inter=48, E=4, k=2,
+                                   shared_inter=80, norm_topk=True)
+    torch.manual_seed(53)
+    for p in hf.model.layers[0].mlp.parameters():
+        torch.nn.init.normal_(p, std=0.05)
+    hf = hf.eval()
+
+    sd = state_dict_from_torch_module(hf)
+    out = {k: v for k, v in sd.items() if ".mlp." not in k}
+    for i in range(3):
+        p = f"model.layers.{i}.mlp"
+        out[f"{p}.gate.weight"] = sd[f"{p}.gate.weight"]
+        for e in range(4):
+            for n in ("gate_proj", "up_proj", "down_proj"):
+                out[f"{p}.experts.{e}.{n}.weight"] = \
+                    sd[f"{p}.experts.{e}.{n}.weight"]
+        for n in ("gate_proj", "up_proj", "down_proj"):
+            out[f"{p}.shared_experts.{n}.weight"] = \
+                sd[f"{p}.shared_experts.{n}.weight"]
+    cfg = llama_config_from_hf({
+        "model_type": "deepseek", "vocab_size": 144, "hidden_size": 64,
+        "intermediate_size": 128, "moe_intermediate_size": 48,
+        "num_hidden_layers": 3, "num_attention_heads": 4,
+        "num_key_value_heads": 2, "n_routed_experts": 4,
+        "n_shared_experts": 1, "num_experts_per_tok": 2,
+        "norm_topk_prob": True, "first_k_dense_replace": 0,
+        "moe_layer_freq": 1, "rms_norm_eps": 1e-6,
+        "max_position_embeddings": 256})
+    assert cfg.first_k_dense == 0
+    params = llama_params_from_hf(out, cfg, dtype=jnp.float32)
+    assert "moe_shared_gate" in params["layers"]      # plural picked up
+    assert "moe_shared_gate_w" not in params["layers"]  # ungated
+    ids = rng.integers(0, 144, size=(2, 11))
+    with torch.no_grad():
+        want = hf(torch.from_numpy(ids)).logits.numpy()
+    got, _ = llama_apply(params, cfg, input_ids=jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                               atol=5e-4)
