@@ -35,6 +35,10 @@ def build_lora_model(model_path: str, *, r: int = 64, alpha: int = 16,
     import jax
     from aurora_tpu.train.lora import LoraConfig, init_lora_params
     from aurora_tpu.train.quant import quantize_base
+    if quant not in ("none", "int8", "int4"):
+        raise ValueError(f"quant={quant!r}: expected 'none', 'int8' or "
+                         "'int4' (an unknown value must not silently "
+                         "4-bit-quantize the base)")
     params, cfg, tok = build_model(model_path, dtype)
     lcfg = LoraConfig(r=r, alpha=alpha)
     adapters = init_lora_params(jax.random.PRNGKey(seed), params, lcfg)

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import ast
 import json
-import urllib.request
 from typing import Dict, List, Optional
 
 ANSWER_SYSTEM = (
@@ -82,17 +81,13 @@ class JudgeClient:
     def chat(self, system: str, user: str, *,
              temperature: float = 0.0,
              max_tokens: Optional[int] = None) -> str:
-        payload = {"messages": [{"role": "system", "content": system},
-                                {"role": "user", "content": user}],
-                   "max_tokens": max_tokens or self.max_tokens,
-                   "temperature": temperature}
-        req = urllib.request.Request(
-            self.base_url + "/v1/chat/completions",
-            data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=self.timeout) as r:
-            body = json.loads(r.read())
-        return body["choices"][0]["message"]["content"]
+        from aurora_tpu.utils.http import chat_completion
+        return chat_completion(
+            self.base_url,
+            [{"role": "system", "content": system},
+             {"role": "user", "content": user}],
+            max_tokens=max_tokens or self.max_tokens,
+            temperature=temperature, timeout=self.timeout)
 
     # -- VDCScore steps ------------------------------------------------------
 

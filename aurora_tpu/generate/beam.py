@@ -111,7 +111,12 @@ def beam_generate(params, cfg: LlamaConfig, inputs_embeds: jnp.ndarray,
 
         # --- finished pool: merge EOS candidates (normalized)
         cand_fin = jnp.where(c_eos, norm(c_scores, step + 1), _NEG)
-        cand_fin_tokens = tokens[c_beam]           # EOS not materialized
+        # materialize the EOS at its position: fin_lens counts it
+        # (step+1), so leaving it unwritten returned a phantom PAD as
+        # the last token (a real token id for pad_id=0 vocabularies);
+        # non-EOS candidates get c_tok written too but carry _NEG
+        # scores and never surface
+        cand_fin_tokens = tokens[c_beam].at[:, step].set(c_tok)
         all_fin_scores = jnp.concatenate([fin_scores, cand_fin])
         all_fin_tokens = jnp.concatenate([fin_tokens, cand_fin_tokens])
         all_fin_lens = jnp.concatenate(

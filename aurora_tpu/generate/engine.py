@@ -63,8 +63,18 @@ def _generate(params, cfg: LlamaConfig, inputs_embeds, attention_mask, rng,
         lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
         return jnp.take_along_axis(lp, tok[:, None], axis=1)[:, 0]
 
+    def ban_eos_below_min(lg, n_generated):
+        """EOS suppressed while fewer than min_new_tokens are out
+        (serve engine _allowed_mask semantics)."""
+        if sampling.min_new_tokens <= 0:
+            return lg
+        ban = n_generated < sampling.min_new_tokens
+        eos_cols = jnp.zeros((lg.shape[-1],), bool).at[eos_arr].set(True)
+        return jnp.where(ban & eos_cols[None, :], -jnp.inf, lg)
+
     rng, key = jax.random.split(rng)
-    tok0 = sample_logits(last, sampling, key)
+    tok0 = sample_logits(ban_eos_below_min(last, jnp.asarray(0)),
+                         sampling, key)
     done0 = jnp.isin(tok0, eos_arr)
     out_tokens = jnp.full((B, max_new_tokens), pad_id, jnp.int32)
     out_tokens = out_tokens.at[:, 0].set(tok0)
@@ -91,7 +101,7 @@ def _generate(params, cfg: LlamaConfig, inputs_embeds, attention_mask, rng,
             use_flash=use_flash)
         lg = logits[:, 0]
         rng, key = jax.random.split(rng)
-        nxt = sample_logits(lg, sampling, key)
+        nxt = sample_logits(ban_eos_below_min(lg, step), sampling, key)
         emit = jnp.where(done, pad_id, nxt)
         out_tokens = out_tokens.at[:, step].set(emit)
         if return_logprobs:
@@ -123,6 +133,17 @@ def generate(params, cfg: LlamaConfig, inputs_embeds: jnp.ndarray,
     """
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if (sampling.repetition_penalty != 1.0 or sampling.frequency_penalty
+            or sampling.presence_penalty):
+        # honored by the SERVING engine's fused sampler only — silently
+        # ignoring them here produced repeat-happy outputs with no hint
+        import warnings
+        warnings.warn(
+            "offline generate() applies temperature/top_k/top_p/min_p/"
+            "min_new_tokens only; repetition/frequency/presence "
+            "penalties are ignored — serve this request through "
+            "aurora_tpu.serve for the full sampler surface",
+            stacklevel=2)
     tokens, lengths, lp = _generate(
         params, cfg, inputs_embeds, attention_mask.astype(bool), rng,
         max_new_tokens=max_new_tokens, sampling=sampling,

@@ -21,9 +21,7 @@ clones the context for parallel branches (lang fork parity);
 
 from __future__ import annotations
 
-import json
 import threading
-import urllib.request
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 _default_backend = None
@@ -31,32 +29,33 @@ _backend_lock = threading.Lock()
 
 
 class RuntimeEndpoint:
-    """OpenAI-chat backend (lang/backend RuntimeEndpoint parity)."""
+    """OpenAI-chat backend (lang/backend RuntimeEndpoint parity).
+    `model`/`api_key` make it work against real OpenAI-compatible
+    servers that require them (ours ignores both)."""
 
-    def __init__(self, base_url: str, timeout: float = 600.0):
+    def __init__(self, base_url: str, timeout: float = 600.0,
+                 model: str = "default",
+                 api_key: Optional[str] = None):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.model = model
+        self.api_key = api_key
 
     def chat(self, messages: List[Dict[str, str]], *, max_tokens: int,
              temperature: float, stop: Sequence[str] = (),
              choices: Optional[Sequence[str]] = None,
              regex: Optional[str] = None) -> str:
-        payload: Dict[str, Any] = {
-            "messages": messages, "max_tokens": max_tokens,
-            "temperature": temperature}
-        if stop:
-            payload["stop"] = list(stop)
+        from aurora_tpu.utils.http import chat_completion
+        extra: Dict[str, Any] = {}
         if choices:
-            payload["choices_constraint"] = list(choices)
+            extra["choices_constraint"] = list(choices)
         if regex:
-            payload["regex"] = regex
-        req = urllib.request.Request(
-            self.base_url + "/v1/chat/completions",
-            data=json.dumps(payload).encode(),
-            headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=self.timeout) as r:
-            body = json.loads(r.read())
-        return body["choices"][0]["message"]["content"]
+            extra["regex"] = regex
+        return chat_completion(
+            self.base_url, messages, model=self.model,
+            max_tokens=max_tokens, temperature=temperature, stop=stop,
+            extra=extra or None, api_key=self.api_key,
+            timeout=self.timeout)
 
 
 def set_default_backend(backend) -> None:

@@ -25,16 +25,27 @@ def ensure_built(force: bool = False) -> bool:
     global _lib
     if _lib is not None and not force:
         return True
-    if force or not os.path.exists(_LIB_PATH):
+    def _build() -> bool:
         try:
             subprocess.run(["sh", os.path.join(_DIR, "build.sh")],
                            check=True, capture_output=True, timeout=120)
+            return True
         except Exception:
             return False
+
+    if (force or not os.path.exists(_LIB_PATH)) and not _build():
+        return False
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
-        return False
+        # present but unloadable (foreign arch/ABI — e.g. a committed
+        # .so built elsewhere): rebuild once for THIS machine
+        if not _build():
+            return False
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return False
     lib.rt_new.restype = ctypes.c_void_p
     lib.rt_delete.argtypes = [ctypes.c_void_p]
     lib.rt_match.restype = ctypes.c_int64

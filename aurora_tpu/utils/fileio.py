@@ -126,14 +126,17 @@ def open_file(path: str, mode: str = "rb"):
     if "b" not in mode:  # text write: encode on close
         class _WT(io.StringIO):
             def close(self_w):
-                backend.put(str(path), self_w.getvalue().encode("utf-8"))
+                if not self_w.closed:  # idempotent like real files
+                    backend.put(str(path),
+                                self_w.getvalue().encode("utf-8"))
                 super().close()
 
         return _WT()
 
     class _W(io.BytesIO):
         def close(self_w):
-            backend.put(str(path), self_w.getvalue())
+            if not self_w.closed:  # idempotent like real files
+                backend.put(str(path), self_w.getvalue())
             super().close()
 
     return _W()

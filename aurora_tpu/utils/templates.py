@@ -74,20 +74,21 @@ def render_conversation(template: dict, messages, system: str = "") -> str:
     if sys_parts and "SYSTEM" in template:
         text += template["SYSTEM"].format(system=" ".join(sys_parts))
     round_no = 1
-    open_round = False
+    pending: list = []  # consecutive user turns merge into ONE round —
+    # rendering each separately would emit a dangling empty assistant
+    # marker mid-context (INSTRUCTION templates end with it)
     for m in messages:
         if m["role"] == "user":
-            if open_round:  # consecutive user turns share a round
-                text += template["SEP"]
-            text += template["INSTRUCTION"].format(input=m["content"],
-                                                   round=round_no)
-            open_round = True
+            pending.append(m["content"])
         elif m["role"] == "assistant":
+            text += template["INSTRUCTION"].format(
+                input="\n".join(pending), round=round_no)
+            pending = []
             text += m["content"] + template["SEP"]
             round_no += 1
-            open_round = False
-    if not open_round:  # dialog must end awaiting the assistant
-        text += template["INSTRUCTION"].format(input="", round=round_no)
+    # dialog must end awaiting the assistant
+    text += template["INSTRUCTION"].format(input="\n".join(pending),
+                                           round=round_no)
     return text
 
 

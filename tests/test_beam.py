@@ -30,7 +30,13 @@ def _tiny(seed):
 
 
 @pytest.mark.parametrize("seed,beams,max_new", [(11, 3, 10), (12, 4, 8),
-                                                (13, 2, 12)])
+                                                (13, 2, 12),
+                                                # seed 29: HF's winner
+                                                # ENDS IN EOS mid-search
+                                                # — exercises the
+                                                # EOS-materialization
+                                                # path
+                                                (29, 3, 12)])
 def test_beam_matches_hf(rng, seed, beams, max_new):
     hf, cfg, params = _tiny(seed)
     prompt = rng.integers(3, 96, size=(1, 7))
@@ -48,9 +54,11 @@ def test_beam_matches_hf(rng, seed, beams, max_new):
     # strip trailing pads from HF (pad_token_id=0)
     while want_list and want_list[-1] == 0:
         want_list.pop()
-    if want_list and want_list[-1] == 2:
-        want_list.pop()  # we don't materialize the EOS token
+    # EOS-finished hypotheses materialize their EOS exactly like HF —
+    # regression: the winner used to end in a phantom pad token
     assert got == want_list, (got, want_list)
+    if want_list and want_list[-1] == 2:
+        assert got[-1] == 2
 
 
 def test_beam_beats_or_equals_greedy_score(rng):

@@ -530,3 +530,24 @@ def test_concurrent_submit_and_ops_during_steps(served):
         return True
 
     assert _with_app(served, go)
+
+
+def test_render_conversation_consecutive_user_turns():
+    """Consecutive user messages merge into ONE round — rendering each
+    separately left a dangling empty assistant marker mid-context."""
+    from aurora_tpu.utils.templates import PROMPT_TEMPLATE, \
+        render_conversation
+    tpl = PROMPT_TEMPLATE.vicuna
+    text = render_conversation(tpl, [
+        {"role": "user", "content": "a"},
+        {"role": "user", "content": "b"},
+    ])
+    assert "a\nb" in text
+    assert text.count("ASSISTANT") == 1  # exactly one open slot
+    # interleaved rounds still render per-round
+    text2 = render_conversation(tpl, [
+        {"role": "user", "content": "q1"},
+        {"role": "assistant", "content": "r1"},
+        {"role": "user", "content": "q2"},
+    ])
+    assert text2.count("ASSISTANT") == 2 and "r1" in text2
