@@ -434,17 +434,11 @@ def _flash_lse_core_bwd(causal, scale, q_offset, block_q, block_kv, t_q,
 _flash_lse_core.defvjp(_flash_lse_core_fwd, _flash_lse_core_bwd)
 
 
-def flash_attention_lse(q, k, v, *, causal: bool = False,
-                        scale: Optional[float] = None,
-                        q_offset: int = 0,
-                        block_q: int = DEFAULT_BLOCK_Q,
-                        block_kv: int = DEFAULT_BLOCK_KV):
-    """Flash attention returning (out [B,T,H,D], lse [B,H,T]).
-
-    The lse output is differentiable (its cotangent routes through the
-    backward kernels' delta term), so compositions that weight partial
-    attention results by lse — ring attention's online merge — get exact
-    gradients from plain autodiff."""
+def _prepare_folded(q, k, v, scale, block_q, block_kv):
+    """Shared entry preamble: scale default, GQA repeat, [B,T,H,D] →
+    [B*H,T,D] fold, power-of-two block pick, padding. One copy so
+    flash_attention and flash_attention_lse can never disagree on
+    blocking/padding for identical inputs."""
     B, T, H, D = q.shape
     S = k.shape[1]
     if scale is None:
@@ -463,7 +457,23 @@ def flash_attention_lse(q, k, v, *, causal: bool = False,
     qf = _pad_to(qf, bq, 1)
     kf = _pad_to(kf, bk, 1)
     vf = _pad_to(vf, bk, 1)
-    out, lse = _flash_lse_core(qf, kf, vf, causal, float(scale),
+    return qf, kf, vf, float(scale), bq, bk, B, T, H, D, S
+
+
+def flash_attention_lse(q, k, v, *, causal: bool = False,
+                        scale: Optional[float] = None,
+                        q_offset: int = 0,
+                        block_q: int = DEFAULT_BLOCK_Q,
+                        block_kv: int = DEFAULT_BLOCK_KV):
+    """Flash attention returning (out [B,T,H,D], lse [B,H,T]).
+
+    The lse output is differentiable (its cotangent routes through the
+    backward kernels' delta term), so compositions that weight partial
+    attention results by lse — ring attention's online merge — get exact
+    gradients from plain autodiff."""
+    (qf, kf, vf, scale, bq, bk,
+     B, T, H, D, S) = _prepare_folded(q, k, v, scale, block_q, block_kv)
+    out, lse = _flash_lse_core(qf, kf, vf, causal, scale,
                                int(q_offset), bq, bk, T, S)
     out = out[:, :T].reshape(B, H, T, D).transpose(0, 2, 1, 3)
     lse = lse[:, :T].reshape(B, H, T)
@@ -481,25 +491,8 @@ def flash_attention(q, k, v, *, causal: bool = False,
     q: [B, T, H, D]; k, v: [B, S, Hkv, D] with Hkv | H (GQA heads are
     repeated here — fine for Tq ≫ 1 prefill; decode uses the paged kernel).
     """
-    B, T, H, D = q.shape
-    S = k.shape[1]
-    if scale is None:
-        scale = D ** -0.5
-    if k.shape[2] != H:
-        rep = H // k.shape[2]
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
-
-    # [B, T, H, D] → [B*H, T, D]
-    def fold(x):
-        return x.transpose(0, 2, 1, 3).reshape(B * H, x.shape[1], D)
-
-    qf, kf, vf = fold(q), fold(k), fold(v)
-    bq = min(block_q, max(128, 1 << (T - 1).bit_length()))
-    bk = min(block_kv, max(128, 1 << (S - 1).bit_length()))
-    qf = _pad_to(qf, bq, 1)
-    kf = _pad_to(kf, bk, 1)
-    vf = _pad_to(vf, bk, 1)
+    (qf, kf, vf, scale, bq, bk,
+     B, T, H, D, S) = _prepare_folded(q, k, v, scale, block_q, block_kv)
 
     has_segments = q_segment_ids is not None
     seg_args = ()
@@ -515,7 +508,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
                      constant_values=-2)
         seg_args = (qs, ks)
 
-    out = _flash_core(qf, kf, vf, causal, float(scale), int(q_offset),
+    out = _flash_core(qf, kf, vf, causal, scale, int(q_offset),
                       bq, bk, has_segments, T, S, *seg_args)
     out = out[:, :T].reshape(B, H, T, D).transpose(0, 2, 1, 3)
     return out

@@ -40,7 +40,7 @@ def _kernel(s_a_ref, h_ref, w_ref, s_w_ref, out_ref):
                                              "interpret"))
 def w8a8_matmul(h8: jnp.ndarray, s_a: jnp.ndarray, w8: jnp.ndarray,
                 s_w: jnp.ndarray, *, block_n: int = 256,
-                out_dtype=jnp.bfloat16, interpret: bool = False):
+                out_dtype=jnp.bfloat16, interpret=None):
     """[B, K] int8 x [K, N] int8 -> [B, N] out_dtype.
 
     s_a: [B, 1] f32 per-token activation scales; s_w: [N] or [1, N] f32
@@ -67,7 +67,8 @@ def w8a8_matmul(h8: jnp.ndarray, s_a: jnp.ndarray, w8: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((Bp, block_n), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((Bp, N), out_dtype),
-        interpret=interpret,
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret),
     )(s_a.astype(jnp.float32), h8, w8, s_w)
     return out[:B]
 
@@ -102,7 +103,7 @@ def _kernel4(h_even_ref, h_odd_ref, pk_ref, s_w_ref, out_ref, *,
                                              "interpret"))
 def w4a16_matmul(h: jnp.ndarray, pk: jnp.ndarray, s_w: jnp.ndarray, *,
                  block_n: int = 512, out_dtype=jnp.bfloat16,
-                 interpret: bool = False):
+                 interpret=None):
     """[B, K] bf16 x nibble-packed W4 [G, g/2, N] -> [B, N].
 
     pk: packed int8, even input row in the low nibble (engine
@@ -130,7 +131,8 @@ def w4a16_matmul(h: jnp.ndarray, pk: jnp.ndarray, s_w: jnp.ndarray, *,
         ],
         out_specs=pl.BlockSpec((Bp, block_n), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((Bp, N), out_dtype),
-        interpret=interpret,
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret),
     )(he, ho, pk.reshape(K // 2, N), s_w.reshape(G, N))
     return out[:B]
 

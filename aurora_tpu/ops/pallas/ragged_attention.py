@@ -153,13 +153,34 @@ def _pick_hb(Hkv: int, want: int) -> int:
     """Largest head-block ≤ want that divides Hkv and is Mosaic-legal:
     a PARTIAL block on a sublane-adjacent axis must be 8-aligned (the
     k_new [1, hb, hd] block), while a FULL block (hb == Hkv) may be any
-    size."""
+    size. NOTE: head counts with no 8-aligned divisor (e.g. 36) always
+    escalate to the FULL block — callers must re-budget (shrink the KV
+    chunk via _fit_chunk) when that overshoots their VMEM target."""
     hb = min(want, Hkv)
     while Hkv % hb:
         hb -= 1
     if hb != Hkv and hb % 8:
         hb = Hkv if Hkv <= want * 2 else 8 if Hkv % 8 == 0 else Hkv
     return hb
+
+
+def _fit_chunk(Hkv: int, hd: int, kvb: int, chunk: int, S: int,
+               head_block: int):
+    """(hb, chunk) whose double-buffered KV blocks fit scoped VMEM.
+
+    When Hkv has no 8-aligned divisor, _pick_hb escalates to the full
+    head block; honoring the budget then requires SHRINKING the KV
+    chunk, not silently compiling an oversized kernel (Hkv=36 at
+    chunk=512 bf16 ≈ 19.6MB vs the 16MB scoped-VMEM limit — a latent
+    TPU compile failure the CPU interpret tests never see)."""
+    while True:
+        per_head = 8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
+        want = max(head_block, min(Hkv, (11 << 20) // per_head))
+        hb = _pick_hb(Hkv, want)
+        if hb * per_head <= (13 << 20) or chunk <= 128 or chunk % 2 \
+                or S % (chunk // 2):
+            return hb, chunk
+        chunk //= 2
 
 
 def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
@@ -231,7 +252,10 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         qb = max(align, -(-qr // align) * align)
     aligned = T % qb == 0
     qr_pad = -(-qr // qb) * qb
-    hb = _pick_hb(Hkv, head_block)
+    # head counts with no 8-aligned divisor (36, 20, …) escalate to the
+    # FULL head block — shrink the KV chunk to keep it inside VMEM
+    hb, chunk = _fit_chunk(Hkv, hd, 1 if quant else k_rows.dtype.itemsize,
+                           chunk, S, head_block)
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
         print(f"[ragged] extend hb={hb} qb={qb} qr_pad={qr_pad} "
@@ -466,13 +490,11 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     # long as the double-buffered in+out (aliased) KV blocks fit scoped
     # vmem. int8 KV at chunk=256 fits all 32 heads in ONE block.
     kvb = 1 if quant else k_rows.dtype.itemsize
-    per_head = 8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
-    want = max(head_block, min(Hkv, (11 << 20) // per_head))
-    hb = _pick_hb(Hkv, want)
+    hb, chunk = _fit_chunk(Hkv, hd, kvb, chunk, S, head_block)
     import os as _os
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
-        print(f"[ragged] decode hb={hb} want={want} chunk={chunk} "
+        print(f"[ragged] decode hb={hb} chunk={chunk} "
               f"quant={quant}", file=_sys.stderr)
 
     qh = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
@@ -538,9 +560,14 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
                      pl.BlockSpec((1, 1, hb, 1, chunk), scale_map)]
         operands += [k_scales.astype(jnp.float32)[:, :, :, None, :],
                      v_scales.astype(jnp.float32)[:, :, :, None, :]]
+        # sized from the SCALE buffers' own row dim (like k/v above) —
+        # q.shape[0] breaks the alias when a decode wave covers a
+        # subset of engine rows (Bk != R)
         out_shapes += [
-            jax.ShapeDtypeStruct((L, B, Hkv, 1, S), jnp.float32),
-            jax.ShapeDtypeStruct((L, B, Hkv, 1, S), jnp.float32)]
+            jax.ShapeDtypeStruct((L, k_scales.shape[1], Hkv, 1, S),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((L, v_scales.shape[1], Hkv, 1, S),
+                                 jnp.float32)]
         out_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), wcs_map),
                       pl.BlockSpec((1, 1, hb, 1, chunk), wcs_map)]
         aliases.update({8: 3, 9: 4})

@@ -55,3 +55,32 @@ def test_w4a16_block_and_padding_edges(rng):
                        block_n=256, interpret=True)
     assert out.shape == (B, N)
     assert not np.any(np.isnan(np.asarray(out, np.float32)))
+
+
+def test_w8a8_matches_dequant_reference(rng):
+    """w8a8_matmul == dequant(h8) @ dequant(w8) for the engine's W8A8
+    conventions (per-token activation scales, per-output-channel weight
+    scales) — the kernel previously had no test at all."""
+    from aurora_tpu.ops.pallas.quant_matmul import w8a8_matmul
+
+    B, K, N = 5, 256, 512
+    w = rng.standard_normal((K, N)).astype(np.float32)
+    s_w = np.maximum(np.abs(w).max(axis=0), 1e-12) / 127.0
+    w8 = np.clip(np.round(w / s_w), -127, 127).astype(np.int8)
+
+    h = rng.standard_normal((B, K)).astype(np.float32)
+    s_a = np.maximum(np.abs(h).max(axis=1, keepdims=True), 1e-12) / 127.0
+    h8 = np.clip(np.round(h / s_a), -127, 127).astype(np.int8)
+
+    want = (h8.astype(np.float32) * s_a) @ (w8.astype(np.float32) * s_w)
+    got = w8a8_matmul(jnp.asarray(h8), jnp.asarray(s_a),
+                      jnp.asarray(w8), jnp.asarray(s_w),
+                      block_n=256, out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4,
+                               atol=1e-4)
+    # s_w accepted as [1, N] too; auto interpret picks CPU fallback
+    got2 = w8a8_matmul(jnp.asarray(h8), jnp.asarray(s_a),
+                       jnp.asarray(w8), jnp.asarray(s_w[None]),
+                       block_n=256, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=1e-4,
+                               atol=1e-4)

@@ -250,6 +250,23 @@ def test_fused_decode_int8_quantizes_in_kernel():
                * np.asarray(ksb)[0, b, :, pos][:, None])
         np.testing.assert_allclose(deq, np.asarray(k_new)[b], atol=0.02,
                                    rtol=0.02)
+    # CROSS-PATH recipe parity: the kernel's in-kernel quantization must
+    # match engine._kv_quantize (the extend path's XLA recipe) — the two
+    # write the SAME buffers, so a drifted epsilon/clip/rounding would
+    # mix conventions in one row with no error
+    from aurora_tpu.serve.engine import _kv_quantize
+    qk, sk = _kv_quantize(k_new)
+    qv, sv = _kv_quantize(v_new)
+    for b in range(B):
+        pos = int(lens[b]) - 1
+        np.testing.assert_allclose(np.asarray(k8b)[0, b, :, pos],
+                                   np.asarray(qk)[b], atol=1)
+        np.testing.assert_allclose(np.asarray(ksb)[0, b, :, pos],
+                                   np.asarray(sk)[b], rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(v8b)[0, b, :, pos],
+                                   np.asarray(qv)[b], atol=1)
+        np.testing.assert_allclose(np.asarray(vsb)[0, b, :, pos],
+                                   np.asarray(sv)[b], rtol=1e-5)
 
 
 @pytest.mark.parametrize("T,G", [(512, 2), (384, 1)])
@@ -319,3 +336,68 @@ def test_extend_bf16_production_path(rng):
     want = ragged_attention_reference(q32, k32, v32, lens, offs, rows)
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want), atol=3e-2, rtol=3e-2)
+
+
+def test_decode_nonaligned_head_count_fits_chunk():
+    """Hkv with no 8-aligned divisor (36 — MiniCPM-style MHA) escalates
+    to the FULL head block; _fit_chunk must shrink the KV chunk so the
+    kernel stays inside scoped VMEM instead of silently compiling an
+    oversized grid cell (regression: latent TPU compile failure the
+    CPU interpret tests never saw). Numerics must be unchanged."""
+    from aurora_tpu.ops.pallas.ragged_attention import (
+        _fit_chunk, ragged_decode_attention)
+    hb, chunk = _fit_chunk(36, 64, 2, 512, 2048, 8)
+    assert hb == 36                      # full block (no aligned divisor)
+    per_head = 8 * chunk * 64 * 2 + 32 * chunk + (1 << 14)
+    assert 36 * per_head <= (13 << 20)   # fits the budget
+    assert 2048 % chunk == 0 and chunk < 512
+
+    rng = np.random.default_rng(5)
+    L, B, Hkv, S, hd = 1, 2, 36, 512, 64
+    kf = jnp.asarray(rng.standard_normal((L, B, Hkv, S, hd)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((L, B, Hkv, S, hd)), jnp.float32)
+    lens = jnp.asarray([60, 500], jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    q = jnp.asarray(rng.standard_normal((B, 1, Hkv, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    out, kb, vb = ragged_decode_attention(q, k_new, v_new, kf, vf, lens,
+                                          rows, layer=0, chunk=512)[:3]
+    kw, vw = _write_manual(np.asarray(kf)[0], np.asarray(vf)[0],
+                           k_new, v_new, lens, rows)
+    want = ragged_attention_reference(q, jnp.asarray(kw), jnp.asarray(vw),
+                                      lens, lens - 1, rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_int8_decode_subset_rows_alias():
+    """int8 decode over a SUBSET of engine rows (Bk != R): the aliased
+    scale out_shapes must size from the scale buffers' own row dim
+    (regression: q.shape[0] broke the input_output_aliases at trace)."""
+    from aurora_tpu.ops.pallas.ragged_attention import \
+        ragged_decode_attention
+    rng = np.random.default_rng(9)
+    L, R, Bk, Hkv, S, hd = 1, 4, 2, 2, 128, 128
+    kf = rng.standard_normal((L, R, Hkv, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((L, R, Hkv, S, hd)).astype(np.float32)
+    ks = np.maximum(np.abs(kf).max(-1), 1e-8) / 127.0
+    vs = np.maximum(np.abs(vf).max(-1), 1e-8) / 127.0
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    lens = jnp.asarray([50, 90], jnp.int32)      # per decode LANE
+    rows = jnp.asarray([3, 1], jnp.int32)        # indirect engine rows
+    q = jnp.asarray(rng.standard_normal((Bk, 1, Hkv, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((Bk, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((Bk, Hkv, hd)), jnp.float32)
+    out, k8b, v8b, ksb, vsb = ragged_decode_attention(
+        q, k_new, v_new, jnp.asarray(k8), jnp.asarray(v8), lens, rows,
+        layer=0, chunk=128, k_scales=jnp.asarray(ks),
+        v_scales=jnp.asarray(vs))
+    assert k8b.shape == (L, R, Hkv, S, hd)
+    assert ksb.shape[:2] == (L, R)
+    kw, vw = _write_manual(kf[0], vf[0], k_new, v_new, lens, rows)
+    want = ragged_attention_reference(q, jnp.asarray(kw), jnp.asarray(vw),
+                                      lens, lens - 1, rows)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                               atol=0.08, rtol=0.08)
