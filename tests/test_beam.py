@@ -88,5 +88,11 @@ def test_beam_beats_or_equals_greedy_score(rng):
     b_toks, n = beam_generate(params, cfg, embeds, mask, num_beams=4,
                               max_new_tokens=6)
     b_toks = [int(t) for t in np.asarray(b_toks[: int(n)])]
-    if len(b_toks) == len(g_toks) and g_toks:
-        assert seq_logprob(b_toks) >= seq_logprob(g_toks) - 1e-4
+    if b_toks and b_toks[-1] == 2:
+        b_toks = b_toks[:-1]
+    # UNCONDITIONAL: compare per-token-normalized logprobs so differing
+    # lengths still assert (a guarded comparison could pass vacuously
+    # on exactly the premature-EOS bugs beam tests exist to catch)
+    assert g_toks and b_toks
+    assert (seq_logprob(b_toks) / len(b_toks)
+            >= seq_logprob(g_toks) / len(g_toks) - 1e-4)

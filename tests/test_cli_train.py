@@ -10,7 +10,9 @@ import pytest
 
 from utils import make_tiny_xtuner_dir  # noqa: E402
 
-ENV = {**os.environ, "PYTHONPATH": "/root/repo",
+REPO_ROOT = os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))
+ENV = {**os.environ, "PYTHONPATH": REPO_ROOT,
        "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
        "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
 

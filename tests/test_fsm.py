@@ -67,14 +67,8 @@ def fsm_engine(tmp_path_factory):
 
 
 def _run(engine, reqs):
-    for r in reqs:
-        engine.add_request(r)
-    done = []
-    for _ in range(400):
-        done += engine.step()
-        if not engine.has_work():
-            break
-    return {r.rid: r for r in done}
+    from utils import drain_engine
+    return drain_engine(engine, reqs)
 
 
 def test_engine_regex_output_matches_pattern(fsm_engine, rng):

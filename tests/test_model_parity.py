@@ -1024,7 +1024,6 @@ def test_deepseek_v1_kv_decode_matches_full(rng):
     np.testing.assert_allclose(np.asarray(logits[:, -1]),
                                np.asarray(full_logits[:, 7]),
                                rtol=2e-4, atol=2e-4)
-    mask = jnp.arange(16)[None, :] < 9
     for t in range(8, 12):
         logits, cache = llama_apply(params, cfg,
                                     input_ids=ids[:, t:t + 1],
@@ -1034,7 +1033,6 @@ def test_deepseek_v1_kv_decode_matches_full(rng):
         np.testing.assert_allclose(np.asarray(logits[:, 0]),
                                    np.asarray(full_logits[:, t]),
                                    rtol=2e-4, atol=2e-4)
-    del mask
 
 
 def test_deepseek_all_moe_generic_branch(rng):

@@ -96,14 +96,8 @@ def _offline_greedy(params, cfg, ids, max_new):
 
 
 def _run_engine(engine, reqs):
-    for r in reqs:
-        engine.add_request(r)
-    done = []
-    for _ in range(500):
-        done += engine.step()
-        if not engine.has_work():
-            break
-    return {r.rid: r for r in done}
+    from utils import drain_engine
+    return drain_engine(engine, reqs)
 
 
 def test_engine_greedy_matches_offline(tiny_engine, rng):
@@ -635,12 +629,6 @@ def test_engine_sliding_window_matches_offline(rng):
     done = _run_engine(engine, [Request(rid="sw", input_ids=list(ids),
                                         max_new_tokens=8)])
     assert done["sw"].output_ids == want
-    # sanity: a full-attention engine on the same weights diverges
-    cfg_full = __import__("dataclasses").replace(cfg, sliding_window=None)
-    eng2 = ServeEngine(params, cfg_full, ecfg)
-    done2 = _run_engine(eng2, [Request(rid="f", input_ids=list(ids),
-                                       max_new_tokens=8)])
-    assert done2["f"].output_ids != want or True  # may coincide on tiny
 
 
 # ---------------------------------------------------------------------------
@@ -765,11 +753,7 @@ def test_chunked_prefill_interleaves_with_decode(tiny_engine, rng):
             a.finished is not None
     assert ticks >= 2                   # prefill really was chunked
                                         # (48 new tokens / 32 bucket)
-    done = _run_engine(engine, [])
-    outs = {r.rid: r.output_ids for r in
-            [a, b] if r.finished is not None}
-    while engine.has_work():
-        engine.step()
+    _run_engine(engine, [])        # drain to completion
     assert a.output_ids == want_a
     assert b.output_ids == want_b
     assert engine.check_memory()["leaked"] == 0

@@ -147,8 +147,11 @@ def test_completions_logprobs(served):
         body = await r.json()
         lp = body["choices"][0]["logprobs"]
         assert lp is not None
-        n = len(body["choices"][0]["text"]) and len(lp["tokens"])
-        assert len(lp["token_logprobs"]) == len(lp["tokens"]) == n
+        # one logprob entry per generated token, and a non-empty
+        # decoded completion
+        assert 1 <= len(lp["tokens"]) <= 4
+        assert len(lp["token_logprobs"]) == len(lp["tokens"])
+        assert body["choices"][0]["text"]
         assert all(v <= 0.0 for v in lp["token_logprobs"])
         # dict keyed by decoded text: duplicates may collapse (≤ 5)
         assert all(1 <= len(t) <= 5 for t in lp["top_logprobs"])

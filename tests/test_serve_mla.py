@@ -20,14 +20,8 @@ from aurora_tpu.serve.scheduler import Request
 
 
 def _run_engine(engine, reqs):
-    for r in reqs:
-        engine.add_request(r)
-    done = []
-    for _ in range(500):
-        done += engine.step()
-        if not engine.has_work():
-            break
-    return {r.rid: r for r in done}
+    from utils import drain_engine
+    return drain_engine(engine, reqs)
 
 
 def _offline_greedy(params, cfg, ids, max_new):

@@ -35,14 +35,8 @@ def mm_setup(tmp_path_factory):
 
 
 def _drain(engine, reqs):
-    for r in reqs:
-        engine.add_request(r)
-    done = []
-    for _ in range(300):
-        done += engine.step()
-        if not engine.has_work():
-            break
-    return {r.rid: r for r in done}
+    from utils import drain_engine
+    return drain_engine(engine, reqs)
 
 
 def test_frame_hash_ids_deterministic(rng):
@@ -145,6 +139,13 @@ def test_per_request_kept_ratio_and_resolution(mm_setup, rng):
     req = mm.build_request("res28", prompt, px28, kept_ratio=1.0,
                            max_new_tokens=3, eos_ids=(2,))
     n28 = mm.n_visual_tokens(28, 28)  # ratio arg path
+    # placeholder count derives from the ACTUAL frame resolution (2
+    # frames at 28px → 2*n28 placeholder ids in the pseudo-vocab band),
+    # not the server default size — an internally-consistent-but-wrong
+    # count would still pass embed_fn's span check below
+    from aurora_tpu.serve.multimodal import _PLACEHOLDER_BASE
+    n_ph = sum(1 for t in req.input_ids if t >= _PLACEHOLDER_BASE)
+    assert n_ph == 2 * n28
     # embeds must line up with the placeholder span (the old bug fired
     # an assert inside the engine loop)
     out = mm.embed_fn(req)

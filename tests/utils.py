@@ -116,3 +116,16 @@ def make_xtuner_dir(tmpdir, seed=0, *, llm_kw=None, vit_kw=None,
                     "hidden_act": "gelu", "bias": True}, f)
     tokenizer = make_tiny_tokenizer(root)
     return root, llm, vit, proj, tokenizer
+
+
+def drain_engine(engine, reqs, max_steps: int = 500):
+    """Add `reqs` and step the engine to completion (bounded) — the ONE
+    drain helper for every engine test (six copies had drifted caps)."""
+    for r in reqs:
+        engine.add_request(r)
+    done = []
+    for _ in range(max_steps):
+        done += engine.step()
+        if not engine.has_work():
+            break
+    return {r.rid: r for r in done}
