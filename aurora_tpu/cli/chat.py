@@ -64,6 +64,7 @@ def main():
         else ""
     eos = tuple({tokenizer.eos_token_id} - {None}) or (2,)
     first = True
+    vis_groups = None  # ViT output cached across turns
     print("chat ready — empty line or 'exit' quits, 'reset' clears")
     while True:
         try:
@@ -81,13 +82,24 @@ def main():
             user = image_tokens + "\n" + user
         history += tpl["INSTRUCTION"].format(input=user, round=1)
         ids = ids_to_array(encode_with_image_tokens(history, tokenizer))
-        # px on EVERY turn: the accumulated history keeps its <image>
-        # markers, so turn 2+ must re-fuse the visual embeddings — with
-        # pixel_values=None the -200 marker ids would be embedded as
-        # (clipped) vocab rows and the image silently lost
-        fused = aurora_forward(
-            params, cfg, jnp.asarray(ids), px,
-            kept_ratio=args.token_kept_ratio, mode="inference")
+        # visuals fused on EVERY turn: the accumulated history keeps its
+        # <image> markers, so turn 2+ must re-splice the visual
+        # embeddings (with pixel_values=None the -200 marker ids would
+        # embed as clipped vocab rows and the image is silently lost).
+        # The ViT runs ONCE — turns reuse the cached encoded groups
+        # instead of re-encoding identical pixels each round.
+        if px is not None and vis_groups is None:
+            from aurora_tpu.models.aurora import encode_visual
+            vis_groups = encode_visual(params, px, cfg,
+                                       args.token_kept_ratio)
+        if vis_groups is not None:
+            from aurora_tpu.models.aurora import fuse_multimodal
+            fused = fuse_multimodal(params["llm"]["embed_tokens"],
+                                    jnp.asarray(ids), [vis_groups])
+        else:
+            fused = aurora_forward(
+                params, cfg, jnp.asarray(ids), None,
+                kept_ratio=args.token_kept_ratio, mode="inference")
         result = generate(
             params["llm"], cfg.llm, fused["inputs_embeds"],
             fused["attention_mask"],

@@ -56,11 +56,22 @@ class AuroraCapEval:
         return clip_preprocess(raws, size=self.image_size,
                                crop=self.image_size)
 
+    @staticmethod
+    def _trim_stops(text: str, gk) -> str:
+        for s in gk.get("stop", ()) or ():
+            i = text.find(s)
+            if i >= 0:
+                text = text[:i]
+        return text
+
     def generate_until(self, doc, task) -> str:
         prompt = task.doc_to_text(doc)
         gk = task.cfg.generation_kwargs
-        px = self._frames_all(task.doc_to_visual(doc))
-        return caption(
+        visuals = task.doc_to_visual(doc) if task.doc_to_visual else None
+        if not visuals:  # text-only tasks (gsm8k/ifeval/mmlu free-form)
+            return self._trim_stops(self._generate_text(prompt, gk), gk)
+        px = self._frames_all(visuals)
+        return self._trim_stops(caption(
             self.params, self.cfg, self.tokenizer, pixel_values=px,
             prompt=prompt,
             token_kept_ratio=self.token_merge_ratio,
@@ -68,7 +79,28 @@ class AuroraCapEval:
             top_p=float(gk.get("top_p", 1.0)),
             max_new_tokens=int(gk.get("max_new_tokens",
                                       self.max_new_tokens)),
-            image_size=self.image_size)
+            image_size=self.image_size), gk)
+
+    def _generate_text(self, prompt: str, gk) -> str:
+        """Plain-text decode (no visual stream, no template wrapping —
+        text benchmarks carry their own few-shot formatting)."""
+        import jax
+
+        from aurora_tpu.generate import SamplingParams, generate
+        from aurora_tpu.generate.engine import decode_tokens
+        ids = self.tokenizer.encode(prompt)
+        llm = self.params["llm"]
+        embeds = jnp.take(llm["embed_tokens"], jnp.asarray([ids]), axis=0)
+        eos = tuple({self.tokenizer.eos_token_id} - {None}) or (2,)
+        res = generate(
+            llm, self.cfg.llm, embeds, jnp.ones((1, len(ids)), bool),
+            max_new_tokens=int(gk.get("max_new_tokens",
+                                      self.max_new_tokens)),
+            sampling=SamplingParams(
+                temperature=float(gk.get("temperature", 0.0)),
+                top_p=float(gk.get("top_p", 1.0))),
+            eos_ids=eos, rng=jax.random.PRNGKey(0))
+        return decode_tokens(self.tokenizer, res, eos_ids=eos)[0]
 
     def generate_batch(self, docs, task) -> list:
         """ALL docs through the serve engine's continuous batching — the
@@ -81,25 +113,40 @@ class AuroraCapEval:
         from aurora_tpu.serve.multimodal import AuroraCapServing
         from aurora_tpu.utils.templates import PROMPT_TEMPLATE
 
+        from aurora_tpu.serve.scheduler import Request
+
         gk = task.cfg.generation_kwargs
         max_new = int(gk.get("max_new_tokens", self.max_new_tokens))
+        stops = tuple(gk.get("stop", ()) or ())
         sampling = SamplingParams(
             temperature=float(gk.get("temperature", 0.0)),
             top_p=float(gk.get("top_p", 1.0)))
         eos = tuple({self.tokenizer.eos_token_id} - {None}) or (2,)
 
-        mm = AuroraCapServing(self.params, self.cfg, self.tokenizer,
-                              kept_ratio=self.token_merge_ratio,
-                              image_size=self.image_size)
+        mm = None
         reqs = []
         for i, doc in enumerate(docs):
-            px = self._frames_all(task.doc_to_visual(doc))
+            visuals = (task.doc_to_visual(doc) if task.doc_to_visual
+                       else None)
+            if not visuals:  # text-only docs: plain token requests
+                reqs.append(Request(
+                    rid=f"doc{i}",
+                    input_ids=self.tokenizer.encode(task.doc_to_text(doc)),
+                    sampling=sampling, max_new_tokens=max_new,
+                    eos_ids=eos, stop_strs=stops))
+                continue
+            if mm is None:
+                mm = AuroraCapServing(self.params, self.cfg,
+                                      self.tokenizer,
+                                      kept_ratio=self.token_merge_ratio,
+                                      image_size=self.image_size)
+            px = self._frames_all(visuals)
             prompt_text = build_video_prompt(task.doc_to_text(doc),
                                              px.shape[0],
                                              PROMPT_TEMPLATE.vicuna)
             reqs.append(mm.build_request(
                 f"doc{i}", prompt_text, px, sampling=sampling,
-                max_new_tokens=max_new, eos_ids=eos))
+                max_new_tokens=max_new, eos_ids=eos, stop_strs=stops))
         prompt_max = max(len(r.input_ids) for r in reqs)
         ecfg = EngineConfig(
             max_batch=min(8, len(reqs)),
@@ -109,7 +156,7 @@ class AuroraCapEval:
             kv_chunk=512, kv_dtype=self.params["llm"][
                 "embed_tokens"].dtype)
         engine = ServeEngine(self.params["llm"], self.cfg.llm, ecfg,
-                             embed_fn=mm.embed_fn,
+                             embed_fn=mm.embed_fn if mm else None,
                              tokenizer=self.tokenizer)
         for r in reqs:
             engine.add_request(r)
@@ -127,8 +174,9 @@ class AuroraCapEval:
             raise RuntimeError(
                 f"{len(failed)} eval requests failed in the engine: "
                 + "; ".join(msgs))
-        return [self.tokenizer.decode(done[f"doc{i}"].output_ids,
-                                      skip_special_tokens=True)
+        return [self._trim_stops(
+            self.tokenizer.decode(done[f"doc{i}"].output_ids,
+                                  skip_special_tokens=True), gk)
                 for i in range(len(docs))]
 
     def loglikelihood(self, context_ids, continuation_ids,
@@ -207,18 +255,20 @@ class HTTPModelEval:
         self._client = JudgeClient(base_url, max_tokens=max_new_tokens)
 
     def generate_until(self, doc, task) -> str:
-        import json as _json
-        import urllib.request
+        from aurora_tpu.utils.http import chat_completion, post_json
 
         gk = task.cfg.generation_kwargs
-        prompt = task.doc_to_text(doc)
+        stops = list(gk.get("stop", ()) or ())
         visuals = task.doc_to_visual(doc) if task.doc_to_visual else None
+        prompt = task.doc_to_text(doc)
         if not visuals:
-            return self._client.chat(
-                "", prompt,
+            return chat_completion(
+                self.base_url,
+                [{"role": "user", "content": prompt}],
                 temperature=float(gk.get("temperature", 0.0)),
                 max_tokens=int(gk.get("max_new_tokens",
-                                      self.max_new_tokens)))
+                                      self.max_new_tokens)),
+                stop=stops)
         if len(visuals) != 1 or not isinstance(visuals[0], str):
             raise ValueError(
                 f"task {task.cfg.name!r}: HTTP-served models accept one "
@@ -229,12 +279,9 @@ class HTTPModelEval:
                 "max_new_tokens": int(gk.get("max_new_tokens",
                                              self.max_new_tokens)),
                 "temperature": float(gk.get("temperature", 0.0))}
-        req = urllib.request.Request(
-            self.base_url + "/generate",
-            data=_json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"})
-        with urllib.request.urlopen(req, timeout=600) as r:
-            out = _json.loads(r.read())
+        if stops:
+            body["stop"] = stops
+        out = post_json(self.base_url + "/generate", body)
         if "error" in out:
             raise RuntimeError(f"/generate failed: {out['error']}")
         return out["text"]

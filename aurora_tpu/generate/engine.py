@@ -65,11 +65,16 @@ def _generate(params, cfg: LlamaConfig, inputs_embeds, attention_mask, rng,
 
     def ban_eos_below_min(lg, n_generated):
         """EOS suppressed while fewer than min_new_tokens are out
-        (serve engine _allowed_mask semantics)."""
+        (serve engine _allowed_mask semantics). Out-of-range ids —
+        notably the repo-wide eos_ids=(-1,) 'never stop' sentinel —
+        must not wrap (.at[-1] would ban the LAST vocab token)."""
         if sampling.min_new_tokens <= 0:
             return lg
+        V = lg.shape[-1]
+        valid = (eos_arr >= 0) & (eos_arr < V)
+        eos_cols = jnp.zeros((V,), bool).at[
+            jnp.clip(eos_arr, 0, V - 1)].max(valid)
         ban = n_generated < sampling.min_new_tokens
-        eos_cols = jnp.zeros((lg.shape[-1],), bool).at[eos_arr].set(True)
         return jnp.where(ban & eos_cols[None, :], -jnp.inf, lg)
 
     rng, key = jax.random.split(rng)

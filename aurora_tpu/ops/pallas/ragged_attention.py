@@ -165,16 +165,22 @@ def _pick_hb(Hkv: int, want: int) -> int:
 
 
 def _fit_chunk(Hkv: int, hd: int, kvb: int, chunk: int, S: int,
-               head_block: int):
+               head_block: int, extra_per_head: int = 0):
     """(hb, chunk) whose double-buffered KV blocks fit scoped VMEM.
 
     When Hkv has no 8-aligned divisor, _pick_hb escalates to the full
     head block; honoring the budget then requires SHRINKING the KV
     chunk, not silently compiling an oversized kernel (Hkv=36 at
     chunk=512 bf16 ≈ 19.6MB vs the 16MB scoped-VMEM limit — a latent
-    TPU compile failure the CPU interpret tests never see)."""
+    TPU compile failure the CPU interpret tests never see).
+
+    extra_per_head: chunk-independent per-head bytes beyond the KV
+    blocks — the EXTEND kernel's fp32 acc scratch and double-buffered
+    q/out blocks all scale with hb (≈ qb*hd*12 bytes/head); decode's
+    qr_pad blocks are small enough to live in the slack."""
     while True:
-        per_head = 8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
+        per_head = (8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
+                    + extra_per_head)
         want = max(head_block, min(Hkv, (11 << 20) // per_head))
         hb = _pick_hb(Hkv, want)
         if hb * per_head <= (13 << 20) or chunk <= 128 or chunk % 2 \
@@ -250,12 +256,22 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     qb = int(_os.environ.get("AURORA_EXTEND_QB", "256"))
     if qr <= qb:
         qb = max(align, -(-qr // align) * align)
+    # head counts with no 8-aligned divisor (36, 20, …) escalate to the
+    # FULL head block — shrink the KV chunk (and, if the chunk bottoms
+    # out, the query block) to keep the cell inside scoped VMEM.
+    # extend's acc scratch + q/out blocks also scale with hb (≈ qb*hd*
+    # 12 B/head: fp32 acc + double-buffered bf16 q and out)
+    kvb = 1 if quant else k_rows.dtype.itemsize
+    while True:
+        hb, chunk = _fit_chunk(Hkv, hd, kvb, chunk, S, head_block,
+                               extra_per_head=qb * hd * 12)
+        cell = hb * (8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
+                     + qb * hd * 12)
+        if cell <= (13 << 20) or qb <= 2 * align:
+            break
+        qb = max(align, -(-(qb // 2) // align) * align)
     aligned = T % qb == 0
     qr_pad = -(-qr // qb) * qb
-    # head counts with no 8-aligned divisor (36, 20, …) escalate to the
-    # FULL head block — shrink the KV chunk to keep it inside VMEM
-    hb, chunk = _fit_chunk(Hkv, hd, 1 if quant else k_rows.dtype.itemsize,
-                           chunk, S, head_block)
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
         print(f"[ragged] extend hb={hb} qb={qb} qr_pad={qr_pad} "

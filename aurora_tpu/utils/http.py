@@ -41,3 +41,14 @@ def chat_completion(base_url: str, messages: List[Dict[str, str]], *,
     with urllib.request.urlopen(req, timeout=timeout) as r:
         body = json.loads(r.read())
     return body["choices"][0]["message"]["content"]
+
+
+def post_json(url: str, body: Dict[str, Any], *,
+              timeout: float = 600.0) -> Dict[str, Any]:
+    """POST arbitrary JSON → parsed JSON response (single urllib POST
+    implementation for non-chat endpoints like /generate)."""
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return json.loads(r.read())
