@@ -436,3 +436,19 @@ def test_multi_image_mc_e2e(zoo_env):
     res = simple_evaluate(model, ["zoo_multi_tiny"])
     val = res["results"]["zoo_multi_tiny"]["mc_accuracy"]["value"]
     assert val in (0.0, 100.0)
+
+
+def test_text_only_generation_e2e(zoo_env):
+    """Text-only generation task (gsm8k shape, WITH stop strings)
+    through AuroraCapEval: no doc_to_visual → the adapter must run its
+    text path (regression: unconditional doc_to_visual(doc) crashed)
+    and honor generation_kwargs stop."""
+    base, model = zoo_env
+    with open(base / "gsm.jsonl", "w") as f:
+        f.write(json.dumps({"question": "2+2?",
+                            "answer": "2 and 2 make\n#### 4"}) + "\n")
+    from aurora_tpu.eval.tasks.gsm8k import register_gsm8k
+    register_gsm8k(str(base / "gsm.jsonl"), name="zoo_gsm_tiny")
+    res = simple_evaluate(model, ["zoo_gsm_tiny"])
+    val = res["results"]["zoo_gsm_tiny"]["exact_match_flexible"]["value"]
+    assert val in (0.0, 1.0)  # tiny random model; the protocol must run
