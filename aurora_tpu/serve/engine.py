@@ -326,8 +326,23 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None, h=None):
         from aurora_tpu.ops.moe import (moe_mlp,  # parity)
                                         moe_mlp_grouped,
                                         shared_expert_mlp)
-        moe_params = {"router": lp["moe_router"], "gate": lp["moe_gate"],
-                      "up": lp["moe_up"], "down": lp["moe_down"]}
+
+        def _deq(name):
+            # int8 experts (quantize_weights_int8/int4): dequantize at
+            # the dot — XLA fuses the multiply into the weight load, so
+            # the HBM stream stays int8-sized
+            w, sc = lp[name], lp.get(name + "_scale")
+            if sc is None:
+                return w
+            return (w.astype(h.dtype) * sc.astype(h.dtype))
+
+        if "moe_shared_gate_scale" in lp:
+            lp = {**lp,
+                  "moe_shared_gate": _deq("moe_shared_gate"),
+                  "moe_shared_up": _deq("moe_shared_up"),
+                  "moe_shared_down": _deq("moe_shared_down")}
+        moe_params = {"router": lp["moe_router"], "gate": _deq("moe_gate"),
+                      "up": _deq("moe_up"), "down": _deq("moe_down")}
         mode = ("softmax_topk" if cfg.moe_router_mode == "softmax_topk"
                 else "mixtral")
         # prefill/extend (many tokens, unsharded experts): grouped-matmul
@@ -397,6 +412,19 @@ def quantize_weights_int8(params: Params,
         layers[name], layers[name + "_scale"] = _w8(layers[name])
         if free_source:
             params["layers"][name] = None
+    # MoE expert stacks hold the bulk of an MoE model's parameters —
+    # skipping them would make weight_quant a near-no-op for Mixtral/
+    # Qwen-MoE/DeepSeek families. int8 per-output-channel scales (_w8
+    # reduces over the input axis, so [L,E,D,F] → scales [L,E,1,F]);
+    # _mlp dequantizes in-dot. The router (+scalar shared gate) stays
+    # fp: it is tiny and routing precision decides expert selection.
+    for name in ("moe_gate", "moe_up", "moe_down", "moe_shared_gate",
+                 "moe_shared_up", "moe_shared_down"):
+        if name not in layers:
+            continue
+        layers[name], layers[name + "_scale"] = _w8(layers[name])
+        if free_source:
+            params["layers"][name] = None
     out["layers"] = layers
     if "lm_head" in params:
         out["lm_head"], out["lm_head_scale"] = _w8(params["lm_head"])
@@ -454,6 +482,19 @@ def quantize_weights_int4(params: Params, free_source: bool = False,
         if name not in layers:
             continue
         layers[name], layers[name + "_scale4"] = _w4(layers[name], group)
+        if free_source:
+            params["layers"][name] = None
+    # MoE expert stacks hold the bulk of an MoE model's parameters —
+    # skipping them would make weight_quant a near-no-op for Mixtral/
+    # Qwen-MoE/DeepSeek families. int8 per-output-channel scales (_w8
+    # reduces over the input axis, so [L,E,D,F] → scales [L,E,1,F]);
+    # _mlp dequantizes in-dot. The router (+scalar shared gate) stays
+    # fp: it is tiny and routing precision decides expert selection.
+    for name in ("moe_gate", "moe_up", "moe_down", "moe_shared_gate",
+                 "moe_shared_up", "moe_shared_down"):
+        if name not in layers:
+            continue
+        layers[name], layers[name + "_scale"] = _w8(layers[name])
         if free_source:
             params["layers"][name] = None
     out["layers"] = layers
@@ -995,18 +1036,7 @@ class ServeEngine:
         B, S = ecfg.max_batch, ecfg.s_row
         L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                       cfg.head_dim)
-        store_dt = jnp.int8 if quant else ecfg.kv_dtype
-        if cfg.mla_kv_lora_rank:
-            # one latent vector per token (Hkv=1, hd=rank+rope); no "v"
-            self.rows = {"k": jnp.zeros((L, B, 1, S, hd), store_dt)}
-        else:
-            self.rows = {"k": jnp.zeros((L, B, Hkv, S, hd), store_dt),
-                         "v": jnp.zeros((L, B, Hkv, S, hd), store_dt)}
-        if quant:
-            self.rows["ks"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
-            self.rows["vs"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
-        self.counts = jnp.zeros((B, cfg.vocab_size), jnp.int32)
-        self.seen = jnp.zeros((B, cfg.vocab_size), bool)
+        self._alloc_row_buffers()
         self.chunk = min(ecfg.kv_chunk, S)
         self.row_reqs: List[Optional[Request]] = [None] * B
         self.prefilling: List[Request] = []   # interleaved chunked
@@ -1064,6 +1094,19 @@ class ServeEngine:
     # -- public API ----------------------------------------------------------
 
     def add_request(self, req: Request) -> None:
+        if not req.input_ids:
+            # an empty prompt would underflow the full-hit back-off in
+            # _prepare (n_cached=-1) and poison its whole admission wave
+            req.finished = FinishReason.ABORT
+            req.error = "empty prompt (input_ids must be non-empty)"
+            self._done_buffer = getattr(self, "_done_buffer", []) + [req]
+            return
+        if req.max_new_tokens <= 0:
+            # OpenAI max_tokens=0 semantics: zero generated tokens —
+            # without this the extend step always samples one token
+            req.finished = FinishReason.LENGTH
+            self._done_buffer = getattr(self, "_done_buffer", []) + [req]
+            return
         self.sched.add(req)
 
     def abort(self, rid: str) -> bool:
@@ -1088,10 +1131,65 @@ class ServeEngine:
                 req.prefix_locked = False
             req.prefix_node = None
             failed.append(req)
+        # a RUNTIME failure inside a compiled step can invalidate the
+        # DONATED inputs (rows/counts/seen) before the call completes —
+        # self.rows is only reassigned on success, so it may now point
+        # at deleted device buffers and every later step would raise
+        # 'Array has been deleted'. Rebuild zeroed buffers (the batch is
+        # torn down anyway; cached prefixes live in the pool, untouched).
+        def _dead(x):
+            try:
+                return x.is_deleted()
+            except AttributeError:
+                return False
+        if any(_dead(x) for x in jax.tree.leaves(
+                (self.rows, self.counts, self.seen))):
+            self._alloc_row_buffers()
+            if self.mesh is not None:
+                from aurora_tpu.serve.tp import shard_tree, tp_row_specs
+                self.rows = shard_tree(self.rows,
+                                       tp_row_specs(self.rows), self.mesh)
+                from aurora_tpu.serve.tp import replicate
+                self.counts = replicate(self.counts, self.mesh)
+                self.seen = replicate(self.seen, self.mesh)
+        if any(_dead(x) for x in jax.tree.leaves(self.pool.as_dict())):
+            # the pool backs the radix cache: rebuilding it as zeros
+            # orphans every cached prefix, so drop the tree too
+            self.pool = KVPool(self.cfg, self.ecfg.num_slots,
+                               self.ecfg.kv_dtype,
+                               quant=self.ecfg.kv_quant == "int8")
+            if self.mesh is not None:
+                from aurora_tpu.serve.tp import shard_tree, tp_pool_specs
+                self.pool.set_dict(shard_tree(
+                    self.pool.as_dict(), tp_pool_specs(self.pool.as_dict()),
+                    self.mesh))
+            self.flush_cache()
         return failed
 
+    def _alloc_row_buffers(self) -> None:
+        """(Re)allocate the per-row KV buffers + sampler histograms —
+        used at init and for post-failure recovery of donated buffers."""
+        cfg, ecfg = self.cfg, self.ecfg
+        quant = ecfg.kv_quant == "int8"
+        B, S = ecfg.max_batch, ecfg.s_row
+        L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        store_dt = jnp.int8 if quant else ecfg.kv_dtype
+        if cfg.mla_kv_lora_rank:
+            # one latent vector per token (Hkv=1, hd=rank+rope); no "v"
+            self.rows = {"k": jnp.zeros((L, B, 1, S, hd), store_dt)}
+        else:
+            self.rows = {"k": jnp.zeros((L, B, Hkv, S, hd), store_dt),
+                         "v": jnp.zeros((L, B, Hkv, S, hd), store_dt)}
+        if quant:
+            self.rows["ks"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
+            self.rows["vs"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
+        self.counts = jnp.zeros((B, cfg.vocab_size), jnp.int32)
+        self.seen = jnp.zeros((B, cfg.vocab_size), bool)
+
     def has_work(self) -> bool:
-        return bool(self.sched.waiting or self.sched.running)
+        return bool(self.sched.waiting or self.sched.running
+                    or getattr(self, "_done_buffer", None))
 
     def flush_cache(self) -> int:
         """Drop all unlocked radix-cached prefixes (sglang /flush_cache).
@@ -1151,7 +1249,10 @@ class ServeEngine:
         self._jump_forwards()
         self._decode()
         self._jump_forwards()
-        done = []
+        # requests finished at add time (empty prompt / max_new=0)
+        done = list(getattr(self, "_done_buffer", ()))
+        if done:
+            self._done_buffer = []
         for req in self.sched.retire_finished():
             self._release(req)
             done.append(req)
@@ -1215,8 +1316,21 @@ class ServeEngine:
             try:
                 self._extend_wave(wave)
             except Exception as e:
+                if len(wave) == 1:
+                    self._abort_admission(wave[0], wave[0].batch_row, e)
+                    return
+                # per-REQUEST isolation, not per-wave: re-run each
+                # request as its own wave so only the poison one aborts
+                # (a batched failure used to take every co-admitted
+                # request down with it)
                 for req in wave:
-                    self._abort_admission(req, req.batch_row, e)
+                    req.output_ids = []  # drop any partial batched emit
+                    try:
+                        self._extend_wave([req])
+                    except Exception as e1:  # noqa: BLE001
+                        self._abort_admission(req, req.batch_row, e1)
+                        continue
+                    self.sched.running.append(req)
                 return
             self.sched.running.extend(wave)
 
@@ -1505,6 +1619,11 @@ class ServeEngine:
                 if a != b:
                     break
                 d += 1
+        # forced tokens count toward the decode-throughput counter too
+        # (they bypass _accept_token; a mostly-constrained workload
+        # would otherwise report a fraction of its real gen rate)
+        self._gen_total = (getattr(self, "_gen_total", 0)
+                           + max(0, len(final) - len(req.output_ids)))
         req.output_ids = list(final)
         if healed is None:
             # forced tokens must still feed the penalty histograms (they

@@ -84,14 +84,13 @@ class KVPool:
     # (None for MLA) and skipped the quant scale planes.
 
     def hbm_bytes(self) -> int:
-        n = int(np.prod(self.k.shape)) * self.k.dtype.itemsize
-        return n if self.mla else 2 * n
-
-
-def kv_pool_size_for_memory(cfg: LlamaConfig, budget_bytes: int,
-                            dtype_bytes: int = 2) -> int:
-    """memory_pool-style sizing: slots that fit the HBM budget
-    (model_runner.py:317 profile-driven sizing analog)."""
-    per_slot = (2 * cfg.num_hidden_layers * cfg.num_key_value_heads
-                * cfg.head_dim * dtype_bytes)
-    return max(1, budget_bytes // per_slot)
+        """Actual pool residency incl. quant scale planes (the live
+        sizing math is engine.kv_bytes_per_token_layer — keep them in
+        sync via that helper, not a local re-derivation)."""
+        total = int(np.prod(self.k.shape)) * self.k.dtype.itemsize
+        if not self.mla:
+            total *= 2
+        if self.quant:
+            total += sum(int(np.prod(a.shape)) * a.dtype.itemsize
+                         for a in (self.ks, self.vs))
+        return total

@@ -82,7 +82,10 @@ class Request:
     @property
     def extend_len(self) -> int:
         cached = 0 if self.prefix_slots is None else len(self.prefix_slots)
-        return len(self.input_ids) - cached
+        # a FULL prefix hit still re-extends the last token (the engine
+        # backs n_cached off by 1 to produce first-step logits) — floor
+        # at 1 so admission budgeting matches what actually runs
+        return max(1, len(self.input_ids) - cached)
 
     def check_finished(self) -> None:
         if self.finished is not None:
@@ -130,9 +133,16 @@ class Scheduler:
         if self.policy == SchedulePolicy.FCFS:
             self.waiting.sort(key=lambda r: r.arrival)
         elif self.policy == SchedulePolicy.LPM:
-            # longest cached prefix first (policy_scheduler.py lpm)
+            # longest cached prefix first (policy_scheduler.py lpm).
+            # Re-match EVERY pass (sglang calc_priority does too): the
+            # cache changes while requests wait — a once-cached prefix
+            # may be evicted, and a cold request's twin may have
+            # finished and populated the cache since. Stale matches
+            # would order and budget admission on dead data. (The
+            # engine still re-matches under lock at admission for
+            # correctness; this is policy/budget freshness.)
             for r in self.waiting:
-                if self.radix is not None and r.prefix_slots is None:
+                if self.radix is not None:
                     r.prefix_slots, r.prefix_node = self.radix.match_prefix(
                         r.input_ids)
             self.waiting.sort(

@@ -93,12 +93,19 @@ def tp_param_specs(params: Params) -> Params:
                 # existing down-proj psum sums the partials (without
                 # this, replicated experts + psum returned tp× the MLP)
                 out[name] = P(None, None, None, "tp")
-            elif base == "moe_down":                # [L, E, F, D]
-                out[name] = P(None, None, "tp", None)
+            elif base == "moe_down":
+                # weights [L, E, F, D] row-sharded; their per-output
+                # scales [L, E, 1, D] have a size-1 width axis —
+                # replicate them (outputs are summed by the psum)
+                out[name] = (P(*([None] * w.ndim))
+                             if name.endswith("_scale")
+                             else P(None, None, "tp", None))
             elif base in ("moe_shared_gate", "moe_shared_up"):
                 out[name] = P(None, None, "tp")     # [L, D, Fs]
             elif base == "moe_shared_down":
-                out[name] = P(None, "tp", None)     # [L, Fs, D]
+                out[name] = (P(*([None] * w.ndim))
+                             if name.endswith("_scale")
+                             else P(None, "tp", None))  # [L, Fs, D]
             else:  # norms, MoE router + scalar shared gate (their
                 # outputs are token-scalars identical on every shard,
                 # and the sigmoid gate distributes over the psum),

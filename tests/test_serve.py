@@ -1006,3 +1006,91 @@ def test_engine_tp_rejects_fused_layout(tiny_engine):
                                   "layers": dict(params["layers"])})
     with pytest.raises(ValueError, match="fused"):
         ServeEngine(fused, cfg, dc.replace(ecfg, tp=2))
+
+
+def test_empty_prompt_and_zero_max_new(tiny_engine):
+    """Empty prompts and max_new_tokens=0 finish cleanly at add time —
+    an empty prompt used to underflow the full-hit back-off and poison
+    its whole admission wave; max_new=0 used to emit one token anyway
+    (OpenAI max_tokens=0 semantics return zero)."""
+    params, cfg, ecfg = tiny_engine
+    eng = ServeEngine(dict(params), cfg, ecfg)
+    eng.add_request(Request(rid="empty", input_ids=[],
+                            max_new_tokens=4))
+    eng.add_request(Request(rid="zero", input_ids=[5, 6, 7],
+                            max_new_tokens=0))
+    eng.add_request(Request(rid="ok", input_ids=[5, 6, 7],
+                            max_new_tokens=3, eos_ids=(-1,)))
+    done = {}
+    for _ in range(50):
+        for r in eng.step():
+            done[r.rid] = r
+        if not eng.has_work():
+            break
+    assert done["empty"].error and not done["empty"].output_ids
+    assert done["zero"].error is None
+    assert done["zero"].output_ids == []
+    assert len(done["ok"].output_ids) == 3
+    assert eng.check_memory()["leaked"] == 0
+
+
+def test_wave_isolation_single_poison_request(tiny_engine, rng):
+    """A request that fails inside the batched extend must abort ALONE:
+    the engine retries co-admitted requests one-by-one (regression: the
+    whole wave was aborted together)."""
+    params, cfg, ecfg = tiny_engine
+    eng = ServeEngine(dict(params), cfg, ecfg)
+    orig = eng._extend_wave
+
+    def flaky(wave):
+        if any(r.rid == "bad" for r in wave):
+            raise RuntimeError("poison lane")
+        return orig(wave)
+
+    eng._extend_wave = flaky
+    reqs = [Request(rid="g1", input_ids=[int(x) for x in
+                                         rng.integers(3, 128, size=7)],
+                    max_new_tokens=3, eos_ids=(-1,)),
+            Request(rid="bad", input_ids=[int(x) for x in
+                                          rng.integers(3, 128, size=8)],
+                    max_new_tokens=3, eos_ids=(-1,)),
+            Request(rid="g2", input_ids=[int(x) for x in
+                                         rng.integers(3, 128, size=9)],
+                    max_new_tokens=3, eos_ids=(-1,))]
+    done = _run_engine(eng, reqs)
+    assert done["bad"].error is not None
+    assert done["g1"].error is None and len(done["g1"].output_ids) == 3
+    assert done["g2"].error is None and len(done["g2"].output_ids) == 3
+    assert eng.check_memory()["leaked"] == 0
+
+
+def test_moe_weights_quantized_int8(rng):
+    """weight_quant='int8' quantizes the MoE expert stacks (regression:
+    only dense names were quantized — a near-no-op for MoE families) and
+    the dequant-in-dot serving output stays sound."""
+    import dataclasses as dc
+    from aurora_tpu.serve.engine import quantize_weights_int8
+    cfg = dc.replace(LlamaConfig.tiny(vocab_size=128),
+                     num_experts=4, num_experts_per_tok=2)
+    params = init_llama_params(jax.random.PRNGKey(21), cfg,
+                               dtype=jnp.float32)
+    qp = quantize_weights_int8({**params,
+                                "layers": dict(params["layers"])})
+    assert qp["layers"]["moe_gate"].dtype == jnp.int8
+    assert "moe_gate_scale" in qp["layers"]
+    assert qp["layers"]["moe_down"].dtype == jnp.int8
+    assert qp["layers"]["moe_router"].dtype != jnp.int8  # routing stays fp
+
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    ids = [int(x) for x in rng.integers(3, 128, size=11)]
+    from aurora_tpu.models.llama import llama_apply
+    ref, _ = llama_apply(params, cfg, input_ids=jnp.asarray([ids]))
+    eng = ServeEngine({**params, "layers": dict(params["layers"])}, cfg,
+                      dc.replace(ecfg, weight_quant="int8"))
+    done = _run_engine(eng, [Request(rid="m", input_ids=list(ids),
+                                     max_new_tokens=4, eos_ids=(-1,))])
+    assert len(done["m"].output_ids) == 4
+    # per-channel W8 on a tiny fp32 model: first greedy token agrees
+    assert done["m"].output_ids[0] == int(jnp.argmax(ref[0, -1]))
