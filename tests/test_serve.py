@@ -1094,3 +1094,26 @@ def test_moe_weights_quantized_int8(rng):
     assert len(done["m"].output_ids) == 4
     # per-channel W8 on a tiny fp32 model: first greedy token agrees
     assert done["m"].output_ids[0] == int(jnp.argmax(ref[0, -1]))
+
+
+def test_fail_running_rebuilds_deleted_buffers(tiny_engine, rng):
+    """A runtime failure inside a compiled step can invalidate DONATED
+    inputs; fail_running must rebuild dead buffers so the engine keeps
+    serving (regression: every later step raised 'Array has been
+    deleted' forever)."""
+    params, cfg, ecfg = tiny_engine
+    eng = ServeEngine(dict(params), cfg, ecfg)
+    ids = [int(x) for x in rng.integers(3, 128, size=8)]
+    done = _run_engine(eng, [Request(rid="a", input_ids=list(ids),
+                                     max_new_tokens=3, eos_ids=(-1,))])
+    assert len(done["a"].output_ids) == 3
+    # simulate a mid-call donation loss: delete the live KV rows
+    for leaf in eng.rows.values():
+        leaf.delete()
+    eng.fail_running()
+    assert not any(x.is_deleted()
+                   for x in eng.rows.values())
+    done2 = _run_engine(eng, [Request(rid="b", input_ids=list(ids),
+                                      max_new_tokens=3, eos_ids=(-1,))])
+    assert len(done2["b"].output_ids) == 3
+    assert eng.check_memory()["leaked"] == 0
