@@ -588,6 +588,13 @@ async function go(){
             "model": model_name,
             "memory": loop_.engine.check_memory()})
 
+    async def h_models(request):
+        # OpenAI SDK compatibility: clients list models before first use
+        return web.json_response({
+            "object": "list",
+            "data": [{"id": model_name, "object": "model",
+                      "created": 0, "owned_by": "aurora_tpu"}]})
+
     async def h_decode_stats(request):
         # print_decode_stats parity (tp_worker.py:285-300) as an ops
         # endpoint: running/queued, slot usage, decode tokens/s
@@ -755,6 +762,7 @@ async function go(){
     app.router.add_post("/v1/chat/completions", h_chat)
     app.router.add_get("/health", h_health)
     app.router.add_get("/get_model_info", h_model_info)
+    app.router.add_get("/v1/models", h_models)
     app.router.add_get("/decode_stats", h_decode_stats)
     app.router.add_post("/abort_request", h_abort)
     app.router.add_post("/flush_cache", h_flush_cache)

@@ -554,3 +554,16 @@ def test_render_conversation_consecutive_user_turns():
         {"role": "user", "content": "q2"},
     ])
     assert text2.count("ASSISTANT") == 2 and "r1" in text2
+
+
+def test_models_endpoint(served):
+    """GET /v1/models — OpenAI SDKs list models before first use."""
+    async def go(client):
+        r = await client.get("/v1/models")
+        assert r.status == 200
+        body = await r.json()
+        assert body["object"] == "list"
+        assert body["data"][0]["id"] == "tiny"
+        return True
+
+    assert _with_app(served, go)
