@@ -30,7 +30,15 @@ ImageLike = Union[Image.Image, np.ndarray]
 def _to_pil(img: ImageLike) -> Image.Image:
     if isinstance(img, Image.Image):
         return img.convert("RGB")
-    return Image.fromarray(np.asarray(img).astype(np.uint8)).convert("RGB")
+    arr = np.asarray(img)
+    if np.issubdtype(arr.dtype, np.floating):
+        # float frames: [0,1]-normalized decoders are common — a bare
+        # astype(uint8) would truncate 0.99 → 0 and feed the ViT
+        # near-black images with no error
+        if arr.size and float(arr.max()) <= 1.0 + 1e-6:
+            arr = arr * 255.0
+        arr = np.clip(np.round(arr), 0, 255)
+    return Image.fromarray(arr.astype(np.uint8)).convert("RGB")
 
 
 def _normalize(arr: np.ndarray) -> np.ndarray:
@@ -90,17 +98,25 @@ def expand2square(img: Image.Image,
 def keep_aspect_preprocess(img: ImageLike, shortest_edge: int = 378,
                            pad_to_square: bool = False) -> np.ndarray:
     """Training-dataset path (dataset/aurora.py:134-149): shortest-edge
-    scale (note: the reference computes the scale from PIL's (w, h) but
-    names them (h, w) — behavior is identical since min() is symmetric),
-    zero-pad H and W up to multiples of PATCH_SIZE, normalize only.
-    Returns [C, H', W'] float32 (H', W' vary per image)."""
+    scale, zero-pad H and W up to multiples of PATCH_SIZE, normalize
+    only. Returns [C, H', W'] float32 (H', W' vary per image).
+
+    REFERENCE QUIRK, reproduced deliberately: dataset/aurora.py:138 does
+    `h, w = image.size` — PIL's .size is (WIDTH, HEIGHT), so their `h`
+    is the width — and then `image.resize((new_w, new_h))` where
+    new_w = int(HEIGHT*scale), new_h = int(WIDTH*scale). Every
+    non-square image is therefore resampled to the TRANSPOSED aspect
+    ratio (a 400x300 input becomes 378 wide x 504 tall). The released
+    checkpoints were trained on this distribution, so faithfully
+    matching it (not 'fixing' it) is what reproduces their behavior."""
     pil = _to_pil(img)
     if pad_to_square:
         pil = expand2square(pil, tuple(int(x * 255) for x in CLIP_MEAN))
-    w, h = pil.size
+    w, h = pil.size                      # PIL: (width, height)
     scale = shortest_edge / min(w, h)
-    new_w, new_h = int(w * scale), int(h * scale)
-    pil = pil.resize((new_w, new_h))
+    # sic — swapped on purpose, see the docstring
+    new_h, new_w = int(w * scale), int(h * scale)
+    pil = pil.resize((new_w, new_h))     # → width=H*s, height=W*s
     pad_h = (PATCH_SIZE - new_h % PATCH_SIZE) % PATCH_SIZE
     pad_w = (PATCH_SIZE - new_w % PATCH_SIZE) % PATCH_SIZE
     pil = ImageOps.expand(pil, (0, 0, pad_w, pad_h), fill=(0, 0, 0))

@@ -76,14 +76,14 @@ def num_visual_tokens(cfg: AuroraConfig, kept_ratio: float,
     r = vit_tome_r(cfg.vit, kept_ratio, h, w)
     n0 = (h // cfg.vit.patch_size) * (w // cfg.vit.patch_size)
     n0 += 1 if cfg.vit.class_token else 0
-    sched = tome_schedule(n0, r, cfg.vit.num_hidden_layers,
-                          1 if cfg.vit.class_token else 0)
+    sched = tome_schedule(n0, r, cfg.vit.num_hidden_layers, 1)
     sel = cfg.visual_select_layer
     # hidden_states list has L+1 entries; entry i is the input to layer i
     idx = sel if sel >= 0 else cfg.vit.num_hidden_layers + 1 + sel
     n = sched[idx].t_in if idx < cfg.vit.num_hidden_layers \
         else sched[-1].t_out
-    return n - (1 if cfg.vit.class_token else 0)
+    # token 0 is always dropped (reference [:, 1:] is tower-agnostic)
+    return n - 1
 
 
 def encode_visual(params: Params, pixel_values: jnp.ndarray,
@@ -220,6 +220,11 @@ def fuse_multimodal(embed_table: jnp.ndarray,
         seg_pos = jnp.where(~attention_mask, drop, base_pos)
         out_segments = out_segments.at[batch_ix, seg_pos].set(
             segment_ids, mode="drop")  # markers write their own segment
+        # group-independent: each marker's segment id, scattered once
+        # (was recomputed per visual group — identical values)
+        marker_seg = jnp.zeros((B, F_total), segment_ids.dtype).at[
+            batch_ix, onehot].add(
+                jnp.where(is_img, segment_ids, 0), mode="drop")
         k0 = 0
         for g in visual_groups:
             Fg, Ng = g.shape[1], g.shape[2]
@@ -227,9 +232,6 @@ def fuse_multimodal(embed_table: jnp.ndarray,
             vis_pos = g_starts[:, :, None] + jnp.arange(Ng)[None, None, :]
             vb = jnp.broadcast_to(jnp.arange(B)[:, None, None],
                                   (B, Fg, Ng))
-            marker_seg = jnp.zeros((B, F_total), segment_ids.dtype).at[
-                batch_ix, onehot].add(
-                    jnp.where(is_img, segment_ids, 0), mode="drop")
             seg_vals = jnp.broadcast_to(
                 marker_seg[:, k0:k0 + Fg, None], (B, Fg, Ng))
             out_segments = out_segments.at[

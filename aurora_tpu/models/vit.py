@@ -232,7 +232,11 @@ def _patch_embed(p: Params, pixel_values: jnp.ndarray,
         emb = jnp.concatenate([cls, emb], axis=1)
     n_pos = h0 * w0 + (1 if cfg.class_token else 0)
     pos = p["embeddings"]["position_embedding"]
-    if pos.shape[0] != n_pos:
+    # interpolate unless count AND grid both match (aurora.py:919 skips
+    # only when `npatch == N and w0 == h0`) — a non-square keep-aspect
+    # input whose patch COUNT coincidentally equals num_positions (e.g.
+    # 81x9 = 27x27) must not silently reuse the square-grid embedding
+    if pos.shape[0] != n_pos or h0 != w0:
         pos = interpolate_pos_embedding(pos, cfg, H, W)
     return emb + pos[None].astype(emb.dtype)
 
@@ -275,8 +279,12 @@ def _encoder_layer(lp: Params, x: jnp.ndarray, size: Optional[jnp.ndarray],
     x = residual + attn_out
 
     if r > 0:
-        merge = bipartite_soft_matching(metric, r,
-                                        class_token=cfg.class_token)
+        # class_token=True for BOTH towers: the reference hard-codes it
+        # even for SigLIP (aurora.py:746 CLIP, :996 SigLIP) — token 0
+        # (the CLS for CLIP, the FIRST PATCH for SigLIP) is protected
+        # from merging, keeps survivors sorted, and is later dropped by
+        # the [:, 1:] slice in AuroraModel.forward
+        merge = bipartite_soft_matching(metric, r, class_token=True)
         x, size = merge_wavg(merge, x, size)
 
     residual = x
@@ -320,8 +328,9 @@ def vit_encode(params: Params, pixel_values: jnp.ndarray, cfg: ViTConfig,
                        params["pre_layernorm"]["bias"], cfg.layer_norm_eps)
 
     r = vit_tome_r(cfg, kept_ratio, H, W)
-    protected = 1 if cfg.class_token else 0
-    sched = tome_schedule(x.shape[1], r, cfg.num_hidden_layers, protected)
+    # protected=1 for BOTH towers (reference merges with class_token=True
+    # unconditionally — SigLIP's first PATCH is the protected token)
+    sched = tome_schedule(x.shape[1], r, cfg.num_hidden_layers, 1)
 
     act = _act(cfg.hidden_act)
     hidden_states: List[jnp.ndarray] = []
@@ -336,6 +345,7 @@ def vit_encode(params: Params, pixel_values: jnp.ndarray, cfg: ViTConfig,
     hidden_states.append(x)
 
     sel = hidden_states[select_layer]
-    if cfg.class_token:
-        sel = sel[:, 1:]
-    return sel
+    # token 0 dropped for BOTH towers — AuroraModel.forward slices
+    # [:, 1:] unconditionally (aurora.py:226/234/253), so SigLIP loses
+    # its (protected) first patch exactly like CLIP loses its CLS
+    return sel[:, 1:]

@@ -122,6 +122,20 @@ def _gather_tokens(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.take_along_axis(x, idx[..., None], axis=1)
 
 
+def _scatter_rows(bb, ss, ii, mode: str):
+    """Scatter source rows ss into bb at indices ii — the ONE merge-mode
+    dispatch shared by apply_merge / kth / random matching (three copies
+    had to be edited in lockstep before)."""
+    if mode == "sum":
+        return bb.at[ii].add(ss)
+    if mode == "amax":
+        return bb.at[ii].max(ss)
+    if mode == "mean":
+        cnt = jnp.zeros((bb.shape[0], 1), bb.dtype).at[ii].add(1.0)
+        return bb.at[ii].add(ss) / (1.0 + cnt)
+    raise ValueError(f"unknown merge mode {mode!r}")
+
+
 def apply_merge(x: jnp.ndarray, unm_idx: jnp.ndarray, src_idx: jnp.ndarray,
                 dst_idx: jnp.ndarray, mode: str = "sum") -> jnp.ndarray:
     """Merge token rows given match indices. x [B,T,C] → [B, T - r, C].
@@ -131,19 +145,8 @@ def apply_merge(x: jnp.ndarray, unm_idx: jnp.ndarray, src_idx: jnp.ndarray,
     a, b = _split_even_odd(x)
     unm = _gather_tokens(a, unm_idx)
     src = _gather_tokens(a, src_idx)
-    scatter_idx = dst_idx[..., None]  # [B, r, 1]
-
-    def scatter_one(bb, ss, ii):
-        if mode == "sum":
-            return bb.at[ii[:, 0]].add(ss)
-        if mode == "amax":
-            return bb.at[ii[:, 0]].max(ss)
-        if mode == "mean":
-            cnt = jnp.zeros((bb.shape[0], 1), bb.dtype).at[ii[:, 0]].add(1.0)
-            return bb.at[ii[:, 0]].add(ss) / (1.0 + cnt)
-        raise ValueError(f"unknown merge mode {mode!r}")
-
-    dst = jax.vmap(scatter_one)(b, src.astype(b.dtype), scatter_idx)
+    dst = jax.vmap(lambda bb, ss, ii: _scatter_rows(bb, ss, ii, mode))(
+        b, src.astype(b.dtype), dst_idx)
     return jnp.concatenate([unm, dst], axis=1)
 
 
@@ -221,15 +224,9 @@ def kth_bipartite_soft_matching(metric: jnp.ndarray, k: int):
     def merge(x: jnp.ndarray, mode: str = "mean") -> jnp.ndarray:
         xa, xb = split(x)
 
-        def scatter_one(bb, ss, ii):
-            if mode == "sum":
-                return bb.at[ii].add(ss)
-            if mode == "amax":
-                return bb.at[ii].max(ss)
-            cnt = jnp.zeros((bb.shape[0], 1), bb.dtype).at[ii].add(1.0)
-            return bb.at[ii].add(ss) / (1.0 + cnt)
-
-        return jax.vmap(scatter_one)(xb, xa.astype(xb.dtype), dst_idx)
+        return jax.vmap(lambda bb, ss, ii:
+                        _scatter_rows(bb, ss, ii, mode))(
+            xb, xa.astype(xb.dtype), dst_idx)
 
     return merge
 
@@ -261,14 +258,8 @@ def random_bipartite_soft_matching(metric: jnp.ndarray, r: int,
         src = _gather_tokens(x, a_idx)
         dst = _gather_tokens(x, b_idx)
 
-        def scatter_one(bb, ss, ii):
-            if mode == "sum":
-                return bb.at[ii].add(ss)
-            if mode == "amax":
-                return bb.at[ii].max(ss)
-            cnt = jnp.zeros((bb.shape[0], 1), bb.dtype).at[ii].add(1.0)
-            return bb.at[ii].add(ss) / (1.0 + cnt)
-
-        return jax.vmap(scatter_one)(dst, src.astype(dst.dtype), dst_idx)
+        return jax.vmap(lambda bb, ss, ii:
+                        _scatter_rows(bb, ss, ii, mode))(
+            dst, src.astype(dst.dtype), dst_idx)
 
     return merge

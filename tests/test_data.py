@@ -137,6 +137,10 @@ def test_keep_aspect_dataset(tok, tmp_path, rng):
     px = ds[0]["pixel_values"][0]
     assert px.shape[1] % 14 == 0 and px.shape[2] % 14 == 0
     assert min(px.shape[1], px.shape[2]) == 56
+    # reference quirk reproduced (dataset/aurora.py:138 swaps PIL's
+    # (width, height)): a 90w x 50h input resizes to 56 WIDE x 100 tall
+    # (transposed aspect), then pads H to 112 — NOT 112 wide x 56 tall
+    assert px.shape == (3, 112, 56), px.shape
 
 
 def test_pad_for_sequence_parallel():

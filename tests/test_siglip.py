@@ -37,17 +37,24 @@ def test_siglip_matches_hf_ratio1(rng):
                   output_hidden_states=True).hidden_states[-2].numpy()
     got = np.asarray(vit_encode(params, jnp.asarray(px), cfg,
                                 kept_ratio=1.0, select_layer=-2))
-    # no CLS → nothing dropped
-    assert got.shape == want.shape
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=3e-5)
+    # token 0 is DROPPED for SigLIP too: AuroraModel.forward slices
+    # [:, 1:] unconditionally (aurora.py:253) — the first PATCH plays
+    # the CLS role (protected in the merge, removed at selection)
+    assert got.shape == want[:, 1:].shape
+    np.testing.assert_allclose(got, want[:, 1:], rtol=2e-4, atol=3e-5)
 
 
-def test_siglip_tome_schedule_no_protected_token(rng):
+def test_siglip_tome_protects_first_patch(rng):
+    """The reference merges with class_token=True for SigLIP too
+    (aurora.py:996): token 0 never merges, the schedule clamps with
+    protected=1, and the output drops it."""
+    from aurora_tpu.ops.tome import tome_schedule
     _, cfg, params = _tiny_siglip()
     px = jnp.asarray(rng.standard_normal((1, 3, 56, 56)), jnp.float32)
     out = vit_encode(params, px, cfg, kept_ratio=0.25, select_layer=-2)
     r = vit_tome_r(cfg, 0.25, 56, 56)
     assert r > 0
-    # 16 patches, no CLS offset (aurora.py:1162 vs :917)
-    assert out.shape[1] == 16 - (cfg.num_hidden_layers - 1) * r
+    sched = tome_schedule(16, r, cfg.num_hidden_layers, 1)
+    want_t = sched[cfg.num_hidden_layers - 1].t_in  # input to last layer
+    assert out.shape[1] == want_t - 1               # token 0 dropped
     assert np.isfinite(np.asarray(out)).all()
