@@ -115,6 +115,7 @@ def main():
     acfg = dataclasses.replace(acfg, slowfast=stage.slowfast)
 
     # ---- mesh + sharding
+    mesh = None
     if args.mesh:
         mesh = create_mesh(parse_mesh(args.mesh))
         params = shard_pytree(params, aurora_param_specs(params), mesh)
@@ -182,7 +183,7 @@ def main():
                           optax.adamw(lr_schedule(tcfg)))
         make = (make_qlora_train_step if args.quant != "none"
                 else make_lora_train_step)
-        raw = make(acfg, tcfg, base, lcfg, opt)
+        raw = make(acfg, tcfg, base, lcfg, opt, mesh=mesh)
         jstep = jax.jit(raw.with_base, donate_argnums=(0, 1))
         state = {"adapters": adapters, "opt_state": opt.init(adapters)}
         if args.resume and latest_step(ckpt_dir) is not None:
@@ -237,6 +238,7 @@ def main():
             bucket = min(max_length, ((longest + 63) // 64) * 64)
             batch_np = default_collate_fn(samples, max_length=bucket)
         batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        thr.data_tock()
         state, metrics = step_fn(state, batch)
         if (step_i + 1) % args.log_interval == 0 or step_i == start:
             loss = float(jax.device_get(metrics["loss"]))

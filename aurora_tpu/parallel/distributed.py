@@ -70,5 +70,13 @@ def init_distributed(coordinator_address: Optional[str] = None,
             f"{jax.process_count()}, {jax.device_count()} global devices")
         return True
     except Exception as e:  # noqa: BLE001
-        log(f"[distributed] initialize failed ({e}); running single-host")
-        return False
+        # the environment EXPLICITLY requested multi-process (WORLD_SIZE
+        # >1 or a pod env): swallowing here would let N processes each
+        # run single-host — training on identical data at 1/N the global
+        # batch while clobbering each other's checkpoints. Fail loudly.
+        log(f"[distributed] initialize failed ({e})")
+        raise RuntimeError(
+            "multi-process launch requested "
+            f"(coordinator={coordinator_address!r}, in_pod={in_pod}) but "
+            "jax.distributed.initialize failed — refusing to fall back "
+            "to a silent single-host run") from e

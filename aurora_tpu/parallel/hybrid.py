@@ -23,6 +23,8 @@ dispatches/internlm2.py:204-240 parity).
 
 from __future__ import annotations
 
+import math
+
 from typing import Optional
 
 import jax
@@ -61,11 +63,19 @@ def hybrid_attention_local(q, k, v, *, axis_name: str, ulysses: int,
     B, Tl, H, D = q.shape
     assert H % u == 0, f"ulysses degree {u} must divide heads {H}"
     if k.shape[2] % u != 0:
-        # GQA with u ∤ Hkv: expand kv heads so the head-scatter a2a
-        # divides evenly (costs bandwidth; prefer u | Hkv)
-        rep = H // k.shape[2]
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+        # GQA with u ∤ Hkv: expand kv heads just enough for the
+        # head-scatter a2a to divide evenly — lcm(Hkv, u), not H
+        # (the ring kernels repeat GQA locally, so carrying H/Hkv×
+        # the KV around the ring was pure bandwidth waste)
+        hkv = k.shape[2]
+        lcm = hkv * u // math.gcd(hkv, u)
+        target = H  # fallback: full expansion
+        for cand in range(lcm, H, lcm):
+            if H % cand == 0:  # ring kernels' GQA repeat needs target|H
+                target = cand
+                break
+        k = jnp.repeat(k, target // hkv, axis=2)
+        v = jnp.repeat(v, target // hkv, axis=2)
     if scale is None:
         scale = D ** -0.5
 

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from aurora_tpu.ops.attention import mha_reference
 
 
 def _a2a(x, axis_name, split_axis, concat_axis):
@@ -41,14 +40,31 @@ def _a2a(x, axis_name, split_axis, concat_axis):
 
 
 
-def _match_kv_heads(q, k, v):
-    """GQA: repeat KV heads up to the query head count before the
-    collectives (the a2a/ring math assumes equal head counts)."""
+def _match_kv_heads(q, k, v, sp: int = 0):
+    """GQA: expand KV heads only as far as the head-scatter a2a needs.
+
+    The a2a splits the head axis by sp, so Hkv must be a multiple of sp
+    (or match H when the inner-SP pseudo-head path runs) — but the
+    downstream attention already handles Hkv < H by repeating locally,
+    so expanding all the way to H here multiplied the a2a bandwidth and
+    HBM by H/Hkv for nothing. lcm(Hkv, sp) is the minimal legal count;
+    full expansion only when the pseudo-head path (sp ∤ H) needs
+    symmetric shapes."""
     h, hkv = q.shape[2], k.shape[2]
-    if hkv != h:
-        rep = h // hkv
-        k = jnp.repeat(k, rep, axis=2)
-        v = jnp.repeat(v, rep, axis=2)
+    if hkv == h:
+        return k, v
+    target = h
+    if sp and h % sp == 0:  # plain path: minimal expansion
+        # smallest multiple of hkv that the a2a can split (sp | target)
+        # AND that the downstream GQA repeat can group (target | h)
+        lcm = hkv * sp // math.gcd(hkv, sp)
+        for cand in range(lcm, h, lcm):
+            if cand % hkv == 0 and h % cand == 0:
+                target = cand
+                break
+    if target != hkv:
+        k = jnp.repeat(k, target // hkv, axis=2)
+        v = jnp.repeat(v, target // hkv, axis=2)
     return k, v
 
 
@@ -78,7 +94,7 @@ def ulysses_attention_local(q, k, v, *, axis_name: str, causal: bool,
                             scale: Optional[float] = None):
     """Per-device body under shard_map. q,k,v: [B, T_local, H, D]."""
     sp = jax.lax.axis_size(axis_name)
-    k, v = _match_kv_heads(q, k, v)
+    k, v = _match_kv_heads(q, k, v, sp)
     B, Tl, H, D = q.shape
     insp = sp // math.gcd(H, sp)
     if insp > 1:
@@ -107,9 +123,14 @@ def ulysses_attention_local(q, k, v, *, axis_name: str, causal: bool,
 
     if scale is None:
         scale = D ** -0.5
-    out = mha_reference(qg, kg, vg, causal=causal, scale=scale,
-                        q_segment_ids=q_segment_ids,
-                        kv_segment_ids=kv_segment_ids)
+    # the dispatching entry point (Pallas flash on TPU): mha_reference
+    # here materialized the full [B, H/sp, T, T] fp32 logits over the
+    # GATHERED global sequence — 32GB at T=32k — defeating the memory
+    # purpose of sequence parallelism
+    from aurora_tpu.ops.attention import mha
+    out = mha(qg, kg, vg, causal=causal, scale=scale,
+              q_segment_ids=q_segment_ids,
+              kv_segment_ids=kv_segment_ids)
 
     if insp > 1:
         # take the local D-shard back out (split_forward_gather_backward,

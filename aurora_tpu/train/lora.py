@@ -111,7 +111,8 @@ def merge_lora(params: Params, adapters: Params,
 
 
 def make_lora_train_step(acfg, tcfg, base_params: Params,
-                         lora_cfg: LoraConfig, opt):
+                         lora_cfg: LoraConfig, opt,
+                         mesh=None):
     """Train step over the adapter pytree only — the frozen base never
     enters the optimizer. The returned step takes base_params as an
     ARGUMENT (jit must not close over weight pytrees: they would be
@@ -125,11 +126,17 @@ def make_lora_train_step(acfg, tcfg, base_params: Params,
 
     def loss_fn(adapters, base, batch):
         params = merge_lora(base, adapters, lora_cfg)
+        # segment_ids + sp_attn exactly like the full trainer
+        # (trainer.py loss_fn) — dropping them made packed-varlen
+        # (Q)LoRA batches attend ACROSS document boundaries
+        from aurora_tpu.train.trainer import _build_sp_attn
         loss, ntok = aurora_forward(
             params, acfg, batch["input_ids"], batch.get("pixel_values"),
             attention_mask=batch.get("attention_mask"),
             labels=batch["labels"], kept_ratio=tcfg.kept_ratio,
-            mode="loss", remat=tcfg.remat)
+            mode="loss", remat=tcfg.remat,
+            sp_attn=_build_sp_attn(tcfg, mesh),
+            segment_ids=batch.get("segment_ids"))
         return loss, ntok
 
     def step_with_base(adapters, opt_state, batch, base):

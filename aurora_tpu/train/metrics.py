@@ -46,10 +46,21 @@ class Throughput:
         self.vocab, self.num_devices = vocab, num_devices
         self.intermediate = intermediate
         self._t = time.perf_counter()
-        self._data_t = 0.0
+        self._data_t = 0.0       # accumulated data-load seconds in window
+        self._tick = None
 
     def data_tick(self):
-        self._data_t = time.perf_counter()
+        """Mark the START of a data fetch; pair with data_tock()."""
+        self._tick = time.perf_counter()
+
+    def data_tock(self):
+        """Mark the END of a data fetch — accumulates the fetch
+        duration into the current log window (the old formula reported
+        'window start → last fetch START', which grows with
+        log_interval and says nothing about data-loading cost)."""
+        if self._tick is not None:
+            self._data_t += time.perf_counter() - self._tick
+            self._tick = None
 
     def step(self, tokens: int, seq_len: int, step: int, max_steps: int,
              window_steps: int = 1):
@@ -63,6 +74,7 @@ class Throughput:
             tokens, dt, self.hidden, self.num_layers, self.vocab, seq_len,
             self.num_devices, self.intermediate)
         eta = dt / max(window_steps, 1) * (max_steps - step)
+        data_time = self._data_t
+        self._data_t = 0.0
         return {"step_time": dt, "tgs": tgs, "tflops": tflops,
-                "eta_s": eta,
-                "data_time": max(0.0, self._data_t - (now - dt))}
+                "eta_s": eta, "data_time": data_time}

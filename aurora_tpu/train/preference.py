@@ -57,17 +57,23 @@ def dpo_loss(policy_chosen_lp, policy_rejected_lp, ref_chosen_lp,
 
 def make_dpo_step(cfg: LlamaConfig, ref_params: Params, opt, *,
                   beta: float = 0.1, label_smoothing: float = 0.0):
-    """batch: chosen_ids/chosen_labels/rejected_ids/rejected_labels."""
+    """batch: chosen_ids/chosen_labels/rejected_ids/rejected_labels.
+
+    The returned step takes ref_params as an ARGUMENT (jit must not
+    close over weight pytrees — they would embed as multi-GB HLO
+    constants; see CLAUDE.md and make_lora_train_step's with_base);
+    the bound `step(params, opt_state, batch)` convenience passes the
+    captured reference through for callers that don't jit."""
     import optax
 
-    def loss_fn(params, batch):
+    def loss_fn(params, ref, batch):
         pc = sequence_logprob(params, cfg, batch["chosen_ids"],
                               batch["chosen_labels"])
         pr = sequence_logprob(params, cfg, batch["rejected_ids"],
                               batch["rejected_labels"])
-        rc = sequence_logprob(ref_params, cfg, batch["chosen_ids"],
+        rc = sequence_logprob(ref, cfg, batch["chosen_ids"],
                               batch["chosen_labels"])
-        rr = sequence_logprob(ref_params, cfg, batch["rejected_ids"],
+        rr = sequence_logprob(ref, cfg, batch["rejected_ids"],
                               batch["rejected_labels"])
         rc = jax.lax.stop_gradient(rc)
         rr = jax.lax.stop_gradient(rr)
@@ -77,13 +83,17 @@ def make_dpo_step(cfg: LlamaConfig, ref_params: Params, opt, *,
         return jnp.mean(loss), {"reward_acc": acc,
                                 "reward_margin": jnp.mean(cr - jr)}
 
-    def step(params, opt_state, batch):
+    def step_with_ref(params, opt_state, batch, ref):
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch)
+            params, ref, batch)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, {"loss": loss, **aux}
 
+    def step(params, opt_state, batch):
+        return step_with_ref(params, opt_state, batch, ref_params)
+
+    step.with_ref = step_with_ref
     return step
 
 
@@ -134,21 +144,16 @@ def init_value_head(rng: jax.Array, cfg: LlamaConfig,
 
 def trunk_forward(params: Params, cfg: LlamaConfig, input_ids,
                   attention_mask=None) -> jnp.ndarray:
-    """Final-norm hidden states [B, T, D] (no lm head)."""
-    import aurora_tpu.models.llama as L
-    embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
-    B, T, _ = embeds.shape
-    position_ids = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
-    cos, sin = L.rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta,
-                              cfg.rope_linear_scaling, dtype=jnp.float32)
-
-    def scan_fn(h, lp):
-        h, _, _ = L._layer(cfg, h, lp, None, None, cos, sin,
-                           attention_mask, None, 0, None)
-        return h, None
-
-    x, _ = jax.lax.scan(scan_fn, embeds, params["layers"])
-    return L.rms_norm(x, params["final_norm"], cfg.rms_norm_eps)
+    """Final-norm hidden states [B, T, D] (no lm head) — delegates to
+    llama_apply(return_hidden=True): a hand-rolled copy here silently
+    skipped dense-prefix families (params['dense_layers']), ignored
+    padding-aware positions, and had to track every future family
+    change by hand."""
+    from aurora_tpu.models.llama import llama_apply
+    hidden, _ = llama_apply(params, cfg, input_ids=input_ids,
+                            attention_mask=attention_mask,
+                            return_hidden=True)
+    return hidden
 
 
 def reward_model_scores(params: Params, value_head, cfg: LlamaConfig,

@@ -179,7 +179,8 @@ def inject_lora(qparams: Params, adapters: Params, lora_cfg) -> Params:
     return out
 
 
-def make_qlora_train_step(acfg, tcfg, base_q: Params, lora_cfg, opt):
+def make_qlora_train_step(acfg, tcfg, base_q: Params, lora_cfg, opt,
+                          mesh=None):
     """make_lora_train_step twin over an int8/int4 frozen base. The
     quantized base never enters the optimizer OR gets fully
     dequantized; gradients flow to the adapter pytree only."""
@@ -188,11 +189,17 @@ def make_qlora_train_step(acfg, tcfg, base_q: Params, lora_cfg, opt):
 
     def loss_fn(adapters, base, batch):
         params = inject_lora(base, adapters, lora_cfg)
+        # segment_ids + sp_attn exactly like the full trainer
+        # (trainer.py loss_fn) — dropping them made packed-varlen
+        # (Q)LoRA batches attend ACROSS document boundaries
+        from aurora_tpu.train.trainer import _build_sp_attn
         loss, ntok = aurora_forward(
             params, acfg, batch["input_ids"], batch.get("pixel_values"),
             attention_mask=batch.get("attention_mask"),
             labels=batch["labels"], kept_ratio=tcfg.kept_ratio,
-            mode="loss", remat=tcfg.remat)
+            mode="loss", remat=tcfg.remat,
+            sp_attn=_build_sp_attn(tcfg, mesh),
+            segment_ids=batch.get("segment_ids"))
         return loss, ntok
 
     def step_with_base(adapters, opt_state, batch, base):

@@ -137,7 +137,17 @@ def _build_sp_attn(tcfg: TrainConfig, mesh):
         def sp_attn(q, k, v, segment_ids=None):
             if segment_ids is not None:
                 # packed varlen → llama3-style all-gather-KV ring
-                # (dispatches/internlm2.py:204-240 parity)
+                # (dispatches/internlm2.py:204-240 parity). The varlen
+                # path assumes CONTIGUOUS token order (q_offset =
+                # rank*Tl) — a zigzag/stripe-reordered batch would get
+                # silently wrong positions and causal masks
+                if tcfg.ring_layout not in (None, "", "contiguous"):
+                    raise ValueError(
+                        "packed varlen batches (segment_ids) require "
+                        "ring_layout='contiguous' — "
+                        f"{tcfg.ring_layout!r} reorders tokens and the "
+                        "all-gather-KV varlen ring would compute wrong "
+                        "causal masks")
                 return vfn(q, k, v, segment_ids, mesh, **kw)
             return fn(q, k, v, mesh, **kw)
         return sp_attn

@@ -57,7 +57,11 @@ def test_dpo_training_improves_preference(rng):
     params = init_llama_params(jax.random.PRNGKey(1), cfg)
     ref = jax.tree.map(lambda x: x, params)
     opt = optax.adam(1e-3)
-    step = jax.jit(make_dpo_step(cfg, ref, opt, beta=0.5))
+    # jit the with_ref form: jit must not close over weight
+    # pytrees (CLAUDE.md; they embed as HLO constants)
+    step_ = jax.jit(make_dpo_step(cfg, ref, opt,
+                                  beta=0.5).with_ref)
+    step = lambda p_, o_, b_: step_(p_, o_, b_, ref)
     batch = _pair_batch(rng)
     opt_state = opt.init(params)
     accs = []
