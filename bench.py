@@ -25,9 +25,61 @@ HLO and wedge the relay); stages run sequentially and free their weights
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+# ---------------------------------------------------------------------------
+# Watchdog (round-3 VERDICT weak #3): during a relay outage, backend init
+# hangs ~25 min per attempt and the driver records rc=124 with no JSON at
+# all. A daemon thread enforces (a) a short deadline on backend init and
+# (b) a global deadline on the whole bench; on expiry it prints ONE
+# diagnostic JSON line (parseable by the driver) and hard-exits.
+# ---------------------------------------------------------------------------
+_T0 = time.monotonic()
+_GLOBAL_DEADLINE = _T0 + float(os.environ.get("BENCH_DEADLINE_S", 2700))
+_PHASE = "startup"
+_PHASE_DEADLINE = _GLOBAL_DEADLINE
+_LOCK = threading.Lock()
+
+
+def _enter_phase(name, seconds=None):
+    """Mark the current phase; optional per-phase deadline (s from now)."""
+    global _PHASE, _PHASE_DEADLINE
+    with _LOCK:
+        _PHASE = name
+        _PHASE_DEADLINE = (_GLOBAL_DEADLINE if seconds is None
+                           else min(_GLOBAL_DEADLINE,
+                                    time.monotonic() + seconds))
+
+
+def _die(reason):
+    print(json.dumps({
+        "metric": "auroracap7b_e2e_videos_per_s",
+        "value": None,
+        "unit": "videos/s e2e",
+        "vs_baseline": None,
+        "error": reason,
+    }))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(3)
+
+
+def _watchdog():
+    while True:
+        time.sleep(5)
+        with _LOCK:
+            phase, dl = _PHASE, _PHASE_DEADLINE
+        now = time.monotonic()
+        if now > dl:
+            _die(f"deadline exceeded in phase '{phase}' "
+                 f"after {now - _T0:.0f}s (relay outage?)")
+
+
+def _remaining():
+    return _GLOBAL_DEADLINE - time.monotonic()
 
 FRAMES = 8
 IMAGE_SIZE = 378
@@ -301,16 +353,27 @@ def _llm_stage(jax, jnp, embeds, detail):
 
 
 def main():
+    # Backend init is the outage failure mode: bound it tightly so a dead
+    # relay produces a diagnostic line in minutes, not an rc=124 hours in.
+    _enter_phase("backend-init",
+                 float(os.environ.get("BENCH_INIT_DEADLINE_S", 420)))
     import jax
     import jax.numpy as jnp
+    n_dev = len(jax.devices())
+    print(f"[bench] backend {jax.default_backend()} ({n_dev} device) up "
+          f"after {time.monotonic() - _T0:.0f}s", file=sys.stderr)
+    _enter_phase("vit")
 
     detail = {}
     embeds, t_vit = _vit_stage(jax, jnp, detail)
+    _enter_phase("kernels")
     try:
         _kernel_stage(detail)
     except Exception as e:  # noqa: BLE001
         detail["paged_attn_error"] = str(e)[:200]
+    _enter_phase("llm")
     t_llm = _llm_stage(jax, jnp, embeds, detail)
+    _enter_phase("report")
 
     # ViT throughput is per-clip linear: scale its time to the video
     # count the LLM stage actually ran (the ladder may have fallen back)
@@ -329,17 +392,23 @@ def main():
 
 def main_with_retries(attempts: int = 3):
     """The remote-TPU tunnel drops connections under load; retry transient
-    transport failures inside one process (the claim survives)."""
+    transport failures inside one process (the claim survives). Every
+    attempt runs under the watchdog; retries stop when the remaining
+    global budget can't plausibly fit another full pass."""
+    last = None
     for i in range(attempts):
         try:
             return main()
         except Exception as e:  # noqa: BLE001 — transport errors vary
-            if i == attempts - 1:
-                raise
+            last = e
+            if i == attempts - 1 or _remaining() < 900:
+                break
             print(f"[bench] attempt {i + 1} failed ({e}); retrying",
                   file=sys.stderr)
             time.sleep(30)
+    _die(f"all attempts failed; last error: {str(last)[:300]}")
 
 
 if __name__ == "__main__":
+    threading.Thread(target=_watchdog, daemon=True).start()
     main_with_retries()
