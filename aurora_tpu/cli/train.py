@@ -71,6 +71,13 @@ def main():
                    help="store the frozen LLM quantized and dequantize "
                         "per-layer in the scan (QLoRA analog; needs "
                         "--lora_r)")
+    p.add_argument("--num_workers", type=int, default=2,
+                   help="host decode/preprocess threads (DataLoader "
+                        "num_workers analog; threads not processes — "
+                        "decode releases the GIL and forks would re-run "
+                        "the TPU claim)")
+    p.add_argument("--prefetch", type=int, default=2,
+                   help="in-flight batches (2 = double buffering)")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--float32", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -81,7 +88,7 @@ def main():
 
     from aurora_tpu.data.collate import default_collate_fn
     from aurora_tpu.data.dataset import AuroraDataset, aurora_map_fn
-    from aurora_tpu.data.sampler import LengthGroupedSampler, batched
+    from aurora_tpu.data.sampler import LengthGroupedSampler
     from aurora_tpu.parallel.mesh import (aurora_param_specs, create_mesh,
                                           shard_pytree)
     from aurora_tpu.train import configs as stage_configs
@@ -219,25 +226,39 @@ def main():
         wandb_project=args.wandb_project,
         run_name=f"{args.stage}-{os.path.basename(args.work_dir)}",
         config=vars(args))
-    it = iter(batched(iter(sampler), batch_size))
-    last_logged = start
-    for step_i in range(start, tcfg.max_steps):
-        try:
-            idxs = next(it)
-        except StopIteration:
-            it = iter(batched(iter(sampler), batch_size))
-            idxs = next(it)
-        thr.data_tick()
-        if packer is not None:
-            batch_np = packed_collate_mm([packer[i] for i in idxs])
-        else:
-            samples = [ds[i] for i in idxs]
+    # ---- async host pipeline: worker threads decode/preprocess the NEXT
+    # batches (and issue their H2D) while the device runs the current step;
+    # index_stream fast-forwards to the resume position so a resumed run
+    # consumes exactly the batches an uninterrupted one would
+    # (llava_train_sp.py:705-708 DataLoader-workers analog + xtuner
+    # tools/train.py:217-242 seed/iter resume semantics)
+    from aurora_tpu.data.prefetch import BatchPrefetcher, index_stream
+
+    if packer is not None:
+        fetch = packer.__getitem__
+
+        def collate(items):
+            return {k: jnp.asarray(v)
+                    for k, v in packed_collate_mm(items).items()}
+    else:
+        fetch = ds.__getitem__
+
+        def collate(samples):
             # bucket the pad length so XLA compiles a handful of shapes,
             # not one per batch
             longest = max(len(s["input_ids"]) for s in samples)
             bucket = min(max_length, ((longest + 63) // 64) * 64)
-            batch_np = default_collate_fn(samples, max_length=bucket)
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            return {k: jnp.asarray(v) for k, v in
+                    default_collate_fn(samples, max_length=bucket).items()}
+
+    prefetcher = BatchPrefetcher(
+        index_stream(sampler, batch_size, start_step=start),
+        fetch, collate, depth=max(1, args.prefetch),
+        workers=max(1, args.num_workers))
+    last_logged = start
+    for step_i in range(start, tcfg.max_steps):
+        thr.data_tick()
+        batch = next(prefetcher)   # blocks only on EXPOSED host time
         thr.data_tock()
         state, metrics = step_fn(state, batch)
         if (step_i + 1) % args.log_interval == 0 or step_i == start:
@@ -263,6 +284,7 @@ def main():
             logger.log(rec, step=step_i + 1)
         if (step_i + 1) % args.checkpoint_interval == 0:
             save_checkpoint(ckpt_dir, state, step_i + 1)
+    prefetcher.close()
     save_checkpoint(ckpt_dir, state, tcfg.max_steps)
     if use_lora:
         # merge recipe for export: cli.convert reads this marker

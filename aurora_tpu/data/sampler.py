@@ -23,11 +23,18 @@ class LengthGroupedSampler:
         self.batch_size = batch_size
         self.mega = batch_size * mega_batch_mult
         self.seed = seed
+        self.epoch = 0
         self.dp_rank = dp_rank
         self.dp_size = dp_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Deterministic per-epoch reshuffle (torch DistributedSampler
+        semantics; enables exact data-order resume via
+        data.prefetch.index_stream)."""
+        self.epoch = epoch
+
     def __iter__(self) -> Iterator[int]:
-        rng = random.Random(self.seed)
+        rng = random.Random(self.seed + self.epoch)
         idx = list(range(len(self.lengths)))
         rng.shuffle(idx)
         out: List[int] = []
@@ -51,11 +58,15 @@ class ParallelSampler:
                  seed: int = 0, shuffle: bool = True):
         self.n, self.dp_rank, self.dp_size = n, dp_rank, dp_size
         self.seed, self.shuffle = seed, shuffle
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
 
     def __iter__(self) -> Iterator[int]:
         idx = list(range(self.n))
         if self.shuffle:
-            random.Random(self.seed).shuffle(idx)
+            random.Random(self.seed + self.epoch).shuffle(idx)
         yield from idx[self.dp_rank::self.dp_size]
 
     def __len__(self) -> int:

@@ -233,9 +233,15 @@ def _logprobs_payload(loop_, req, chat: bool = False):
 
 def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
     from aiohttp import web
+    from concurrent.futures import ThreadPoolExecutor
 
     eos_default = tuple(
         {loop_.tokenizer.eos_token_id} - {None}) or (2,)
+    # multimodal host work (video decode + CLIP preprocess + eager ViT
+    # dispatch) runs here, off the event loop — the TokenizerManager's
+    # async image-fetch role (tokenizer_manager.py:188,244)
+    _mm_pool = ThreadPoolExecutor(max_workers=2,
+                                  thread_name_prefix="aurora-mm")
 
     def make_request(prompt_ids, body, stream=False) -> Request:
         ecfg = loop_.engine.ecfg
@@ -287,7 +293,11 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
         body = await request.json()
         if loop_.mm is not None and ("video_path" in body
                                      or "frames_b64" in body):
-            req = _multimodal_request(body)
+            # host decode + preprocess + eager ViT dispatch run on the
+            # mm executor: the event loop stays responsive and several
+            # videos decode in parallel while the engine computes
+            req = await asyncio.get_event_loop().run_in_executor(
+                _mm_pool, _multimodal_request, body)
         elif "input_ids" in body:
             req = make_request(body["input_ids"], body,
                                stream=bool(body.get("stream")))
@@ -430,6 +440,10 @@ def build_app(loop_: ServingLoop, model_name: str = "auroracap"):
                                  f"({len(req.input_ids)}) + max_new_tokens "
                                  f"({req.max_new_tokens}) exceeds "
                                  f"max_seq_len {ecfg.max_seq_len}"}))
+        # decode-ahead: dispatch the ViT encode now (async), so the
+        # engine's EXTEND for this request hits the embed cache
+        if hasattr(loop_.mm, "prewarm"):
+            loop_.mm.prewarm(req)
         return req
 
     _GUI_HTML = """<!doctype html><html><head><title>aurora_tpu</title>

@@ -15,6 +15,7 @@ this reason) so identical clips share cached prefix KV.
 from __future__ import annotations
 
 import hashlib
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -75,6 +76,10 @@ class AuroraCapServing:
         # ViT+projector entirely (complements the radix KV prefix reuse)
         self._cache: Dict[tuple, list] = {}
         self._cache_size = embed_cache_size
+        # prewarm() may run from API handler threads while the engine
+        # extends — guard the cache (dict ops alone are GIL-atomic, but
+        # the encode-then-insert sequence is not)
+        self._cache_lock = threading.Lock()
 
     def _frame_counts(self, F: int, h: int, w: int,
                       kept_ratio: float) -> List[int]:
@@ -119,7 +124,8 @@ class AuroraCapServing:
         small hash-keyed cache — repeated clips skip the ViT."""
         key = (hashlib.sha1(np.ascontiguousarray(
             req.pixel_values).tobytes()).digest(), req.kept_ratio)
-        groups = self._cache.get(key)
+        with self._cache_lock:
+            groups = self._cache.get(key)
         if groups is None:
             dtype = self.params["llm"]["embed_tokens"].dtype
             px = jnp.asarray(req.pixel_values, dtype)[None]
@@ -132,10 +138,21 @@ class AuroraCapServing:
             else:
                 groups = [encode_visual(self.params, px, self.cfg,
                                         req.kept_ratio)]
-            if len(self._cache) >= self._cache_size:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = groups
+            with self._cache_lock:
+                if len(self._cache) >= self._cache_size:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[key] = groups
         return groups
+
+    def prewarm(self, req: Request) -> None:
+        """Decode-ahead hook: issue the ViT+ToMe encode for a freshly
+        admitted request from the API thread. JAX dispatch is async, so
+        the encode overlaps the decode wave the engine is already running;
+        by EXTEND time embed_fn hits the cache instead of paying the ViT
+        on the critical path (closes the round-3 'no decode-ahead' gap —
+        the reference encodes at EXTEND time too, auroracap.py:90-199,
+        but its GPU isn't a single-stream relay)."""
+        self._visual_groups(req)
 
     def embed_fn(self, req: Request) -> np.ndarray:
         """Engine hook: full fused embedding sequence [T_total, D] for the
@@ -172,6 +189,7 @@ class InternVLServing:
         self.tokenizer = tokenizer
         self._cache: Dict[bytes, jnp.ndarray] = {}
         self._cache_size = embed_cache_size
+        self._cache_lock = threading.Lock()
 
     @property
     def llm_params(self):
@@ -206,15 +224,21 @@ class InternVLServing:
     def _features(self, px: np.ndarray) -> jnp.ndarray:
         from aurora_tpu.models.internvl import internvl_image_features
         key = hashlib.sha1(np.ascontiguousarray(px).tobytes()).digest()
-        feats = self._cache.get(key)
+        with self._cache_lock:
+            feats = self._cache.get(key)
         if feats is None:
             dtype = self.params["text"]["embed_tokens"].dtype
             feats = internvl_image_features(
                 self.params, self.cfg, jnp.asarray(px, dtype))
-            if len(self._cache) >= self._cache_size:
-                self._cache.pop(next(iter(self._cache)))
-            self._cache[key] = feats
+            with self._cache_lock:
+                if len(self._cache) >= self._cache_size:
+                    self._cache.pop(next(iter(self._cache)))
+                self._cache[key] = feats
         return feats                       # [N_img, N_vis, D]
+
+    def prewarm(self, req: Request) -> None:
+        """Decode-ahead: issue the InternViT encode off the extend path."""
+        self._features(req.pixel_values)
 
     def embed_fn(self, req: Request) -> np.ndarray:
         from aurora_tpu.models.aurora import fuse_multimodal
