@@ -82,6 +82,40 @@ def clip_preprocess(images: Union[ImageLike, Sequence[ImageLike]],
     return np.stack(out)
 
 
+def clip_resize_crop(images: Union[ImageLike, Sequence[ImageLike]],
+                     size: int = 378, crop: int = 378) -> np.ndarray:
+    """Host half of the SPLIT CLIP pipeline → [N, crop, crop, 3] uint8.
+
+    Geometry only (bicubic shortest-edge resize + center crop); the
+    rescale/normalize/CHW arithmetic runs on device via
+    clip_normalize_device. Splitting is the TPU-shaped layout of
+    clip_preprocess: H2D ships uint8 (4x fewer bytes than float32) and
+    the normalize fuses into the encode's first read under jit, so a
+    1-core host feeding a fast chip spends its cycles on decode+resize
+    only. clip_preprocess(x) == clip_normalize_device(clip_resize_crop(x))
+    exactly (same PIL resampling; the arithmetic is order-identical in
+    float32) — parity-tested in tests/test_data.py."""
+    if isinstance(images, (Image.Image, np.ndarray)) and (
+            isinstance(images, Image.Image) or images.ndim == 3):
+        images = [images]
+    out = []
+    for img in images:
+        pil = _center_crop(_resize_shortest_edge(_to_pil(img), size), crop)
+        out.append(np.asarray(pil, dtype=np.uint8))
+    return np.stack(out)
+
+
+def clip_normalize_device(frames) -> "np.ndarray":
+    """Device half of the split pipeline: [N, H, W, 3] uint8 →
+    [N, 3, H, W] float32 (jit-traceable; float32 so downstream bf16
+    casts round once, matching _normalize's numpy arithmetic)."""
+    import jax.numpy as jnp
+    x = frames.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(CLIP_MEAN, jnp.float32)) / jnp.asarray(
+        CLIP_STD, jnp.float32)
+    return jnp.transpose(x, (0, 3, 1, 2))
+
+
 def expand2square(img: Image.Image,
                   fill: Tuple[int, int, int]) -> Image.Image:
     """Pad to square with `fill` background, content centered

@@ -81,10 +81,15 @@ def _watchdog():
 def _remaining():
     return _GLOBAL_DEADLINE - time.monotonic()
 
-FRAMES = 8
-IMAGE_SIZE = 378
+# BENCH_TINY=1: hermetic CPU smoke of the FULL bench flow on tiny shapes
+# (tests/test_bench_smoke.py) — a broken bench.py costs a whole driver
+# round, so every stage must be executable off-TPU.
+TINY = os.environ.get("BENCH_TINY", "0") == "1"
+
+FRAMES = 2 if TINY else 8
+IMAGE_SIZE = 56 if TINY else 378
 KEPT_RATIO = 0.2
-CAPTION_TOKENS = 256
+CAPTION_TOKENS = 8 if TINY else 256
 # W4 weights (3.4GB nibble-packed, g=128 grouped scales) + int8 KV rows
 # (~10.5GB at b24/s_row 1664) fit a 15.75GB v5e together — decode is
 # weight-stream-bound, so rows are nearly free until HBM runs out: W4
@@ -93,10 +98,11 @@ CAPTION_TOKENS = 256
 # if HBM doesn't accommodate the rows.
 # 28 is ~15.6GB with W4 — marginal; the ladder falls back to 24 (the
 # round-3 measured best) when the rows don't fit next to the weights.
-LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 28))
+LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 2 if TINY else 28))
 WEIGHT_QUANT = os.environ.get("BENCH_WEIGHT_QUANT", "int4")
-E2E_VIDEOS = int(os.environ.get("BENCH_E2E_VIDEOS", LLM_BATCH))
-LLM_HIDDEN = 4096
+E2E_VIDEOS = int(os.environ.get("BENCH_E2E_VIDEOS",
+                                4 if TINY else LLM_BATCH))
+LLM_HIDDEN = 64 if TINY else 4096
 
 
 def _sync(x):
@@ -104,15 +110,49 @@ def _sync(x):
     jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
 
 
+def _make_videos(tmp, n):
+    """Synthetic on-disk videos for the host-decode stage (hermetic `.npy`
+    backend, data/video.py:72): 16 frames of 360x640 uint8 per video —
+    SD-scale frames so the host does real work (load + bicubic resize +
+    center crop) per clip. Normalize/transpose run on DEVICE
+    (clip_normalize_device): uint8 H2D + fused normalize is the
+    TPU-shaped split of the CLIP pipeline."""
+    host = np.random.default_rng(7)
+    store = (4, 72, 96, 3) if TINY else (16, 360, 640, 3)
+    paths = []
+    for i in range(n):
+        arr = host.integers(0, 255, size=store, dtype=np.uint8)
+        p = os.path.join(tmp, f"v{i}.npy")
+        np.save(p, arr)
+        paths.append(p)
+    return paths
+
+
 def _vit_stage(jax, jnp, detail):
-    """ViT-H+ToMe+projector encode for the e2e clips + clip rate.
-    Returns per-video visual embeddings (device arrays, small)."""
+    """Host decode → ViT-H+ToMe+projector encode for the e2e clips.
+
+    Times TWO passes over the same videos: device-only (pixels pre-staged
+    on device — the round-3 figure, kept for continuity) and
+    host-included (BatchPrefetcher worker threads decode+resize from disk
+    overlapped against the device encode — the honest first stage of the
+    north-star pipeline, round-3 VERDICT #2). Returns per-video visual
+    embeddings (device arrays, small) + both timings."""
+    import shutil
+    import tempfile
+
+    from aurora_tpu.data.prefetch import BatchPrefetcher
+    from aurora_tpu.data.preprocess import (clip_normalize_device,
+                                            clip_resize_crop)
+    from aurora_tpu.data.video import read_video
     from aurora_tpu.models.projector import (ProjectorConfig,
                                              apply_projector,
                                              init_projector_params)
     from aurora_tpu.models.vit import ViTConfig, init_vit_params, vit_encode
 
-    cfg = ViTConfig.dfn5b_vit_h_378()
+    cfg = (ViTConfig(hidden_size=32, intermediate_size=64,
+                     num_hidden_layers=3, num_attention_heads=4,
+                     image_size=IMAGE_SIZE, patch_size=14)
+           if TINY else ViTConfig.dfn5b_vit_h_378())
     pj_cfg = ProjectorConfig(visual_hidden_size=cfg.hidden_size,
                              llm_hidden_size=LLM_HIDDEN, depth=2)
     rng = jax.random.PRNGKey(0)
@@ -122,55 +162,105 @@ def _vit_stage(jax, jnp, detail):
     import functools
 
     @functools.partial(jax.jit, donate_argnums=())
-    def enc(params, pj, px):
+    def enc(params, pj, px_u8):
+        px = clip_normalize_device(px_u8).astype(jnp.bfloat16)
         feats = vit_encode(params, px, cfg, kept_ratio=KEPT_RATIO,
                            select_layer=-2)
         return apply_projector(pj, feats, pj_cfg)
 
-    host = np.random.default_rng(0)
-    clips = [jnp.asarray(host.standard_normal((FRAMES, 3, IMAGE_SIZE,
-                                               IMAGE_SIZE)), jnp.bfloat16)
-             for _ in range(E2E_VIDEOS)]
-    # group G clips per dispatch (G*FRAMES frames in one kernel wave):
-    # fewer relay round-trips + fuller MXU tiles than per-clip calls.
-    # Tail clips (E2E_VIDEOS % G) go through the per-clip shape.
-    group = max(1, int(os.environ.get("BENCH_VIT_GROUP", 4)))
-    t0 = time.perf_counter()
-    if group > 1:
-        try:
-            out = enc(params, pj, jnp.concatenate(clips[:group]))
-            _sync(out)
-        except Exception as e:  # noqa: BLE001 — e.g. HBM at big groups
-            print(f"[bench] vit group={group} failed ({str(e)[:120]}); "
-                  "per-clip fallback", file=sys.stderr)
-            group = 1
-    n_grouped = (E2E_VIDEOS // group) * group
-    if n_grouped < E2E_VIDEOS or group == 1:
-        out = enc(params, pj, clips[0])
-        _sync(out)
-    print(f"[bench] vit compile {time.perf_counter() - t0:.1f}s "
-          f"(group={group})", file=sys.stderr)
+    tmp = tempfile.mkdtemp(prefix="aurora_bench_vids_")
+    try:
+        t0 = time.perf_counter()
+        paths = _make_videos(tmp, E2E_VIDEOS)
+        print(f"[bench] wrote {E2E_VIDEOS} synthetic videos "
+              f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
-    t0 = time.perf_counter()
-    embeds = []
-    for i in range(0, n_grouped, group):
+        def fetch(path):
+            # worker-thread host stage: load + sample FRAMES + resize +
+            # crop (uint8), then H2D on the worker (async dispatch
+            # overlaps the transfer with device compute)
+            raw = read_video(path, FRAMES)
+            return jnp.asarray(clip_resize_crop(list(raw), IMAGE_SIZE,
+                                                IMAGE_SIZE))
+
+        # untimed serial pass: page-cache warm + per-video host cost +
+        # device-staged pixels for the device-only pass
+        t0 = time.perf_counter()
+        clips = [fetch(p) for p in paths]
+        t_host_serial = time.perf_counter() - t0
+        detail["host_decode_ms_per_video_serial"] = round(
+            t_host_serial / E2E_VIDEOS * 1e3, 1)
+
+        # group G clips per dispatch (G*FRAMES frames in one kernel
+        # wave): fewer relay round-trips + fuller MXU tiles than
+        # per-clip calls. Tail clips (E2E_VIDEOS % G) go per-clip.
+        group = max(1, int(os.environ.get("BENCH_VIT_GROUP", 4)))
+        t0 = time.perf_counter()
         if group > 1:
-            g = enc(params, pj, jnp.concatenate(clips[i:i + group]))
-            embeds.extend(g.reshape(group, FRAMES, *g.shape[1:]))
-        else:
-            embeds.append(enc(params, pj, clips[i]))
-    for c in clips[n_grouped:]:
-        embeds.append(enc(params, pj, c))
-    _sync(embeds[-1])
-    t_vit = time.perf_counter() - t0
-    detail["e2e_vit_encode_s"] = round(t_vit, 3)
-    detail["vit_encode_clips_per_s"] = round(E2E_VIDEOS / t_vit, 2)
+            try:
+                out = enc(params, pj, jnp.concatenate(clips[:group]))
+                _sync(out)
+            except Exception as e:  # noqa: BLE001 — e.g. HBM
+                print(f"[bench] vit group={group} failed "
+                      f"({str(e)[:120]}); per-clip fallback",
+                      file=sys.stderr)
+                group = 1
+        n_grouped = (E2E_VIDEOS // group) * group
+        if n_grouped < E2E_VIDEOS or group == 1:
+            out = enc(params, pj, clips[0])
+            _sync(out)
+        print(f"[bench] vit compile {time.perf_counter() - t0:.1f}s "
+              f"(group={group})", file=sys.stderr)
+
+        def encode_all(get_clip_group):
+            """One timed pass; get_clip_group yields lists of per-clip
+            [F, H, W, 3] uint8 device arrays."""
+            embeds = []
+            for g_clips in get_clip_group:
+                if len(g_clips) == group and group > 1:
+                    g = enc(params, pj, jnp.concatenate(g_clips))
+                    embeds.extend(g.reshape(group, FRAMES, *g.shape[1:]))
+                else:
+                    for c in g_clips:
+                        embeds.append(enc(params, pj, c))
+            _sync(embeds[-1])
+            return embeds
+
+        groups = [list(range(i, min(i + group, E2E_VIDEOS)))
+                  for i in range(0, E2E_VIDEOS, group)]
+
+        # pass 1 — device-only (pixels already on device)
+        t0 = time.perf_counter()
+        encode_all([clips[i] for i in idxs] for idxs in groups)
+        t_vit_dev = time.perf_counter() - t0
+        del clips
+
+        # pass 2 — host-included: worker threads re-decode from disk,
+        # double-buffered against the device encode
+        workers = max(2, int(os.environ.get("BENCH_DECODE_WORKERS", 4)))
+        t0 = time.perf_counter()
+        with BatchPrefetcher(iter(groups),
+                             fetch=lambda i: fetch(paths[i]),
+                             collate=lambda xs: xs, depth=2,
+                             workers=workers) as pf:
+            embeds = encode_all(pf)
+        t_vit_host = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    detail["e2e_vit_device_only_s"] = round(t_vit_dev, 3)
+    detail["e2e_vit_with_host_decode_s"] = round(t_vit_host, 3)
+    detail["vit_encode_clips_per_s"] = round(E2E_VIDEOS / t_vit_dev, 2)
+    detail["vit_clips_per_s_with_host_decode"] = round(
+        E2E_VIDEOS / t_vit_host, 2)
+    detail["host_decode_overlap_overhead_pct"] = round(
+        (t_vit_host - t_vit_dev) / t_vit_dev * 100, 1)
     # flatten frames → the fused visual token sequence [F*N_vis, 4096]
     embeds = [e.reshape(-1, e.shape[-1]) for e in embeds]
     n_vis = embeds[0].shape[0]
     detail["visual_tokens_per_video"] = int(n_vis)
-    del params, pj, clips
-    return embeds, t_vit
+    del params, pj
+    return embeds, t_vit_host
 
 
 def _kernel_stage(detail):
@@ -196,26 +286,18 @@ def _llm_stage(jax, jnp, embeds, detail):
     from aurora_tpu.serve.engine import (fuse_serving_weights,
                                          quantize_weights_int4,
                                          quantize_weights_int8)
-    cfg = LlamaConfig.vicuna_7b_v15_16k()
+    cfg = (LlamaConfig.tiny() if TINY
+           else LlamaConfig.vicuna_7b_v15_16k())
     print("[bench] init 7B params on device", file=sys.stderr)
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    # W4 (default) halves the W8 stream again — the freed HBM goes to KV
-    # rows (batch), the binding constraint on videos/s; free_source
-    # keeps peak HBM ~1x the model during quantization. qkv+gateup
-    # fusion cuts 7 weight streams/layer to 4 (round-3 decode profiling:
-    # per-matmul overhead, not bandwidth, dominated).
-    quantize = (quantize_weights_int4 if WEIGHT_QUANT == "int4"
-                else quantize_weights_int8)
-    params = quantize(params, free_source=True)
-    params = fuse_serving_weights(params, free_source=True)
 
     n_vis = embeds[0].shape[0]
     prompt_len = n_vis + 24           # visual tokens + instruction text
     max_seq = prompt_len + CAPTION_TOKENS
-    # full production config: W8 weights + int8 KV (quantized in-kernel
-    # by the fused decode kernel) at batch 8 — 6.75GB weights + 4.4GB
-    # rows; kv_chunk=256 keeps s_row tight AND measured fastest for
-    # decode (round-3 sweep: 20.3ms @256 vs 22.4 @512 at b8/ctx1k)
+    # full production config: quantized weights + int8 KV (quantized
+    # in-kernel by the fused decode kernel); kv_chunk=256 keeps s_row
+    # tight AND measured fastest for decode (round-3 sweep: 20.3ms @256
+    # vs 22.4 @512 at b8/ctx1k)
     ecfg = EngineConfig(
         max_batch=LLM_BATCH, max_seq_len=max_seq, num_slots=128,
         prefill_buckets=(-(-prompt_len // 256) * 256,),
@@ -227,11 +309,12 @@ def _llm_stage(jax, jnp, embeds, detail):
     def embed_fn(req):
         return emb_table[req.rid]
 
-    def make_req(i, warm=False):
+    def make_req(p, i, warm=False):
         rid = f"warm{i}" if warm else f"v{i}"
-        ids = [int(x) for x in host.integers(10, 30000, size=prompt_len)]
+        ids = [int(x) for x in host.integers(
+            10, min(30000, cfg.vocab_size), size=prompt_len)]
         vis = embeds[i % len(embeds)]
-        txt = jnp.take(params["embed_tokens"],
+        txt = jnp.take(p["embed_tokens"],
                        jnp.asarray(ids[n_vis:]), axis=0)
         emb_table[rid] = jnp.concatenate([vis.astype(jnp.bfloat16),
                                           txt.astype(jnp.bfloat16)])
@@ -241,25 +324,26 @@ def _llm_stage(jax, jnp, embeds, detail):
         req.pixel_values = True  # routes through embed_fn
         return req
 
-    def run_e2e(batch):
+    def run_e2e(batch, p, kv_quant):
         # videos == batch: a fallback batch must not leave an underfilled
         # tail wave decoding 256 tokens at tiny batch (that would penalize
         # the smaller config for the LARGER config's video count)
         n = (E2E_VIDEOS if "BENCH_E2E_VIDEOS" in os.environ
              else min(batch, E2E_VIDEOS))
         import dataclasses
-        engine = ServeEngine(params, cfg,
-                             dataclasses.replace(ecfg, max_batch=batch),
+        engine = ServeEngine(p, cfg,
+                             dataclasses.replace(ecfg, max_batch=batch,
+                                                 kv_quant=kv_quant),
                              embed_fn=embed_fn)
         t0 = time.perf_counter()
-        engine.add_request(make_req(0, warm=True))
+        engine.add_request(make_req(p, 0, warm=True))
         while engine.has_work():
             engine.step()
         print(f"[bench] engine compile+warm "
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
         t0 = time.perf_counter()
         for i in range(n):
-            engine.add_request(make_req(i))
+            engine.add_request(make_req(p, i))
         done = 0
         while engine.has_work():
             done += len(engine.step())
@@ -276,12 +360,41 @@ def _llm_stage(jax, jnp, embeds, detail):
             t2 = t1
         return min(t1, t2), n
 
+    # bf16 e2e rung (round-3 VERDICT #3): same pipeline, unquantized
+    # weights + bf16 KV, small batch (13.5GB of weights leave ~2 rows of
+    # HBM) — the attribution baseline that makes the W4+int8KV headline's
+    # speedup and quality cost (tests/test_quant_quality.py) statable.
+    if (os.environ.get("BENCH_BF16_E2E", "1") != "0"
+            and _remaining() > (60 if TINY else 1500)):
+        for b in (int(os.environ.get("BENCH_BF16_BATCH", 2)), 1):
+            try:
+                t_bf16, n_bf16 = best_of_2(run_e2e, b, params, "none")
+                detail["e2e_bf16_llm_batch"] = b
+                detail["e2e_bf16_llm_s"] = round(t_bf16, 3)
+                detail["e2e_bf16_videos"] = n_bf16
+                break
+            except Exception as e:  # noqa: BLE001 — HBM exhaustion
+                print(f"[bench] bf16 e2e batch {b} failed "
+                      f"({str(e)[:120]})", file=sys.stderr)
+                import gc
+                gc.collect()  # a failed engine's rows must leave HBM
+
+    # W4 (default) halves the W8 stream again — the freed HBM goes to KV
+    # rows (batch), the binding constraint on videos/s; free_source
+    # keeps peak HBM ~1x the model during quantization. qkv+gateup
+    # fusion cuts 7 weight streams/layer to 4 (round-3 decode profiling:
+    # per-matmul overhead, not bandwidth, dominated).
+    quantize = (quantize_weights_int4 if WEIGHT_QUANT == "int4"
+                else quantize_weights_int8)
+    params = quantize(params, free_source=True)
+    params = fuse_serving_weights(params, free_source=True)
+
     t_llm = n_videos = None
     ladder = list(dict.fromkeys(  # dedupe: never retry the failing batch
         x for x in (LLM_BATCH, 24, 16, 8, 2) if x <= LLM_BATCH))
     for b in ladder:
         try:
-            t_llm, n_videos = best_of_2(run_e2e, b)
+            t_llm, n_videos = best_of_2(run_e2e, b, params, "int8")
             detail["e2e_llm_batch"] = b
             break
         except Exception as e:  # noqa: BLE001 — likely HBM exhaustion
@@ -312,8 +425,9 @@ def _llm_stage(jax, jnp, embeds, detail):
         def batch(btag, n_new):
             return [Request(rid=f"{tag}{btag}{i}",
                             input_ids=[int(x) for x in
-                                       host.integers(10, 30000,
-                                                     size=1024)],
+                                       host.integers(
+                                           10, min(30000, cfg.vocab_size),
+                                           size=1024)],
                             max_new_tokens=n_new, eos_ids=(-1,))
                     for i in range(8)]
 
@@ -352,6 +466,82 @@ def _llm_stage(jax, jnp, embeds, detail):
     return t_llm
 
 
+def _train_stage(jax, jnp, detail):
+    """Training-throughput rung (round-3 VERDICT #4): fwd+bwd+adamw steps
+    at 7B widths (hidden 4096 / intermediate 11008 / 32 heads / vicuna
+    vocab, seq 2048) with remat, text-only batches through the REAL
+    aurora train step (train/trainer.py make_train_step — same code
+    cli/train.py runs). Depth is cut to BENCH_TRAIN_LAYERS (default 4):
+    full-depth 7B full-finetune needs params+grads+adam ≈ 3x chip HBM
+    and the reference trains it on 8xA100 — per-LAYER matmul shapes,
+    where MFU is decided, are exact at any depth. TFLOPs uses the
+    Megatron formula on the ACTUAL benched config (train/metrics.py,
+    throughput_hook.py:133-142 parity — no full-depth extrapolation);
+    MFU is vs the v5e bf16 peak (197 TFLOPs/chip)."""
+    import dataclasses
+
+    from aurora_tpu.models.aurora import AuroraConfig
+    from aurora_tpu.models.llama import LlamaConfig, init_llama_params
+    from aurora_tpu.models.projector import (ProjectorConfig,
+                                             init_projector_params)
+    from aurora_tpu.models.vit import ViTConfig, init_vit_params
+    from aurora_tpu.train.metrics import megatron_tflops_per_device
+    from aurora_tpu.train.trainer import (TrainConfig, init_train_state,
+                                          make_optimizer, make_train_step)
+
+    layers = int(os.environ.get("BENCH_TRAIN_LAYERS", 2 if TINY else 4))
+    B = int(os.environ.get("BENCH_TRAIN_BATCH", 1 if TINY else 4))
+    T = int(os.environ.get("BENCH_TRAIN_SEQ", 64 if TINY else 2048))
+    llm = dataclasses.replace(
+        LlamaConfig.tiny() if TINY else LlamaConfig.vicuna_7b_v15_16k(),
+        num_hidden_layers=layers)
+    vit = ViTConfig(hidden_size=32, intermediate_size=64,
+                    num_hidden_layers=2, num_attention_heads=4,
+                    image_size=56, patch_size=14)  # frozen, text-only batch
+    acfg = AuroraConfig(vit=vit, llm=llm, projector=ProjectorConfig(
+        visual_hidden_size=32, llm_hidden_size=llm.hidden_size, depth=2))
+    tcfg = TrainConfig(remat=True, freeze_visual_encoder=True,
+                       freeze_projector=True, max_steps=100)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    params = {
+        "visual_encoder": init_vit_params(keys[0], vit, dtype=jnp.bfloat16),
+        "projector": init_projector_params(keys[1], acfg.projector,
+                                           dtype=jnp.bfloat16),
+        "llm": init_llama_params(keys[2], llm, dtype=jnp.bfloat16),
+    }
+    opt = make_optimizer(params, tcfg)
+    state = init_train_state(params, tcfg)
+    step = jax.jit(make_train_step(acfg, tcfg, opt), donate_argnums=(0,))
+
+    host = np.random.default_rng(5)
+    ids = host.integers(10, min(30000, llm.vocab_size),
+                        size=(B, T))
+    batch = {"input_ids": jnp.asarray(ids), "labels": jnp.asarray(ids),
+             "attention_mask": jnp.ones((B, T), bool)}
+    t0 = time.perf_counter()
+    state, m = step(state, batch)
+    _sync(m["loss"])
+    print(f"[bench] train step compile {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        state, m = step(state, batch)
+        _sync(m["loss"])
+        times.append(time.perf_counter() - t0)
+    t = float(np.median(times))
+    tokens = B * T
+    tflops = megatron_tflops_per_device(
+        tokens, t, llm.hidden_size, layers, llm.vocab_size, T,
+        intermediate=llm.intermediate_size)
+    detail["train_config"] = (f"llama 7B-width L{layers} seq{T} b{B} "
+                              "bf16 remat adamw text-only")
+    detail["train_step_ms"] = round(t * 1e3, 1)
+    detail["train_tokens_per_s"] = round(tokens / t, 1)
+    detail["train_tflops_per_device"] = round(tflops, 1)
+    detail["train_mfu_pct"] = round(tflops / 197.0 * 100, 1)
+
+
 def main():
     # Backend init is the outage failure mode: bound it tightly so a dead
     # relay produces a diagnostic line in minutes, not an rc=124 hours in.
@@ -367,24 +557,42 @@ def main():
     detail = {}
     embeds, t_vit = _vit_stage(jax, jnp, detail)
     _enter_phase("kernels")
-    try:
-        _kernel_stage(detail)
-    except Exception as e:  # noqa: BLE001
-        detail["paged_attn_error"] = str(e)[:200]
+    if not TINY:  # the SoL comparison is a hardware measurement
+        try:
+            _kernel_stage(detail)
+        except Exception as e:  # noqa: BLE001
+            detail["paged_attn_error"] = str(e)[:200]
     _enter_phase("llm")
     t_llm = _llm_stage(jax, jnp, embeds, detail)
+    del embeds
+    if (os.environ.get("BENCH_TRAIN", "1") != "0"
+            and _remaining() > (60 if TINY else 420)):
+        _enter_phase("train", min(900, _remaining() - 60))
+        import gc
+        gc.collect()  # serving weights/rows must leave HBM first
+        try:
+            _train_stage(jax, jnp, detail)
+        except Exception as e:  # noqa: BLE001
+            detail["train_error"] = str(e)[:200]
     _enter_phase("report")
 
-    # ViT throughput is per-clip linear: scale its time to the video
-    # count the LLM stage actually ran (the ladder may have fallen back)
+    # ViT throughput is per-clip linear: scale its (host-decode-
+    # inclusive) time to the video count the LLM stage actually ran
+    # (the ladder may have fallen back)
     n_videos = detail.get("e2e_videos", E2E_VIDEOS)
     t_vit_n = t_vit * n_videos / max(E2E_VIDEOS, 1)
     videos_per_s = n_videos / (t_vit_n + t_llm)
+    if "e2e_bf16_llm_s" in detail:  # attribution baseline, same formula
+        nb = detail["e2e_bf16_videos"]
+        detail["e2e_bf16_videos_per_s"] = round(
+            nb / (t_vit * nb / max(E2E_VIDEOS, 1)
+                  + detail["e2e_bf16_llm_s"]), 3)
     print(json.dumps({
         "metric": "auroracap7b_e2e_videos_per_s",
         "value": round(videos_per_s, 3),
-        "unit": ("videos/s e2e (8f@378 ViT+ToMe r0.2 -> fuse -> prefill "
-                 "-> 256-tok caption via serve engine, 1x v5e chip)"),
+        "unit": ("videos/s e2e (host decode+resize overlapped -> 8f@378 "
+                 "ViT+ToMe r0.2 -> fuse -> prefill -> 256-tok caption "
+                 "via serve engine, 1x v5e chip)"),
         "vs_baseline": None,
         "detail": detail,
     }))

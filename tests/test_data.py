@@ -270,3 +270,20 @@ def test_text_only_batch_skips_pixels(tok, tmp_path):
     assert s["pixel_values"].shape == (0, 3, 56, 56)
     batch = default_collate_fn([ds[0], ds[1]])
     assert "pixel_values" not in batch
+
+
+def test_split_clip_pipeline_matches_fused(rng):
+    """clip_resize_crop (host, uint8) + clip_normalize_device (jit) ==
+    clip_preprocess exactly — the split layout ships uint8 over H2D and
+    fuses the normalize into the device encode (bench.py host-decode
+    stage + multimodal serving rely on this equivalence)."""
+    from aurora_tpu.data.preprocess import (clip_normalize_device,
+                                            clip_preprocess,
+                                            clip_resize_crop)
+    frames = [rng.integers(0, 255, size=(240, 424, 3)).astype(np.uint8)
+              for _ in range(3)]
+    want = clip_preprocess(frames, size=112, crop=112)
+    u8 = clip_resize_crop(frames, size=112, crop=112)
+    assert u8.dtype == np.uint8 and u8.shape == (3, 112, 112, 3)
+    got = np.asarray(jax.jit(clip_normalize_device)(jnp.asarray(u8)))
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
