@@ -520,3 +520,64 @@ def test_videochatgpt_generation_tasks(tmp_path, rng):
     # every sample carries its generated pred for the judge phase
     for s in res["samples"]["videochatgpt_consistency"]:
         assert isinstance(s["pred"], (str, list))
+
+
+def test_vqa_normalization_full_protocol_parity():
+    """Byte-parity of the FULL EvalAI normalization pipeline vs the
+    reference processor (vqa_eval_metric.py:12-213). Expected strings
+    were generated by EXECUTING the reference implementation on these
+    inputs; the cases cover every quirk the official protocol bakes in:
+    the reversed somebody'd entry, dead capital-I keys, the misspelled
+    PERIOD_STRIP lookbehind (periods survive only before digits), the
+    original-text punctuation condition, untouched colons, comma-in-
+    number stripping, word_tokenize's early "'s" split, and the full
+    contraction/number tables the round-3 condensed version lacked."""
+    from aurora_tpu.eval.tasks.vqa import normalize_answer
+    cases = {
+        "The cat's 2,000 dogs.": "cat 's 2000 dogs",
+        "aint it": "ain't it",
+        "yall'd've seen": "y'all'd've seen",
+        "a man-made lake": "man made lake",
+        "1,000,000": "1000000",
+        "3.5 dogs.": "3.5 dogs",
+        "somebody'd": "somebodyd",
+        "he's here; now": "he 's here now",
+        "none left": "0 left",
+        "a an the answer": "answer",
+        "time: 5": "time: 5",
+        "it'dve": "it'd've",
+        "What?": "what",
+        "Who's there": "who 's there",
+        "couldnt've done": "couldn't've done",
+        "oclock": "o'clock",
+        "'ow'sat": "'ow 'sat",
+        "twas the night": "'twas night",
+        "left-hand side": "left hand side",
+        "semi-colon; test": "semi colon test",
+        "5.00 dollars": "5.00 dollars",
+        "u.s.a.": "usa",
+        "don't know": "don't know",
+        "10,00 weird": "1000 weird",
+        "I'dve": "i'dve",
+        "Im happy": "im happy",
+        "shouldn'tve": "shouldn't've",
+        "  spaced   out  ": "spaced out",
+        "tab\there": "tab here",
+        "new\nline": "new line",
+        "lets go": "lets go",
+        "let's go": "let 's go",
+        "two + two = four": "2 2 4",
+        "(parenthetical)": "parenthetical",
+        "50%": "50%",
+        "a.m.": "am",
+        'he said "hi"': "he said hi",
+    }
+    bad = {inp: (normalize_answer(inp), want)
+           for inp, want in cases.items()
+           if normalize_answer(inp) != want}
+    assert not bad, bad
+    # table sizes match the reference exactly
+    from aurora_tpu.eval.tasks import vqa_norm
+    assert len(vqa_norm.CONTRACTIONS) == 120
+    assert len(vqa_norm.NUMBER_MAP) == 12
+    assert len(vqa_norm.PUNCTUATIONS) == 21
