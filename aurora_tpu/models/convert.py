@@ -181,6 +181,26 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                    num_experts=cfg.get("n_routed_experts") or 0,
                    first_k_dense=(cfg.get("first_k_dense_replace", 0)
                                   if cfg.get("n_routed_experts") else 0))
+    if cfg.get("model_type") in ("grok-1", "grok1", "grok"):
+        # Grok-1 (sglang srt/models/grok.py — the last sglang zoo
+        # family): MoE every layer with fp32 softmax-over-ALL routing
+        # and NO top-k renorm (FusedMoE renormalize=False, grok.py:91),
+        # tanh softcaps HARDCODED at 30.0 on attention scores
+        # (grok.py:116) and router logits (grok.py:102), four RMSNorms
+        # per layer (grok.py:214-217), embeds *
+        # embedding_multiplier_scale (grok.py:277), hidden *
+        # output_multiplier_scale before the head (grok.py:284 — a
+        # linear head makes it exactly logit_scale), head_dim pinned
+        # to 128 (grok.py:137).
+        cfg = dict(cfg,
+                   model_type="grok",
+                   attn_logit_softcap=30.0,
+                   moe_router_logit_softcap=30.0,
+                   embed_scale=float(
+                       cfg.get("embedding_multiplier_scale", 1.0)),
+                   logit_scale=float(
+                       cfg.get("output_multiplier_scale", 1.0)),
+                   head_dim=cfg.get("head_dim", 128))
     if cfg.get("model_type") == "minicpm":
         # MiniCPM (sglang srt/models/minicpm.py): llama keys with three
         # scalar scalings — embeds * scale_emb, residual branches *
@@ -241,7 +261,10 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
         # interleaved rotary, scaled logits, tied embeddings
         parallel_block=mt == "cohere",
         logit_scale=(cfg.get("logit_scale")
-                     if mt in ("cohere", "minicpm") else None),
+                     if mt in ("cohere", "minicpm", "grok") else None),
+        attn_logit_softcap=cfg.get("attn_logit_softcap", 0.0),
+        moe_router_logit_softcap=cfg.get("moe_router_logit_softcap",
+                                         0.0),
         embed_scale=cfg.get("embed_scale"),
         residual_scale=cfg.get("residual_scale"),
         # Gemma1 (srt/models/gemma.py zoo parity): GeGLU MLP, sqrt(d)
@@ -268,7 +291,8 @@ def llama_config_from_hf(cfg: Dict[str, Any]) -> LlamaConfig:
                          if cfg.get("model_type") in ("qwen2_moe",
                                                       "qwen3_moe",
                                                       "dbrx",
-                                                      "deepseek")
+                                                      "deepseek",
+                                                      "grok")
                          else "mixtral"),
         first_k_dense=cfg.get("first_k_dense", 0),
         moe_norm_topk=cfg.get("norm_topk_prob", False),
@@ -566,6 +590,21 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
                     if key in sd:
                         sd[f"layers.{i}.mlp.{b}.{suf}"] = sd.pop(key)
 
+    # Grok-1 (sglang srt/models/grok.py:214-217): FOUR RMSNorms per
+    # layer under pre/post_attn_norm + pre/post_moe_norm names — the
+    # pre-norms map to the canonical input/MLP-pre slots, the output
+    # norms to the gemma2-style post_attn_out_norm / post_ffw_norm
+    # slots. Attention projections are already llama-named and experts
+    # mixtral-named (block_sparse_moe.experts.N.w{1,2,3}).
+    if "layers.0.pre_moe_norm.weight" in sd:
+        for i in range(L):
+            for a, b in (("pre_attn_norm", "input_layernorm"),
+                         ("post_attn_norm", "post_attn_out_norm"),
+                         ("pre_moe_norm", "post_attention_layernorm"),
+                         ("post_moe_norm", "post_ffw_norm")):
+                sd[f"layers.{i}.{b}.weight"] = \
+                    sd.pop(f"layers.{i}.{a}.weight")
+
     # Phi-3 ships fused qkv_proj / gate_up_proj matrices (sglang zoo
     # parity, srt/models — phi-3 is llama semantics otherwise); split
     # them into the canonical q/k/v + gate/up layout up front.
@@ -641,6 +680,11 @@ def llama_params_from_hf(sd: Dict[str, np.ndarray], cfg: LlamaConfig,
             "layers.{}.self_attn.q_norm.weight")
         p["layers"]["k_norm"] = stack(
             "layers.{}.self_attn.k_norm.weight")
+    if "layers.0.post_attn_out_norm.weight" in sd:  # Grok 4-norm layout
+        p["layers"]["post_attn_out_norm"] = stack(
+            "layers.{}.post_attn_out_norm.weight")
+        p["layers"]["post_ffw_norm"] = stack(
+            "layers.{}.post_ffw_norm.weight")
     if cfg.num_experts > 0 and "layers.0.mlp.gate.weight" in sd:
         # Qwen2/3-MoE layout: mlp.gate router + mlp.experts.{e}.*_proj;
         # Qwen2-MoE adds an always-on shared_expert with a scalar

@@ -120,6 +120,11 @@ class LlamaConfig:
     # an unrolled prefix before one lax.scan over the uniform stacked
     # tail, mirroring serve/mla.py's heterogeneous-layer layout.
     first_k_dense: int = 0
+    # Grok-1 (sglang srt/models/grok.py:102): tanh softcap on the MoE
+    # ROUTER logits before softmax routing — 30*tanh(l/30), distinct
+    # from attn_logit_softcap (grok caps both, hardcoded 30.0 in the
+    # reference module)
+    moe_router_logit_softcap: float = 0.0
 
     @property
     def head_dim(self) -> int:
@@ -344,11 +349,15 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
         attn = mha(q, k_all, v_all, causal=True, mask=mask,
                    q_segment_ids=segment_ids,
                    kv_segment_ids=segment_ids, q_offset=q_offset,
+                   scale=cfg.attn_scale,
+                   logit_cap=cfg.attn_logit_softcap,
                    use_flash=use_flash)
     attn = jnp.dot(attn.reshape(B, T, hq * hd), lp["o"],
                    preferred_element_type=jnp.float32).astype(x.dtype)
     if "o_bias" in lp:
         attn = attn + lp["o_bias"]
+    if "post_attn_out_norm" in lp:  # Gemma2/Grok: norm the attn output
+        attn = _dnorm(cfg, attn, lp, "post_attn_out_norm")
     if cfg.residual_scale is not None:  # MiniCPM depth scaling
         attn = attn * cfg.residual_scale
     if cfg.parallel_block:  # Cohere: MLP reads the SAME normed input;
@@ -365,7 +374,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
             router_mode=("softmax_topk"
                          if cfg.moe_router_mode == "softmax_topk"
                          else "mixtral"),
-            norm_topk=cfg.moe_norm_topk)
+            norm_topk=cfg.moe_norm_topk,
+            router_logit_softcap=cfg.moe_router_logit_softcap)
         if "moe_shared_gate" in lp:  # Qwen2-MoE shared expert
             routed = routed + shared_expert_mlp(lp, h)
         h = routed.astype(x.dtype)
@@ -394,6 +404,8 @@ def _layer(cfg: LlamaConfig, x, lp, cache_k, cache_v, cos, sin,
                     preferred_element_type=jnp.float32).astype(x.dtype)
         if "down_bias" in lp:
             h = h + lp["down_bias"]
+    if "post_ffw_norm" in lp:  # Gemma2/Grok: norm the MLP output
+        h = _dnorm(cfg, h, lp, "post_ffw_norm")
     if cfg.residual_scale is not None:  # MiniCPM depth scaling
         h = h * cfg.residual_scale
     if cfg.parallel_block:
@@ -425,6 +437,8 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
     if inputs_embeds is None:
         inputs_embeds = jnp.take(params["embed_tokens"], input_ids, axis=0)
     x = inputs_embeds
+    if cfg.attn_logit_softcap > 0.0:
+        use_flash = False  # softcap routes through the XLA path (mha)
     if cfg.scale_embeddings:  # gemma family: normalizer cast to model
         x = x * jnp.asarray(cfg.hidden_size ** 0.5, x.dtype)  # dtype
     if cfg.embed_scale is not None:  # MiniCPM scale_emb

@@ -42,7 +42,8 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                   q_segment_ids: Optional[jnp.ndarray] = None,
                   kv_segment_ids: Optional[jnp.ndarray] = None,
                   scale: Optional[float] = None,
-                  q_offset: int = 0) -> jnp.ndarray:
+                  q_offset: int = 0,
+                  logit_cap: float = 0.0) -> jnp.ndarray:
     """XLA attention, fp32 softmax accumulation.
 
     q: [B, T, H, D]; k, v: [B, S, Hkv, D] (Hkv divides H → GQA).
@@ -51,6 +52,8 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     segment ids: [B, T] / [B, S]; attention only within equal segments
     (varlen packing — parity with flash-attn varlen cu_seqlens semantics).
     q_offset: position of q[0] within the kv sequence (decode steps).
+    logit_cap: >0 → cap*tanh(scores/cap) on the raw scores pre-mask
+    (Gemma2/Grok tanh softcap; sglang RadixAttention logit_cap).
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
@@ -61,6 +64,8 @@ def mha_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # [B, H, T, S]
     logits = jnp.einsum("bthd,bshd->bhts", q * scale, k,
                         preferred_element_type=jnp.float32)
+    if logit_cap > 0.0:
+        logits = logit_cap * jnp.tanh(logits / logit_cap)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
 
@@ -91,6 +96,7 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         kv_segment_ids: Optional[jnp.ndarray] = None,
         scale: Optional[float] = None,
         q_offset: int = 0,
+        logit_cap: float = 0.0,
         use_flash: Optional[bool] = None) -> jnp.ndarray:
     """Dispatching attention entry point.
 
@@ -103,7 +109,9 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     if use_flash is None:
         use_flash = (jax.default_backend() == "tpu" and bias is None
                      and mask is None and q.shape[1] >= 128
-                     and q.shape[-1] % 128 == 0)
+                     and q.shape[-1] % 128 == 0 and logit_cap == 0.0)
+    assert not (use_flash and logit_cap > 0.0), \
+        "flash path has no logit softcap; pass use_flash=False"
     if use_flash:
         from aurora_tpu.ops.pallas.flash_attention import flash_attention
         return flash_attention(
@@ -113,4 +121,4 @@ def mha(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     return mha_reference(
         q, k, v, causal=causal, bias=bias, mask=mask,
         q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
-        scale=scale, q_offset=q_offset)
+        scale=scale, q_offset=q_offset, logit_cap=logit_cap)

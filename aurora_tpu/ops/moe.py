@@ -45,7 +45,8 @@ def init_moe_params(rng: jax.Array, num_experts: int, hidden: int,
 
 def routing_weights(logits: jnp.ndarray, top_k: int,
                     router_mode: str = "mixtral",
-                    norm_topk: bool = False):
+                    norm_topk: bool = False,
+                    logit_softcap: float = 0.0):
     """Router logits [..., E] → (top-k weights [..., k], indices).
 
     mixtral:      top-k of logits, softmax over just those (renormalize)
@@ -53,7 +54,13 @@ def routing_weights(logits: jnp.ndarray, top_k: int,
     softmax_topk: fp32 softmax over ALL experts, then top-k of the probs,
                   optional renormalize (norm_topk_prob) — Qwen2-MoE /
                   DeepSeek greedy routing (modeling_qwen2_moe.py).
+    logit_softcap: >0 → cap*tanh(l/cap) before routing (Grok-1,
+                  grok.py:102; combined with softmax_topk + no renorm it
+                  is exactly FusedMoE(renormalize=False) on capped
+                  logits).
     """
+    if logit_softcap > 0.0:
+        logits = logit_softcap * jnp.tanh(logits / logit_softcap)
     if router_mode == "mixtral":
         top_vals, top_idx = jax.lax.top_k(logits, top_k)
         return jax.nn.softmax(top_vals, axis=-1), top_idx
@@ -66,15 +73,18 @@ def routing_weights(logits: jnp.ndarray, top_k: int,
 
 def moe_mlp(params: Params, x: jnp.ndarray, top_k: int,
             return_router_logits: bool = False,
-            router_mode: str = "mixtral", norm_topk: bool = False):
+            router_mode: str = "mixtral", norm_topk: bool = False,
+            router_logit_softcap: float = 0.0):
     """x: [B, T, D] → [B, T, D] routed-expert MLP (see routing_weights
-    for the router semantics)."""
+    for the router semantics; return_router_logits returns the RAW
+    pre-softcap dot for aux-loss consumers)."""
     B, T, D = x.shape
     logits = jnp.dot(x, params["router"],
                      preferred_element_type=jnp.float32)      # [B,T,E]
     E = logits.shape[-1]
     top_probs, top_idx = routing_weights(logits, top_k, router_mode,
-                                         norm_topk)
+                                         norm_topk,
+                                         router_logit_softcap)
     # scatter top-k probs back to dense [B,T,E]
     probs = jnp.zeros((B, T, E), jnp.float32)
     b_ix = jnp.arange(B)[:, None, None]
@@ -98,7 +108,8 @@ def moe_mlp(params: Params, x: jnp.ndarray, top_k: int,
 def moe_mlp_grouped(params: Params, x: jnp.ndarray, top_k: int,
                     return_router_logits: bool = False,
                     router_mode: str = "mixtral",
-                    norm_topk: bool = False):
+                    norm_topk: bool = False,
+                    router_logit_softcap: float = 0.0):
     """Dropless sort-by-expert MoE via grouped matmul — the TPU-native
     equivalent of sglang's fused-MoE Triton kernel
     (src/sglang/python/sglang/srt/layers/fused_moe/fused_moe.py:1-250:
@@ -122,7 +133,8 @@ def moe_mlp_grouped(params: Params, x: jnp.ndarray, top_k: int,
     logits = jnp.dot(xf, params["router"],
                      preferred_element_type=jnp.float32)       # [N,E]
     top_probs, top_idx = routing_weights(logits, top_k, router_mode,
-                                         norm_topk)
+                                         norm_topk,
+                                         router_logit_softcap)
 
     # replicate each token k times and sort the copies by expert id;
     # stable sort keeps token order within an expert (deterministic)

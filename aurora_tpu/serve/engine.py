@@ -349,12 +349,15 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None, h=None):
         # dropless path — O(N·k) expert rows. decode (T==1) and TP-sharded
         # experts: dense einsum (weight stream dominates / GSPMD layout).
         if tp_axis is None and h.shape[1] > 1:
-            out = moe_mlp_grouped(moe_params, h, cfg.num_experts_per_tok,
-                                  router_mode=mode,
-                                  norm_topk=cfg.moe_norm_topk)
+            out = moe_mlp_grouped(
+                moe_params, h, cfg.num_experts_per_tok, router_mode=mode,
+                norm_topk=cfg.moe_norm_topk,
+                router_logit_softcap=cfg.moe_router_logit_softcap)
         else:
-            out = moe_mlp(moe_params, h, cfg.num_experts_per_tok,
-                          router_mode=mode, norm_topk=cfg.moe_norm_topk)
+            out = moe_mlp(
+                moe_params, h, cfg.num_experts_per_tok, router_mode=mode,
+                norm_topk=cfg.moe_norm_topk,
+                router_logit_softcap=cfg.moe_router_logit_softcap)
         if "moe_shared_gate" in lp:  # Qwen2-MoE shared expert
             out = out + shared_expert_mlp(lp, h)
         out = out.astype(x.dtype)

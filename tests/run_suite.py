@@ -29,6 +29,12 @@ SUITES = {
         ("test_native_radix.py", 120),   # C++ radix twin
         ("test_generate.py", 240),       # sampling/generation
     ],
+    # slow: the full-width parity slice (AURORA_SLOW gate lifted here) —
+    # de-risks the north-star at the real 7B shape family. Run it every
+    # round and record the result in docs/STATUS.md (round-3 VERDICT #9).
+    "slow": [
+        ("test_fullconfig_parity.py", 3600),
+    ],
 }
 
 
@@ -51,6 +57,10 @@ def main() -> int:
     if args.range:
         files = files[args.range[0]:args.range[1]]
 
+    env = dict(os.environ)
+    if args.suite == "slow":
+        env["AURORA_SLOW"] = "1"   # the gate exists for bare pytest runs
+
     failed = []
     t_all = time.time()
     for name, timeout in files:
@@ -58,7 +68,7 @@ def main() -> int:
         try:
             proc = subprocess.run(
                 [sys.executable, "-m", "pytest", os.path.join(HERE, name),
-                 "-x", "-q"], timeout=timeout,
+                 "-x", "-q"], timeout=timeout, env=env,
                 cwd=os.path.dirname(HERE))
             ok = proc.returncode == 0
         except subprocess.TimeoutExpired:

@@ -538,3 +538,147 @@ def test_deepseek_v1_served_matches_offline(rng):
                                         max_new_tokens=6)])
     assert done["ds"].output_ids == want
     assert engine.check_memory()["leaked"] == 0
+
+
+def test_grok1_served_matches_offline(rng):
+    """Grok-1 through the serving engine (sglang srt/models/grok.py
+    parity — the last sglang zoo family): four RMSNorms per layer
+    (grok.py:214-217), tanh softcap 30.0 on attention scores
+    (grok.py:116) AND router logits (grok.py:102), fp32
+    softmax-over-all MoE routing WITHOUT top-k renorm
+    (renormalize=False, grok.py:91), embedding/output multiplier
+    scales (grok.py:277,284), pinned head_dim. transformers ships no
+    Grok-1 class — the oracle below implements the reference module's
+    equations directly in torch."""
+    import torch
+    import torch.nn.functional as F
+
+    from aurora_tpu.generate import generate
+    from aurora_tpu.models.convert import (llama_config_from_hf,
+                                           llama_params_from_hf)
+
+    torch.manual_seed(61)
+    V, D, I, L = 144, 64, 96, 2
+    Hq, Hkv, hd, E, K = 4, 2, 16, 4, 2
+    emb_mult, out_mult = 7.0, 0.5
+
+    def t(*shape):
+        return torch.randn(*shape) * 0.1
+
+    sd = {"model.embed_tokens.weight": t(V, D),
+          "model.norm.weight": 1.0 + 0.1 * t(D),
+          "lm_head.weight": t(V, D)}
+    for i in range(L):
+        b = f"model.layers.{i}"
+        sd[f"{b}.self_attn.q_proj.weight"] = t(Hq * hd, D)
+        sd[f"{b}.self_attn.k_proj.weight"] = t(Hkv * hd, D)
+        sd[f"{b}.self_attn.v_proj.weight"] = t(Hkv * hd, D)
+        sd[f"{b}.self_attn.o_proj.weight"] = t(D, Hq * hd)
+        sd[f"{b}.block_sparse_moe.gate.weight"] = t(E, D)
+        for e in range(E):
+            eb = f"{b}.block_sparse_moe.experts.{e}"
+            sd[f"{eb}.w1.weight"] = t(I, D)   # gate
+            sd[f"{eb}.w2.weight"] = t(D, I)   # down
+            sd[f"{eb}.w3.weight"] = t(I, D)   # up
+        for n in ("pre_attn_norm", "post_attn_norm", "pre_moe_norm",
+                  "post_moe_norm"):
+            sd[f"{b}.{n}.weight"] = 1.0 + 0.1 * t(D)
+
+    def rms(x, w, eps=1e-5):
+        xf = x.float()
+        return (xf * torch.rsqrt(xf.pow(2).mean(-1, keepdim=True)
+                                 + eps)) * w
+
+    def rope(x, pos, theta=10000.0):
+        # neox-style (is_neox_style=True, grok.py:160): rotate halves
+        d2 = hd // 2
+        inv = 1.0 / theta ** (torch.arange(d2).float() / d2)
+        ang = pos[:, None].float() * inv[None]           # [T, d2]
+        cos, sin = torch.cos(ang), torch.sin(ang)
+        x1, x2 = x[..., :d2], x[..., d2:]
+        c, s = cos[:, None], sin[:, None]                # [T, 1, d2]
+        return torch.cat([x1 * c - x2 * s, x2 * c + x1 * s], -1)
+
+    @torch.no_grad()
+    def oracle_logits(ids):
+        T = len(ids)
+        x = sd["model.embed_tokens.weight"][ids] * emb_mult
+        pos = torch.arange(T)
+        for i in range(L):
+            b = f"model.layers.{i}"
+            h = rms(x, sd[f"{b}.pre_attn_norm.weight"])
+            q = (h @ sd[f"{b}.self_attn.q_proj.weight"].T
+                 ).view(T, Hq, hd)
+            k = (h @ sd[f"{b}.self_attn.k_proj.weight"].T
+                 ).view(T, Hkv, hd)
+            v = (h @ sd[f"{b}.self_attn.v_proj.weight"].T
+                 ).view(T, Hkv, hd)
+            q, k = rope(q, pos), rope(k, pos)
+            k = k.repeat_interleave(Hq // Hkv, dim=1)
+            v = v.repeat_interleave(Hq // Hkv, dim=1)
+            s = torch.einsum("thd,shd->hts", q, k) / hd ** 0.5
+            s = 30.0 * torch.tanh(s / 30.0)              # grok.py:116
+            mask = torch.tril(torch.ones(T, T, dtype=torch.bool))
+            s = s.masked_fill(~mask[None], float("-inf"))
+            attn = torch.einsum("hts,shd->thd", F.softmax(s, -1), v)
+            attn = attn.reshape(T, Hq * hd) \
+                @ sd[f"{b}.self_attn.o_proj.weight"].T
+            x = x + rms(attn, sd[f"{b}.post_attn_norm.weight"])
+            h = rms(x, sd[f"{b}.pre_moe_norm.weight"])
+            rl = h @ sd[f"{b}.block_sparse_moe.gate.weight"].T
+            rl = 30.0 * torch.tanh(rl / 30.0)            # grok.py:102
+            probs = F.softmax(rl.float(), -1)
+            topv, topi = torch.topk(probs, K, -1)        # NO renorm
+            out = torch.zeros_like(h)
+            for ti in range(T):
+                for j in range(K):
+                    e = int(topi[ti, j])
+                    eb = f"{b}.block_sparse_moe.experts.{e}"
+                    g = h[ti] @ sd[f"{eb}.w1.weight"].T
+                    u = h[ti] @ sd[f"{eb}.w3.weight"].T
+                    out[ti] += topv[ti, j] * (
+                        (F.silu(g) * u) @ sd[f"{eb}.w2.weight"].T)
+            x = x + rms(out, sd[f"{b}.post_moe_norm.weight"])
+        x = rms(x, sd["model.norm.weight"]) * out_mult   # grok.py:284
+        return x @ sd["lm_head.weight"].T
+
+    hf_cfg = dict(model_type="grok-1", vocab_size=V, hidden_size=D,
+                  intermediate_size=I, num_hidden_layers=L,
+                  num_attention_heads=Hq, num_key_value_heads=Hkv,
+                  head_dim=hd, num_local_experts=E,
+                  num_experts_per_tok=K,
+                  embedding_multiplier_scale=emb_mult,
+                  output_multiplier_scale=out_mult,
+                  max_position_embeddings=256, rms_norm_eps=1e-5,
+                  rope_theta=10000.0)
+    cfg = llama_config_from_hf(hf_cfg)
+    assert cfg.attn_logit_softcap == 30.0
+    assert cfg.moe_router_logit_softcap == 30.0
+    assert cfg.moe_router_mode == "softmax_topk" and not cfg.moe_norm_topk
+    params = llama_params_from_hf(
+        {k: v.numpy() for k, v in sd.items()}, cfg, dtype=jnp.float32)
+    assert "post_attn_out_norm" in params["layers"]
+
+    ids = [int(x) for x in rng.integers(3, V, size=12)]
+    new = 6
+    want = []
+    cur = list(ids)
+    for _ in range(new):
+        tok = int(torch.argmax(oracle_logits(cur)[-1]))
+        want.append(tok)
+        cur.append(tok)
+
+    embeds = jnp.take(params["embed_tokens"], jnp.asarray([ids]), axis=0)
+    res = generate(params, cfg, embeds, jnp.ones((1, len(ids)), bool),
+                   max_new_tokens=new, eos_ids=(-1,))
+    got = [int(t) for t in np.asarray(res.tokens[0, :int(res.lengths[0])])]
+    assert got == want  # offline == torch oracle greedy
+
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        kv_chunk=16)
+    engine = ServeEngine(params, cfg, ecfg)
+    done = _run_engine(engine, [Request(rid="g", input_ids=list(ids),
+                                        max_new_tokens=new)])
+    assert done["g"].output_ids == want
+    assert engine.check_memory()["leaked"] == 0
