@@ -324,6 +324,8 @@ def _llm_stage(jax, jnp, embeds, detail):
         req.pixel_values = True  # routes through embed_fn
         return req
 
+    import gc
+
     def run_e2e(batch, p, kv_quant):
         # videos == batch: a fallback batch must not leave an underfilled
         # tail wave decoding 256 tokens at tiny batch (that would penalize
@@ -331,24 +333,36 @@ def _llm_stage(jax, jnp, embeds, detail):
         n = (E2E_VIDEOS if "BENCH_E2E_VIDEOS" in os.environ
              else min(batch, E2E_VIDEOS))
         import dataclasses
-        engine = ServeEngine(p, cfg,
-                             dataclasses.replace(ecfg, max_batch=batch,
-                                                 kv_quant=kv_quant),
-                             embed_fn=embed_fn)
-        t0 = time.perf_counter()
-        engine.add_request(make_req(p, 0, warm=True))
-        while engine.has_work():
-            engine.step()
-        print(f"[bench] engine compile+warm "
-              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
-        t0 = time.perf_counter()
-        for i in range(n):
-            engine.add_request(make_req(p, i))
-        done = 0
-        while engine.has_work():
-            done += len(engine.step())
-        assert done == n, done
-        return time.perf_counter() - t0, n
+        engine = None
+        try:
+            engine = ServeEngine(p, cfg,
+                                 dataclasses.replace(ecfg,
+                                                     max_batch=batch,
+                                                     kv_quant=kv_quant),
+                                 embed_fn=embed_fn)
+            t0 = time.perf_counter()
+            engine.add_request(make_req(p, 0, warm=True))
+            while engine.has_work():
+                engine.step()
+            print(f"[bench] engine compile+warm "
+                  f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+            t0 = time.perf_counter()
+            for i in range(n):
+                engine.add_request(make_req(p, i))
+            done = 0
+            while engine.has_work():
+                done += len(engine.step())
+            assert done == n, done
+            return time.perf_counter() - t0, n
+        finally:
+            # the engine's rows/pool must leave HBM NOW: the radix tree
+            # is cyclic (parent<->child), so without an explicit
+            # del+collect the buffers survive into the next engine's
+            # allocation and every subsequent config OOMs (the round-4
+            # first-run failure mode — /tmp probe confirmed del+gc
+            # makes the bf16->W4 sequence fit)
+            del engine
+            gc.collect()
 
     def best_of_2(fn, *a):
         # the relay's latency fluctuates run to run; the faster of two
@@ -376,8 +390,7 @@ def _llm_stage(jax, jnp, embeds, detail):
             except Exception as e:  # noqa: BLE001 — HBM exhaustion
                 print(f"[bench] bf16 e2e batch {b} failed "
                       f"({str(e)[:120]})", file=sys.stderr)
-                import gc
-                gc.collect()  # a failed engine's rows must leave HBM
+        gc.collect()  # nothing of the bf16 rung may outlive this point
 
     # W4 (default) halves the W8 stream again — the freed HBM goes to KV
     # rows (batch), the binding constraint on videos/s; free_source
@@ -416,6 +429,7 @@ def _llm_stage(jax, jnp, embeds, detail):
     # round-2 int8 regression's exact shape — both now run the fused
     # write+attend decode kernel)
     def decode_stage(tag, kv_quant):
+        gc.collect()  # prior stage's rows must be gone before alloc
         ecfg_d = EngineConfig(max_batch=8, max_seq_len=1280,
                               num_slots=128, prefill_buckets=(1024,),
                               kv_chunk=256, decode_steps=32,
@@ -608,13 +622,19 @@ def main_with_retries(attempts: int = 3):
         try:
             return main()
         except Exception as e:  # noqa: BLE001 — transport errors vary
-            last = e
+            # keep the MESSAGE only: holding the exception object pins
+            # its traceback frames — params, engines, embeds, many GB of
+            # device buffers — so every retry after an HBM failure OOMs
+            # instantly (the round-4 first-run attempt-2/3 mode)
+            last = repr(e)[:300]
+            import gc
+            gc.collect()
             if i == attempts - 1 or _remaining() < 900:
                 break
-            print(f"[bench] attempt {i + 1} failed ({e}); retrying",
+            print(f"[bench] attempt {i + 1} failed ({last}); retrying",
                   file=sys.stderr)
             time.sleep(30)
-    _die(f"all attempts failed; last error: {str(last)[:300]}")
+    _die(f"all attempts failed; last error: {last}")
 
 
 if __name__ == "__main__":
