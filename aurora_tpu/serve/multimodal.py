@@ -33,6 +33,12 @@ from aurora_tpu.utils.constants import IMAGE_TOKEN_INDEX
 _PLACEHOLDER_BASE = 1 << 24
 
 
+def _is_split_uint8(px: np.ndarray) -> bool:
+    """[F, H, W, 3] uint8 (clip_resize_crop output) vs the legacy
+    [F, C, H, W] float layout."""
+    return px.dtype == np.uint8 and px.ndim == 4 and px.shape[-1] == 3
+
+
 def frame_hash_ids(pixel_values: np.ndarray, n_tokens: int) -> List[int]:
     """Deterministic pseudo-ids for a clip: sha1(frames) → n ids
     (auroracap.py image-hash padding semantics)."""
@@ -100,12 +106,19 @@ class AuroraCapServing:
                       pixel_values: np.ndarray,
                       kept_ratio: float = None, **req_kwargs) -> Request:
         """prompt_text contains '<image>' markers (one per frame);
-        pixel_values [F, C, H, W] preprocessed frames. The placeholder
+        pixel_values: either [F, C, H, W] float preprocessed frames
+        (legacy fused pipeline) or [F, H, W, 3] uint8 resize/crop-only
+        frames (split pipeline, data/preprocess.clip_resize_crop — the
+        preferred serving layout: uint8 H2D ships 4x fewer bytes and the
+        normalize fuses into the device-side encode). The placeholder
         count derives from the ACTUAL frame resolution and the request's
         kept_ratio (per-request overrides are honored end-to-end)."""
         raw_ids = encode_with_image_tokens(prompt_text, self.tokenizer)
         kept = self.kept_ratio if kept_ratio is None else kept_ratio
-        F, _, H, W = pixel_values.shape
+        if _is_split_uint8(pixel_values):
+            F, H, W, _ = pixel_values.shape
+        else:
+            F, _, H, W = pixel_values.shape
         counts = self._frame_counts(F, H, W, kept)
         assert raw_ids.count(IMAGE_TOKEN_INDEX) == F, (
             "one <image> marker per frame required")
@@ -128,7 +141,14 @@ class AuroraCapServing:
             groups = self._cache.get(key)
         if groups is None:
             dtype = self.params["llm"]["embed_tokens"].dtype
-            px = jnp.asarray(req.pixel_values, dtype)[None]
+            if _is_split_uint8(req.pixel_values):
+                # split pipeline: uint8 H2D, rescale/normalize/CHW on
+                # device (exact clip_preprocess parity — tests/test_data)
+                from aurora_tpu.data.preprocess import clip_normalize_device
+                px = clip_normalize_device(
+                    jnp.asarray(req.pixel_values)).astype(dtype)[None]
+            else:
+                px = jnp.asarray(req.pixel_values, dtype)[None]
             F = px.shape[1]
             if self.cfg.slowfast and F > 1:
                 from aurora_tpu.models.aurora import encode_visual_slowfast

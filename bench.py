@@ -374,33 +374,21 @@ def _llm_stage(jax, jnp, embeds, detail):
             t2 = t1
         return min(t1, t2), n
 
-    # bf16 e2e rung (round-3 VERDICT #3): same pipeline, unquantized
-    # weights + bf16 KV, small batch (13.5GB of weights leave ~2 rows of
-    # HBM) — the attribution baseline that makes the W4+int8KV headline's
-    # speedup and quality cost (tests/test_quant_quality.py) statable.
-    if (os.environ.get("BENCH_BF16_E2E", "1") != "0"
-            and _remaining() > (60 if TINY else 1500)):
-        for b in (int(os.environ.get("BENCH_BF16_BATCH", 2)), 1):
-            try:
-                t_bf16, n_bf16 = best_of_2(run_e2e, b, params, "none")
-                detail["e2e_bf16_llm_batch"] = b
-                detail["e2e_bf16_llm_s"] = round(t_bf16, 3)
-                detail["e2e_bf16_videos"] = n_bf16
-                break
-            except Exception as e:  # noqa: BLE001 — HBM exhaustion
-                print(f"[bench] bf16 e2e batch {b} failed "
-                      f"({str(e)[:120]})", file=sys.stderr)
-        gc.collect()  # nothing of the bf16 rung may outlive this point
-
     # W4 (default) halves the W8 stream again — the freed HBM goes to KV
     # rows (batch), the binding constraint on videos/s; free_source
     # keeps peak HBM ~1x the model during quantization. qkv+gateup
     # fusion cuts 7 weight streams/layer to 4 (round-3 decode profiling:
     # per-matmul overhead, not bandwidth, dominated).
+    t0 = time.perf_counter()
     quantize = (quantize_weights_int4 if WEIGHT_QUANT == "int4"
                 else quantize_weights_int8)
     params = quantize(params, free_source=True)
     params = fuse_serving_weights(params, free_source=True)
+    gc.collect()
+    _sync(params["layers"]["qkv"])   # quantize/fuse must complete (and
+    # the bf16 sources actually free) before engine rows allocate
+    print(f"[bench] quantize+fuse done "
+          f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
     t_llm = n_videos = None
     ladder = list(dict.fromkeys(  # dedupe: never retry the failing batch
@@ -477,6 +465,34 @@ def _llm_stage(jax, jnp, embeds, detail):
         decode_stage(wtag + "kv8", "int8")  # full quantized config
     except Exception as e:  # noqa: BLE001
         detail[wtag + "kv8_error"] = str(e)[:160]
+
+    # bf16 e2e rung (round-3 VERDICT #3): the attribution baseline that
+    # makes the W4+int8KV headline's speedup + quality cost
+    # (tests/test_quant_quality.py) statable. Runs LAST on freshly
+    # re-initialized bf16 weights — the quantized tree is dropped first
+    # (13.5GB bf16 + the quantized tree + rows cannot coexist), so the
+    # headline path never shares HBM with this rung.
+    if (os.environ.get("BENCH_BF16_E2E", "1") != "0"
+            and _remaining() > (60 if TINY else 900)):
+        del params
+        gc.collect()
+        try:
+            p16 = init_llama_params(jax.random.PRNGKey(0), cfg,
+                                    jnp.bfloat16)
+            for b in (int(os.environ.get("BENCH_BF16_BATCH", 2)), 1):
+                try:
+                    t_bf16, n_bf16 = best_of_2(run_e2e, b, p16, "none")
+                    detail["e2e_bf16_llm_batch"] = b
+                    detail["e2e_bf16_llm_s"] = round(t_bf16, 3)
+                    detail["e2e_bf16_videos"] = n_bf16
+                    break
+                except Exception as e:  # noqa: BLE001 — HBM
+                    print(f"[bench] bf16 e2e batch {b} failed "
+                          f"({str(e)[:120]})", file=sys.stderr)
+            del p16
+        except Exception as e:  # noqa: BLE001
+            detail["bf16_rung_error"] = str(e)[:160]
+        gc.collect()
     return t_llm
 
 

@@ -271,3 +271,27 @@ def test_yivl_projector_layernorms(rng, tmp_path):
                                           llm_hidden_size=64))
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-5,
                                atol=2e-5)
+
+
+def test_split_uint8_request_matches_legacy_float(mm_setup, rng):
+    """The split CLIP pipeline's serving layout ([F, H, W, 3] uint8 from
+    clip_resize_crop, normalize on device) produces the same greedy
+    caption as the legacy pre-normalized [F, C, H, W] float layout for
+    the same frames — the layouts must be interchangeable because
+    serve/api.py now ships uint8 while tests/tools may still hand the
+    engine float pixels."""
+    from aurora_tpu.data.preprocess import clip_resize_crop
+    root, params, cfg, tokenizer, mm, engine = mm_setup
+    frames = random_frames(rng, f=2, size=64)  # non-square-source resize
+    legacy = clip_preprocess(list(frames), size=56, crop=56)
+    split = clip_resize_crop(list(frames), size=56, crop=56)
+    assert split.dtype == np.uint8 and split.shape == (2, 56, 56, 3)
+    prompt_text = build_video_prompt("Compare.", 2,
+                                     PROMPT_TEMPLATE.vicuna)
+    outs = {}
+    for tag, px in (("legacy", legacy), ("split", split)):
+        req = mm.build_request(f"sp_{tag}", prompt_text, px,
+                               sampling=SamplingParams(temperature=0.0),
+                               max_new_tokens=5, eos_ids=(-1,))
+        outs[tag] = _drain(engine, [req])[f"sp_{tag}"].output_ids
+    assert outs["split"] == outs["legacy"]
