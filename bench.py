@@ -110,6 +110,22 @@ def _sync(x):
     jax.device_get(jax.tree.leaves(x)[0].ravel()[0])
 
 
+def _live(tag):
+    """Live-device-array census — the OOM diagnostic (prints total bytes
+    the CLIENT believes are alive; a mismatch with the chip's actual
+    occupancy points at relay-side retention)."""
+    try:
+        import jax
+        arrs = jax.live_arrays()
+        tot = sum(a.nbytes for a in arrs)
+        big = sorted(arrs, key=lambda a: -a.nbytes)[:6]
+        print(f"[bench] live@{tag}: {len(arrs)} bufs {tot / 1e9:.2f}GB; "
+              + ", ".join(f"{tuple(a.shape)}:{a.nbytes / 1e9:.2f}G"
+                          for a in big), file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"[bench] live@{tag}: unavailable ({e})", file=sys.stderr)
+
+
 def _make_videos(tmp, n):
     """Synthetic on-disk videos for the host-decode stage (hermetic `.npy`
     backend, data/video.py:72): 16 frames of 360x640 uint8 per video —
@@ -326,6 +342,32 @@ def _llm_stage(jax, jnp, embeds, detail):
 
     import gc
 
+    def fit_batch(kv_quant):
+        """Largest row batch that FITS next to everything client-live.
+
+        The round-4 census runs proved over-commit is fatal, not
+        recoverable: row allocation is async and 'succeeds' client-side
+        (live total read 17.3GB on a 15.75GB chip), the failure
+        surfaces at the first execution, and after that one failure the
+        relay-backed device rejects EVERY allocation for the rest of
+        the process — a 0.9GB b2 engine failed with only 4.15GB
+        client-live. So the ladder must START inside the budget instead
+        of probing downward from a doomed batch."""
+        import dataclasses
+
+        from aurora_tpu.serve.engine import row_buffer_bytes
+        usable = float(os.environ.get("BENCH_HBM_GB", 15.7)) * 1e9
+        slack = 0.6e9        # prefill activations + XLA workspace
+        live = sum(a.nbytes for a in jax.live_arrays())
+        per_row = row_buffer_bytes(
+            cfg, dataclasses.replace(ecfg, max_batch=1,
+                                     kv_quant=kv_quant))
+        fit = int((usable - live - slack) // per_row)
+        print(f"[bench] fit_batch(kv={kv_quant}): live={live / 1e9:.2f}GB"
+              f" per_row={per_row / 1e6:.0f}MB -> fit={fit}",
+              file=sys.stderr)
+        return max(fit, 0)
+
     def run_e2e(batch, p, kv_quant):
         # videos == batch: a fallback batch must not leave an underfilled
         # tail wave decoding 256 tokens at tiny batch (that would penalize
@@ -389,10 +431,17 @@ def _llm_stage(jax, jnp, embeds, detail):
     # the bf16 sources actually free) before engine rows allocate
     print(f"[bench] quantize+fuse done "
           f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
+    _live("after-quantize")
 
     t_llm = n_videos = None
+    if TINY or jax.default_backend() != "tpu":
+        cap = LLM_BATCH
+    else:
+        cap = min(LLM_BATCH, fit_batch("int8"))
     ladder = list(dict.fromkeys(  # dedupe: never retry the failing batch
-        x for x in (LLM_BATCH, 24, 16, 8, 2) if x <= LLM_BATCH))
+        x for x in (cap, cap - 3, cap - 6, 8, 2) if 0 < x <= cap))
+    if not ladder:
+        raise RuntimeError("no e2e batch fits the HBM budget")
     for b in ladder:
         try:
             t_llm, n_videos = best_of_2(run_e2e, b, params, "int8")
@@ -401,6 +450,7 @@ def _llm_stage(jax, jnp, embeds, detail):
         except Exception as e:  # noqa: BLE001 — likely HBM exhaustion
             print(f"[bench] e2e batch {b} failed ({str(e)[:120]}); "
                   "trying smaller", file=sys.stderr)
+            _live(f"ladder-fail-b{b}")
     if t_llm is None:
         raise RuntimeError("all e2e batch sizes failed")
     detail["e2e_videos"] = n_videos
@@ -479,12 +529,22 @@ def _llm_stage(jax, jnp, embeds, detail):
         try:
             p16 = init_llama_params(jax.random.PRNGKey(0), cfg,
                                     jnp.bfloat16)
-            for b in (int(os.environ.get("BENCH_BF16_BATCH", 2)), 1):
+            _sync(p16["embed_tokens"])
+            bmax = int(os.environ.get("BENCH_BF16_BATCH", 2))
+            if not TINY and jax.default_backend() == "tpu":
+                bmax = min(bmax, fit_batch("none"))
+            if bmax < 1:
+                # a failed attempt would poison the device for the rest
+                # of the process (census finding) — skip, don't probe
+                detail["bf16_rung_error"] = "no bf16 batch fits HBM"
+            for b in ((bmax, 1) if bmax > 1 else
+                      (1,) if bmax == 1 else ()):
                 try:
                     t_bf16, n_bf16 = best_of_2(run_e2e, b, p16, "none")
                     detail["e2e_bf16_llm_batch"] = b
                     detail["e2e_bf16_llm_s"] = round(t_bf16, 3)
                     detail["e2e_bf16_videos"] = n_bf16
+                    detail.pop("bf16_rung_error", None)
                     break
                 except Exception as e:  # noqa: BLE001 — HBM
                     print(f"[bench] bf16 e2e batch {b} failed "
@@ -586,12 +646,14 @@ def main():
 
     detail = {}
     embeds, t_vit = _vit_stage(jax, jnp, detail)
+    _live("after-vit")
     _enter_phase("kernels")
     if not TINY:  # the SoL comparison is a hardware measurement
         try:
             _kernel_stage(detail)
         except Exception as e:  # noqa: BLE001
             detail["paged_attn_error"] = str(e)[:200]
+    _live("after-kernels")
     _enter_phase("llm")
     t_llm = _llm_stage(jax, jnp, embeds, detail)
     del embeds
