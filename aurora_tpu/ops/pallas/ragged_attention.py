@@ -165,7 +165,7 @@ def _pick_hb(Hkv: int, want: int) -> int:
 
 
 def _fit_chunk(Hkv: int, hd: int, kvb: int, chunk: int, S: int,
-               head_block: int, extra_per_head: int = 0):
+               head_block: int, extra_per_head: int = 0, qb: int = 0):
     """(hb, chunk) whose double-buffered KV blocks fit scoped VMEM.
 
     When Hkv has no 8-aligned divisor, _pick_hb escalates to the full
@@ -177,10 +177,21 @@ def _fit_chunk(Hkv: int, hd: int, kvb: int, chunk: int, S: int,
     extra_per_head: chunk-independent per-head bytes beyond the KV
     blocks — the EXTEND kernel's fp32 acc scratch and double-buffered
     q/out blocks all scale with hb (≈ qb*hd*12 bytes/head); decode's
-    qr_pad blocks are small enough to live in the slack."""
+    qr_pad blocks are small enough to live in the slack.
+
+    qb: the query-row block size. Mosaic stack-allocates the kernel's
+    COMPUTE INTERMEDIATES — the f32 logits `s` and probs `p`, each
+    [hb, qb, chunk] — in scoped VMEM alongside the pipeline blocks, so
+    they must be budgeted too (≈ 8*qb*chunk bytes/head). Omitting them
+    let the int8 EXTEND path pick hb=16 (its KV blocks are half the
+    bf16 size) and blow the 16MB limit by 6MB at T=1024: the kernel
+    failed to COMPILE on TPU while every CPU interpret test passed,
+    and the engine's poison-request isolation converted the
+    deterministic failure into silent per-request compile thrash —
+    int8-KV serving produced zero tokens (round-4 driver bench)."""
     while True:
         per_head = (8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
-                    + extra_per_head)
+                    + extra_per_head + 8 * qb * chunk)
         want = max(head_block, min(Hkv, (11 << 20) // per_head))
         hb = _pick_hb(Hkv, want)
         if hb * per_head <= (13 << 20) or chunk <= 128 or chunk % 2 \
@@ -264,9 +275,9 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     kvb = 1 if quant else k_rows.dtype.itemsize
     while True:
         hb, chunk = _fit_chunk(Hkv, hd, kvb, chunk, S, head_block,
-                               extra_per_head=qb * hd * 12)
+                               extra_per_head=qb * hd * 12, qb=qb)
         cell = hb * (8 * chunk * hd * kvb + 32 * chunk + (1 << 14)
-                     + qb * hd * 12)
+                     + qb * hd * 12 + 8 * qb * chunk)
         if cell <= (13 << 20) or qb <= 2 * align:
             break
         qb = max(align, -(-(qb // 2) // align) * align)
@@ -506,7 +517,10 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     # long as the double-buffered in+out (aliased) KV blocks fit scoped
     # vmem. int8 KV at chunk=256 fits all 32 heads in ONE block.
     kvb = 1 if quant else k_rows.dtype.itemsize
-    hb, chunk = _fit_chunk(Hkv, hd, kvb, chunk, S, head_block)
+    qr = G
+    qr_pad = max(8, -(-qr // 8) * 8)
+    hb, chunk = _fit_chunk(Hkv, hd, kvb, chunk, S, head_block,
+                           qb=qr_pad)
     import os as _os
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
@@ -514,8 +528,6 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
               f"quant={quant}", file=_sys.stderr)
 
     qh = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
-    qr = G
-    qr_pad = max(8, -(-qr // 8) * 8)
     if qr_pad != qr:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, qr_pad - qr), (0, 0)))
 

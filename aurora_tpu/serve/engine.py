@@ -58,6 +58,22 @@ _TOPK_LOGPROBS = 5  # top-alternatives returned per sampled token
 _MAX_TOPK = 256     # sampling candidate bound (see _sample_core)
 
 
+def _is_system_error(e: BaseException) -> bool:
+    """Failures of the DEPLOYMENT (kernel compile errors, device OOM,
+    deleted buffers) as opposed to a malformed REQUEST. System errors
+    are deterministic for every request, so per-request isolation just
+    repeats the failure N times — e.g. a failed Pallas kernel compile
+    costs ~20s per attempt through the remote-compile relay while each
+    request aborts silently. These must surface to the step() caller."""
+    name = type(e).__name__
+    if "XlaRuntimeError" in name or "JaxRuntimeError" in name:
+        return True
+    try:
+        return isinstance(e, jax.errors.JaxRuntimeError)
+    except AttributeError:  # older jax without the public alias
+        return False
+
+
 def _make_radix(free_slots):
     """Prefer the C++ radix tree (aurora_tpu/native) unless disabled via
     AURORA_NATIVE_RADIX=0; fall back to the pure-Python twin."""
@@ -1319,6 +1335,21 @@ class ServeEngine:
             try:
                 self._extend_wave(wave)
             except Exception as e:
+                if _is_system_error(e):
+                    # a kernel COMPILE failure or device OOM is a
+                    # property of the deployment, not of any request:
+                    # deterministic, so per-request re-runs would pay N
+                    # more failed compiles (~20s each through the
+                    # remote-compile relay) and silently abort every
+                    # request (the round-4 int8-extend signature:
+                    # "144 ms/tok" that was pure compile thrash with
+                    # zero tokens produced). Mark the wave failed and
+                    # surface the error to the step() caller — the
+                    # serving loop turns it into fail_running + client
+                    # error events, and direct engine users see it.
+                    for req in wave:
+                        self._abort_admission(req, req.batch_row, e)
+                    raise
                 if len(wave) == 1:
                     self._abort_admission(wave[0], wave[0].batch_row, e)
                     return
@@ -1486,6 +1517,8 @@ class ServeEngine:
                 req.finished = FinishReason.ABORT
                 req.error = str(e)
             self.prefilling = []
+            if _is_system_error(e):  # deterministic deployment failure
+                raise                # (see _admit) — never retried here
             return
         emit_reqs, emit_idx = [], []
         for i, (req, start, n) in enumerate(lanes):

@@ -401,3 +401,40 @@ def test_int8_decode_subset_rows_alias():
                                       lens, lens - 1, rows)
     np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                atol=0.08, rtol=0.08)
+
+
+def test_fit_chunk_budgets_compute_intermediates():
+    """Scoped-VMEM picks for the production 7B serving shape (Hkv=32,
+    hd=128, chunk=256, qb=256). Mosaic stack-allocates the kernel's f32
+    logits/probs intermediates ([hb, qb, chunk] each) alongside the
+    pipeline blocks; a budget that ignored them let the int8 EXTEND
+    path pick hb=16 and exceed the 16MB scoped-VMEM limit by 6MB at
+    T=1024 — the kernel failed to COMPILE on TPU while every CPU
+    interpret test passed (round-4 driver bench: int8-KV serving
+    produced zero tokens). Pins the picks so a budget regression trips
+    here instead of on hardware."""
+    from aurora_tpu.ops.pallas.ragged_attention import _fit_chunk
+    Hkv, hd, S, qb = 32, 128, 1280, 256
+    extra = qb * hd * 12  # extend's acc scratch + dbl-buffered q/out
+
+    def actual_vmem(hb, chunk, kvb, qb_):
+        kv = 2 * 2 * hb * chunk * hd * kvb          # k+v double-buffered
+        scales = 2 * 2 * hb * chunk * 4 if kvb == 1 else 0
+        qoa = hb * qb_ * hd * 12 if qb_ >= 16 else 0
+        inter = 2 * hb * qb_ * chunk * 4            # f32 s + p
+        return kv + scales + qoa + inter
+
+    for kvb in (1, 2):
+        hb, chunk = _fit_chunk(Hkv, hd, kvb, 256, S, 8,
+                               extra_per_head=extra, qb=qb)
+        assert actual_vmem(hb, chunk, kvb, qb) <= 15 << 20, (kvb, hb)
+    # int8 extend must NOT escalate past bf16's proven hb=8
+    hb8, c8 = _fit_chunk(Hkv, hd, 1, 256, S, 8, extra_per_head=extra,
+                         qb=qb)
+    assert (hb8, c8) == (8, 256)
+    hb16, c16 = _fit_chunk(Hkv, hd, 2, 256, S, 8, extra_per_head=extra,
+                           qb=qb)
+    assert (hb16, c16) == (8, 256)  # bf16 keeps its measured config
+    # decode picks unchanged by the intermediates surcharge (qr_pad=8)
+    assert _fit_chunk(Hkv, hd, 1, 256, S, 8, qb=8) == (32, 256)
+    assert _fit_chunk(Hkv, hd, 2, 256, S, 8, qb=8) == (16, 256)

@@ -1117,3 +1117,65 @@ def test_fail_running_rebuilds_deleted_buffers(tiny_engine, rng):
                                       max_new_tokens=3, eos_ids=(-1,))])
     assert len(done2["b"].output_ids) == 3
     assert eng.check_memory()["leaked"] == 0
+
+
+def test_system_error_reraises_not_isolated(tiny_engine, rng):
+    """A kernel COMPILE failure / device OOM during an extend wave is a
+    deployment property, not a request property: the engine must abort
+    the wave AND re-raise to the step() caller, never retry it
+    per-request (round-4: a deterministic int8-extend compile failure
+    was 'isolated' into N more ~20s failed compiles while every request
+    aborted silently — the driver bench timed pure compile thrash as
+    serving). Request-level errors keep the per-request isolation."""
+    params, cfg, ecfg = tiny_engine
+    engine = ServeEngine(params, cfg, ecfg)
+
+    class FakeXlaRuntimeError(RuntimeError):
+        pass
+    FakeXlaRuntimeError.__name__ = "XlaRuntimeError"
+
+    calls = []
+    orig = engine._extend_fn
+
+    def boom(*a, **kw):
+        calls.append(1)
+        raise FakeXlaRuntimeError(
+            "INTERNAL: Scoped allocation ... exceeded scoped vmem limit")
+
+    engine._extend_fn = boom
+    reqs = [Request(rid=f"s{i}",
+                    input_ids=[int(x) for x in rng.integers(3, 128, 8)],
+                    max_new_tokens=4) for i in range(3)]
+    for r in reqs:
+        engine.add_request(r)
+    with pytest.raises(FakeXlaRuntimeError):
+        engine.step()
+    assert len(calls) == 1          # no per-request compile retries
+    for r in reqs:
+        assert r.error and "vmem" in r.error
+    # engine stays serviceable once the failure is gone (rows were not
+    # donated — the failing call never executed)
+    engine._extend_fn = orig
+    engine.sched.aborted.clear()
+    done = _run_engine(engine, [Request(
+        rid="ok", input_ids=[int(x) for x in rng.integers(3, 128, 8)],
+        max_new_tokens=4)])
+    assert len(done["ok"].output_ids) == 4 and not done["ok"].error
+    # a request-level error (ValueError) still isolates per-request
+    engine2 = ServeEngine(params, cfg, ecfg)
+    n_calls = []
+    orig2 = engine2._extend_fn
+
+    def flaky(*a, **kw):
+        n_calls.append(1)
+        if len(n_calls) == 1:
+            raise ValueError("poison request in wave")
+        return orig2(*a, **kw)
+
+    engine2._extend_fn = flaky
+    reqs2 = [Request(rid=f"p{i}",
+                     input_ids=[int(x) for x in rng.integers(3, 128, 8)],
+                     max_new_tokens=4) for i in range(2)]
+    done2 = _run_engine(engine2, reqs2)
+    assert len(n_calls) >= 2        # wave failed -> per-request re-runs
+    assert all(len(done2[r.rid].output_ids) == 4 for r in reqs2)
