@@ -127,6 +127,16 @@ class EngineConfig:
     # ('tp',) mesh; the compiled steps run under shard_map with two
     # psums/layer (serve/tp.py). Requires tp | num_key_value_heads.
     tp: int = 1
+    # Extend waves are split into sub-waves of at most this many lanes.
+    # Bounds the extend step's activation footprint ([Bk, T, D] embeds +
+    # MLP intermediates scale with the LANE bucket, not the row count)
+    # and keeps the program inside what the TPU AOT compiler will
+    # accept: at Bk=32/T=1408/7B the total program demand exceeded one
+    # v5e's HBM and the remote compile helper hard-crashed (exit 1, no
+    # diagnostic) instead of reporting the overflow — round-4 driver
+    # bench at b22/b19. Two 16-lane waves cost one extra dispatch and
+    # compile to exactly the same executables as any other 16-lane wave.
+    max_extend_lanes: int = 16
 
     @property
     def s_row(self) -> int:
@@ -575,6 +585,62 @@ def _kv_quantize(x):
     return q.astype(jnp.int8), s
 
 
+def _write_kv_window(r, l, k, v, scales, row_ids, q_offsets, kv_lens):
+    """Write T new tokens per lane into layer l of the row buffers at
+    positions [q_offset, q_offset+T) ∩ [0, kv_len), via per-lane dynamic
+    windows (dynamic_slice → blend → dynamic_update_slice).
+
+    Replaces the advanced-index scatter `rows.at[l, ridx, :, wpos].set()`:
+    mixed advanced indices around the head slice move to the front, so
+    XLA materialized the scatter through a [L, B, S, Hkv, hd]-ordered
+    relayout — two full-KV transpose copies (2×5.2GB temps at the 7B
+    bench shape, b≥16) per extend wave. That was the round-4 bench OOM
+    (live 12.3GB + 4.8GB temps) and the poisoned-device cascade. The
+    windowed write keeps the buffers' native layout: XLA updates the
+    donated carry in place, traffic is O(lanes × T) instead of O(B × S),
+    and the scatter's mode="drop" semantics are preserved by blending
+    the current contents wherever the target position is invalid
+    (query padding past kv_len, and [start, q_offset) when the window
+    is clamped at the row's tail — those positions hold live prefix
+    tokens and must not be disturbed).
+    """
+    Bk, T, Hkv, hd = k.shape
+    S = r["k"].shape[3]
+    W = min(T, S)    # bucket may exceed the row (tokens past S drop)
+    kn = k.transpose(0, 2, 1, 3)                  # [Bk, Hkv, T, hd]
+    vn = v.transpose(0, 2, 1, 3)
+    if scales is not None:
+        ksn = scales[0].transpose(0, 2, 1)        # [Bk, Hkv, T]
+        vsn = scales[1].transpose(0, 2, 1)
+
+    def lane(i, r):
+        row = row_ids[i]
+        start = jnp.clip(q_offsets[i], 0, S - W)
+        shift = q_offsets[i] - start          # ≥ 0; > 0 only at row tail
+        pos = start + jnp.arange(W)           # [W] window positions
+        valid = (pos >= q_offsets[i]) & (pos < kv_lens[i])
+
+        def blend(buf, new, vec):
+            sizes = (1, 1, Hkv, W) if vec else (1, 1, Hkv, W, hd)
+            idx = ((l, row, 0, start) if vec
+                   else (l, row, 0, start, 0))
+            cur = jax.lax.dynamic_slice(buf, idx, sizes)
+            rolled = jnp.roll(new[i], shift, axis=1)[:, :W]
+            m = valid[None, :] if vec else valid[None, :, None]
+            upd = jnp.where(m, rolled.astype(buf.dtype), cur[0, 0])
+            return jax.lax.dynamic_update_slice(buf, upd[None, None],
+                                                idx)
+
+        r["k"] = blend(r["k"], kn, False)
+        r["v"] = blend(r["v"], vn, False)
+        if scales is not None:
+            r["ks"] = blend(r["ks"], ksn, True)
+            r["vs"] = blend(r["vs"], vsn, True)
+        return r
+
+    return jax.lax.fori_loop(0, Bk, lane, r)
+
+
 def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
                   row_ids, q_offsets, kv_lens, chunk, tp_axis=None):
     """Shared EXTEND/DECODE forward over row-contiguous KV.
@@ -602,11 +668,9 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     if cfg.embed_scale is not None:  # MiniCPM scale_emb
         x = x * jnp.asarray(cfg.embed_scale, x.dtype)
     Bk, T, _ = x.shape
-    S_row = rows["k"].shape[3]
     L = rows["k"].shape[0]
     quant = "ks" in rows
     positions = q_offsets[:, None] + jnp.arange(T)[None, :]       # [Bk, T]
-    wpos = jnp.where(positions < kv_lens[:, None], positions, S_row)
     if cfg.learned_pos:  # GPT-BigCode wpe; rope disabled
         safe = jnp.clip(positions, 0, params["wpe"].shape[0] - 1)
         x = x + jnp.take(params["wpe"], safe, axis=0).astype(x.dtype)
@@ -615,7 +679,6 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
         cos, sin = rope_cos_sin(positions, cfg.rotary_dim,
                                 cfg.rope_theta, cfg.rope_linear_scaling,
                                 dtype=jnp.float32)
-    ridx = row_ids[:, None]
 
     # rows ride the scan as CARRY, updated at layer index l and read by
     # the kernel through a scalar-prefetch layer select. Threading them
@@ -654,22 +717,14 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
             attn, r["k"], r["v"] = res[0], res[1], res[2]
             if quant:
                 r["ks"], r["vs"] = res[3], res[4]
-        else:       # extend: one scatter, cost amortized over T tokens
+        else:       # extend: per-lane windowed write (see _write_kv_window)
+            scales = None
             if quant:
                 k, ksc = _kv_quantize(k)
                 v, vsc = _kv_quantize(v)
-                # scale layout [L, B, Hkv, S]: advanced idx
-                # (l, ridx, wpos) around the head slice → [Bk, T, Hkv]
-                r["ks"] = r["ks"].at[l, ridx, :, wpos].set(ksc,
-                                                           mode="drop")
-                r["vs"] = r["vs"].at[l, ridx, :, wpos].set(vsc,
-                                                           mode="drop")
-            # advanced indices around the head slice move to the front:
-            # r["k"][l, ridx, :, wpos] has shape [Bk, T, Hkv, hd] == k
-            r["k"] = r["k"].at[l, ridx, :, wpos].set(
-                k.astype(r["k"].dtype), mode="drop")
-            r["v"] = r["v"].at[l, ridx, :, wpos].set(
-                v.astype(r["v"].dtype), mode="drop")
+                scales = (ksc, vsc)
+            r = _write_kv_window(r, l, k, v, scales, row_ids,
+                                 q_offsets, kv_lens)
             attn = ragged_attention(q, r["k"], r["v"], kv_lens,
                                     q_offsets, row_ids, chunk=chunk,
                                     layer=l, k_scales=r.get("ks"),
@@ -956,19 +1011,41 @@ def _sample_after_extend(logits, counts, seen, row_ids, samp, allowed,
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _load_prefix(rows, cache, slots, row, start, n_valid):
     """Copy a radix-cached prefix chunk (pool slots) into row positions
-    [start, start+n_valid). Padded slot entries (i >= n_valid) are routed
-    to an out-of-bounds position and dropped."""
+    [start, start+n_valid), via a windowed read-blend-write on the row.
+
+    The former advanced-index scatter (`rows.at[:, row, :, pos]`) put
+    mixed advanced indices around the head slice, which XLA lowered
+    through a full-buffer transpose relayout — a 2×(KV bytes) copy of
+    the ENTIRE row pool per cached-prefix chunk (same pathology as the
+    extend write, see _write_kv_window). The window keeps the native
+    layout so the donated buffers update in place; slot padding
+    (i >= n_valid) is dropped by blending back the current contents."""
     nb = slots.shape[0]
-    S_row = rows["k"].shape[3]
-    i = jnp.arange(nb)
-    pos = jnp.where(i < n_valid, start + i, S_row)
+    S = rows["k"].shape[3]
+    W = min(nb, S)   # slot chunks are bucket-rounded and may exceed S
+    start_c = jnp.clip(start, 0, S - W)
+    shift = start - start_c                  # > 0 only at the row tail
+    pos = start_c + jnp.arange(W)
+    valid = (pos >= start) & (pos < start + n_valid)
     for name in rows:
+        buf = rows[name]
         c = jnp.take(cache[name], slots, axis=1)  # [L, nb, Hkv, (hd)]
-        # advanced indices (row scalar, pos [nb]) around slices move to
-        # the front: target shape [nb, L, Hkv, (hd)]
-        perm = (1, 0, 2, 3) if c.ndim == 4 else (1, 0, 2)
-        rows[name] = rows[name].at[:, row, :, pos].set(
-            c.transpose(perm).astype(rows[name].dtype), mode="drop")
+        vec = c.ndim == 3                          # scale planes
+        c = c.transpose((0, 2, 1) if vec else (0, 2, 1, 3))
+        c = jnp.roll(c, shift, axis=2)             # [L, Hkv, nb(, hd)]
+        c = c[:, :, :W]
+        if vec:
+            sizes = (buf.shape[0], 1, buf.shape[2], W)
+            idx = (0, row, 0, start_c)
+            m = valid[None, None, :]
+        else:
+            sizes = (buf.shape[0], 1, buf.shape[2], W, buf.shape[4])
+            idx = (0, row, 0, start_c, 0)
+            m = valid[None, None, :, None]
+        cur = jax.lax.dynamic_slice(buf, idx, sizes)
+        upd = jnp.where(m, c.astype(buf.dtype), cur[:, 0])
+        rows[name] = jax.lax.dynamic_update_slice(buf, upd[:, None],
+                                                  idx)
     return rows
 
 
@@ -1298,6 +1375,12 @@ class ServeEngine:
             b *= 2
         return b
 
+    def _wave_bucket(self, n: int) -> int:
+        """Lane bucket for EXTEND waves: capped by max_extend_lanes
+        (callers pre-chunk waves to ≤ cap; the min() keeps a non-power-
+        of-two cap from rounding back up past itself)."""
+        return min(self._lane_bucket(n), self.ecfg.max_extend_lanes)
+
     def _admit(self) -> None:
         free_rows = sum(r is None for r in self.row_reqs)
         admitted = self.sched.get_prefill_batch(
@@ -1332,41 +1415,51 @@ class ServeEngine:
             else:
                 wave.append(req)
         if wave:
-            try:
-                self._extend_wave(wave)
-            except Exception as e:
-                if _is_system_error(e):
-                    # a kernel COMPILE failure or device OOM is a
-                    # property of the deployment, not of any request:
-                    # deterministic, so per-request re-runs would pay N
-                    # more failed compiles (~20s each through the
-                    # remote-compile relay) and silently abort every
-                    # request (the round-4 int8-extend signature:
-                    # "144 ms/tok" that was pure compile thrash with
-                    # zero tokens produced). Mark the wave failed and
-                    # surface the error to the step() caller — the
-                    # serving loop turns it into fail_running + client
-                    # error events, and direct engine users see it.
-                    for req in wave:
-                        self._abort_admission(req, req.batch_row, e)
-                    raise
-                if len(wave) == 1:
-                    self._abort_admission(wave[0], wave[0].batch_row, e)
-                    return
-                # per-REQUEST isolation, not per-wave: re-run each
-                # request as its own wave so only the poison one aborts
-                # (a batched failure used to take every co-admitted
-                # request down with it)
+            self._run_wave_chunks(wave)
+
+    def _run_wave_chunks(self, wave: List["Request"]) -> None:
+        """Run an admission wave as sub-waves of ≤ max_extend_lanes (see
+        EngineConfig.max_extend_lanes), with per-request isolation."""
+        cap = max(1, self.ecfg.max_extend_lanes)
+        for at in range(0, len(wave), cap):
+            self._run_wave(wave[at:at + cap])
+
+    def _run_wave(self, wave: List["Request"]) -> None:
+        try:
+            self._extend_wave(wave)
+        except Exception as e:
+            if _is_system_error(e):
+                # a kernel COMPILE failure or device OOM is a
+                # property of the deployment, not of any request:
+                # deterministic, so per-request re-runs would pay N
+                # more failed compiles (~20s each through the
+                # remote-compile relay) and silently abort every
+                # request (the round-4 int8-extend signature:
+                # "144 ms/tok" that was pure compile thrash with
+                # zero tokens produced). Mark the wave failed and
+                # surface the error to the step() caller — the
+                # serving loop turns it into fail_running + client
+                # error events, and direct engine users see it.
                 for req in wave:
-                    req.output_ids = []  # drop any partial batched emit
-                    try:
-                        self._extend_wave([req])
-                    except Exception as e1:  # noqa: BLE001
-                        self._abort_admission(req, req.batch_row, e1)
-                        continue
-                    self.sched.running.append(req)
+                    self._abort_admission(req, req.batch_row, e)
+                raise
+            if len(wave) == 1:
+                self._abort_admission(wave[0], wave[0].batch_row, e)
                 return
-            self.sched.running.extend(wave)
+            # per-REQUEST isolation, not per-wave: re-run each
+            # request as its own wave so only the poison one aborts
+            # (a batched failure used to take every co-admitted
+            # request down with it)
+            for req in wave:
+                req.output_ids = []  # drop any partial batched emit
+                try:
+                    self._extend_wave([req])
+                except Exception as e1:  # noqa: BLE001
+                    self._abort_admission(req, req.batch_row, e1)
+                    continue
+                self.sched.running.append(req)
+            return
+        self.sched.running.extend(wave)
 
     def _abort_admission(self, req: Request, row: int, e: Exception):
         req.finished = FinishReason.ABORT
@@ -1447,7 +1540,7 @@ class ServeEngine:
         Embeds assemble ON DEVICE: text lanes via one [Bk, T] id lookup,
         multimodal lanes spliced in with dynamic_update_slice."""
         T = self._bucket(max(r.extend_len_pending for r in wave))
-        Bk = self._lane_bucket(len(wave))
+        Bk = self._wave_bucket(len(wave))
         ids = np.zeros((Bk, T), np.int64)
         row_ids = np.zeros((Bk,), np.int32)
         offs = np.zeros((Bk,), np.int32)
@@ -1477,13 +1570,18 @@ class ServeEngine:
         self._emit(wave, logits[:len(wave)], row_ids[:len(wave)])
 
     def _prefill_tick(self) -> None:
-        """One chunk for every in-flight chunked prefill, batched into a
-        single extend call; requests whose final chunk lands this tick
-        sample their first token and join decode."""
+        """One chunk for every in-flight chunked prefill, batched into
+        extend calls of ≤ max_extend_lanes lanes; requests whose final
+        chunk lands this tick sample their first token and join decode."""
         work = [r for r in self.prefilling if r.finished is None]
         self.prefilling = work
         if not work:
             return
+        cap = max(1, self.ecfg.max_extend_lanes)
+        for at in range(0, len(work), cap):
+            self._prefill_chunk(work[at:at + cap])
+
+    def _prefill_chunk(self, work: List["Request"]) -> None:
         bucket = max(self.ecfg.prefill_buckets)
         lanes = []
         for req in work:
@@ -1491,7 +1589,7 @@ class ServeEngine:
             n = min(bucket, n_total - req.prefill_done)
             lanes.append((req, req.prefill_done, n))
         T = self._bucket(max(n for _, _, n in lanes))
-        Bk = self._lane_bucket(len(lanes))
+        Bk = self._wave_bucket(len(lanes))
         D = self.params["embed_tokens"].shape[1]
         # device-side chunk assembly (prefill_embeds is a device array)
         embeds = jnp.zeros((Bk, T, D), self.ecfg.kv_dtype)
@@ -1512,11 +1610,12 @@ class ServeEngine:
                 self.params, self.rows, embeds,
                 jnp.asarray(row_ids), jnp.asarray(offs),
                 jnp.asarray(lens))
-        except Exception as e:  # isolate: fail the prefilling requests
+        except Exception as e:  # isolate: fail THIS chunk's requests
             for req, _, _ in lanes:
                 req.finished = FinishReason.ABORT
                 req.error = str(e)
-            self.prefilling = []
+            self.prefilling = [r for r in self.prefilling
+                               if r.finished is None]
             if _is_system_error(e):  # deterministic deployment failure
                 raise                # (see _admit) — never retried here
             return

@@ -392,6 +392,66 @@ def _llm_stage(jax, jnp, embeds, detail):
               file=sys.stderr)
         return max(fit, 0)
 
+    def aot_fit(batch, kv_quant, p):
+        """Chipless AOT try-compile of the extend step at this engine
+        config — the fit oracle that replaces downward probing. Two
+        round-4 findings make it necessary and sufficient: (a) the
+        remote compile helper HARD-CRASHES (HTTP 500, helper exit 1,
+        ~3s, side-effect-free) on programs whose total memory demand
+        exceeds the chip, instead of reporting the overflow — so an
+        oversize config must never reach a real compile+run; (b) a
+        RUNTIME over-commit is fatal for the whole process (one OOM and
+        the device rejects every later allocation). A config passes
+        only when it compiles AND memory_analysis shows arguments +
+        temps + non-aliased outputs + client-live bytes outside the
+        program's arguments fit the budget."""
+        if TINY or jax.default_backend() != "tpu":
+            return True
+        import dataclasses
+
+        from aurora_tpu.serve import engine as E
+        ec = dataclasses.replace(ecfg, max_batch=batch, kv_quant=kv_quant)
+        L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        S = ec.s_row
+        sds = jax.ShapeDtypeStruct
+        dt = jnp.int8 if kv_quant == "int8" else ec.kv_dtype
+        rows = {"k": sds((L, batch, Hkv, S, hd), dt),
+                "v": sds((L, batch, Hkv, S, hd), dt)}
+        if kv_quant == "int8":
+            rows["ks"] = sds((L, batch, Hkv, S), jnp.float32)
+            rows["vs"] = sds((L, batch, Hkv, S), jnp.float32)
+        Bk = min(ec.max_extend_lanes, 1 << max(batch - 1, 0).bit_length())
+        T = max(ec.prefill_buckets)
+        embeds = sds((Bk, T, cfg.hidden_size), jnp.bfloat16)
+        ids = sds((Bk,), jnp.int32)
+        t0 = time.perf_counter()
+        try:
+            comp = E._extend_step.lower(
+                p, rows, embeds, ids, ids, ids, cfg=cfg,
+                chunk=min(ec.kv_chunk, S)).compile()
+        except Exception as e:  # noqa: BLE001 — helper crash == no fit
+            print(f"[bench] aot_fit b{batch}/{kv_quant}: compiler "
+                  f"refused ({str(e)[:100]})", file=sys.stderr)
+            return False
+        ma = comp.memory_analysis()
+        p_bytes = sum(a.nbytes for a in jax.tree.leaves(p)
+                      if hasattr(a, "nbytes"))
+        live_other = max(
+            0.0, sum(a.nbytes for a in jax.live_arrays()) - p_bytes)
+        out_extra = (ma.output_size_in_bytes - ma.alias_size_in_bytes)
+        need = (ma.argument_size_in_bytes + ma.temp_size_in_bytes
+                + out_extra + live_other)
+        usable = float(os.environ.get("BENCH_HBM_GB", 15.7)) * 1e9
+        ok = need <= usable - 0.35e9   # decode program's own temps
+        print(f"[bench] aot_fit b{batch}/{kv_quant}: "
+              f"args={ma.argument_size_in_bytes / 1e9:.2f}G "
+              f"temp={ma.temp_size_in_bytes / 1e9:.2f}G "
+              f"out={out_extra / 1e9:.2f}G other={live_other / 1e9:.2f}G "
+              f"-> {'fits' if ok else 'NO FIT'} "
+              f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
+        return ok
+
     def run_e2e(batch, p, kv_quant):
         # videos == batch: a fallback batch must not leave an underfilled
         # tail wave decoding 256 tokens at tiny batch (that would penalize
@@ -474,11 +534,17 @@ def _llm_stage(jax, jnp, embeds, detail):
         cap = LLM_BATCH
     else:
         cap = min(LLM_BATCH, fit_batch("int8"))
-    ladder = list(dict.fromkeys(  # dedupe: never retry the failing batch
-        x for x in (cap, cap - 3, cap - 6, 8, 2) if 0 < x <= cap))
+    # dense ladder: the AOT oracle rejects oversize rungs in ~3s each
+    # (chipless), so stepping by 2 costs nothing and the first rung
+    # that passes is within 1 of the true maximum
+    ladder = list(dict.fromkeys(
+        x for x in ([cap] + list(range(cap - cap % 2, 1, -2)) + [2, 1])
+        if 0 < x <= cap))
     if not ladder:
         raise RuntimeError("no e2e batch fits the HBM budget")
     for b in ladder:
+        if not aot_fit(b, "int8", params):
+            continue
         try:
             t_llm, n_videos = best_of_2(run_e2e, b, params, "int8")
             detail["e2e_llm_batch"] = b
@@ -580,6 +646,9 @@ def _llm_stage(jax, jnp, embeds, detail):
                 detail["bf16_rung_error"] = "no bf16 batch fits HBM"
             for b in ((bmax, 1) if bmax > 1 else
                       (1,) if bmax == 1 else ()):
+                if not aot_fit(b, "none", p16):
+                    detail["bf16_rung_error"] = f"b{b} fails aot_fit"
+                    continue
                 try:
                     t_bf16, n_bf16 = best_of_2(run_e2e, b, p16, "none")
                     detail["e2e_bf16_llm_batch"] = b

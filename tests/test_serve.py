@@ -250,6 +250,29 @@ def test_engine_batched_prefill_matches_individual(tiny_engine, rng):
     assert engine.check_memory()["leaked"] == 0
 
 
+def test_extend_wave_splits_at_lane_cap(tiny_engine, rng):
+    """max_extend_lanes must split an oversize admission wave into
+    sub-waves (engine.py _run_wave_chunks) without changing any output —
+    the cap exists because a 32-lane extend program at 7B shapes exceeds
+    one chip's HBM and hard-crashes the TPU AOT compiler (round-4)."""
+    import dataclasses
+    params, cfg, ecfg = tiny_engine
+    prompts, want = {}, {}
+    for i in range(5):
+        ids = [int(x) for x in rng.integers(3, 128, size=5 + i)]
+        prompts[str(i)] = ids
+        want[str(i)] = _offline_greedy(params, cfg, ids, 5)
+    engine = ServeEngine(
+        params, cfg, dataclasses.replace(ecfg, max_batch=5,
+                                         max_extend_lanes=2))
+    reqs = [Request(rid=r, input_ids=list(p), max_new_tokens=5)
+            for r, p in prompts.items()]
+    done = _run_engine(engine, reqs)
+    for r in prompts:
+        assert done[r].output_ids == want[r], r
+    assert engine.check_memory()["leaked"] == 0
+
+
 def test_engine_presence_penalty_changes_output(tiny_engine, rng):
     """A large presence penalty must forbid repeating any emitted token;
     without it the tiny random model usually loops."""
