@@ -1202,3 +1202,120 @@ def test_system_error_reraises_not_isolated(tiny_engine, rng):
     done2 = _run_engine(engine2, reqs2)
     assert len(n_calls) >= 2        # wave failed -> per-request re-runs
     assert all(len(done2[r.rid].output_ids) == 4 for r in reqs2)
+
+
+# ---------------------------------------------------------------------------
+# Windowed KV writes (engine._write_kv_window / engine._load_prefix)
+# ---------------------------------------------------------------------------
+
+def _scatter_oracle(rows, l, k, v, scales, row_ids, offs, lens):
+    """NumPy oracle of the REPLACED advanced-index scatter's drop
+    semantics: token t of lane i lands at rows[name][l, row, :, off+t]
+    iff off+t < kv_len (and < S); everything else is untouched."""
+    out = {n: np.array(a) for n, a in rows.items()}
+    Bk, T = k.shape[:2]
+    S = out["k"].shape[3]
+    for i in range(Bk):
+        for t in range(T):
+            pos = int(offs[i]) + t
+            if pos >= int(lens[i]) or pos >= S:
+                continue
+            out["k"][l, row_ids[i], :, pos] = k[i, t]
+            out["v"][l, row_ids[i], :, pos] = v[i, t]
+            if scales is not None:
+                out["ks"][l, row_ids[i], :, pos] = scales[0][i, t]
+                out["vs"][l, row_ids[i], :, pos] = scales[1][i, t]
+    return out
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize(
+    "case",
+    ["interior",      # plain mid-row writes
+     "tail_clamp",    # off > S-T: window clamps, shift > 0
+     "bucket_gt_row",  # T > S: bucket wider than the row
+     "padded_lane"])  # kv_len=0 lanes must not disturb anything
+def test_write_kv_window_matches_scatter_semantics(case, quant, rng):
+    from aurora_tpu.serve.engine import _write_kv_window
+    L, B, Hkv, hd = 3, 4, 2, 8
+    S, T = (6, 16) if case == "bucket_gt_row" else (32, 8)
+    Bk = 3
+    rows = {"k": jnp.asarray(rng.normal(size=(L, B, Hkv, S, hd)),
+                             jnp.float32),
+            "v": jnp.asarray(rng.normal(size=(L, B, Hkv, S, hd)),
+                             jnp.float32)}
+    if quant:
+        rows["ks"] = jnp.asarray(rng.normal(size=(L, B, Hkv, S)),
+                                 jnp.float32)
+        rows["vs"] = jnp.asarray(rng.normal(size=(L, B, Hkv, S)),
+                                 jnp.float32)
+    k = rng.normal(size=(Bk, T, Hkv, hd)).astype(np.float32)
+    v = rng.normal(size=(Bk, T, Hkv, hd)).astype(np.float32)
+    scales = ((rng.normal(size=(Bk, T, Hkv)).astype(np.float32),
+               rng.normal(size=(Bk, T, Hkv)).astype(np.float32))
+              if quant else None)
+    row_ids = np.asarray([2, 0, 3], np.int32)
+    if case == "interior":
+        offs = np.asarray([0, 5, 11], np.int32)
+        lens = offs + np.asarray([T, T - 2, T], np.int32)
+    elif case == "tail_clamp":
+        offs = np.asarray([S - 3, S - T, 1], np.int32)   # lane 0 shifts
+        lens = np.asarray([S, S, 1 + T], np.int32)
+    elif case == "bucket_gt_row":
+        offs = np.asarray([0, 2, 1], np.int32)
+        lens = np.asarray([S, S, 4], np.int32)
+    else:  # padded_lane
+        offs = np.asarray([3, 0, 0], np.int32)
+        lens = np.asarray([3 + T, 0, 0], np.int32)        # lanes 1,2 pad
+        row_ids = np.asarray([1, 0, 0], np.int32)         # pads point at
+        # row 0 — identity writes there must not corrupt it
+    l = 1
+    want = _scatter_oracle(rows, l, k, v, scales, row_ids, offs, lens)
+    got = jax.jit(_write_kv_window, donate_argnums=(0,))(
+        dict(rows), l,
+        jnp.asarray(k), jnp.asarray(v),
+        None if scales is None else tuple(jnp.asarray(s) for s in scales),
+        jnp.asarray(row_ids), jnp.asarray(offs), jnp.asarray(lens))
+    for name in want:
+        np.testing.assert_array_equal(np.asarray(got[name]), want[name],
+                                      err_msg=f"{case}/{name}")
+
+
+@pytest.mark.parametrize("case", ["interior", "tail", "bucket_gt_row"])
+def test_load_prefix_windowed_matches_semantics(case, rng):
+    from aurora_tpu.serve.engine import _load_prefix
+    L, B, Hkv, hd = 2, 3, 2, 4
+    S = 8 if case == "bucket_gt_row" else 24
+    nb = 16
+    n_slots = 32
+    rows = {"k": jnp.asarray(rng.normal(size=(L, B, Hkv, S, hd)),
+                             jnp.float32),
+            "ks": jnp.asarray(rng.normal(size=(L, B, Hkv, S)),
+                              jnp.float32)}
+    cache = {"k": jnp.asarray(rng.normal(size=(L, n_slots, Hkv, hd)),
+                              jnp.float32),
+             "ks": jnp.asarray(rng.normal(size=(L, n_slots, Hkv)),
+                               jnp.float32)}
+    slots = np.asarray(rng.choice(n_slots, size=nb, replace=False),
+                       np.int32)
+    row = 1
+    if case == "interior":
+        start, n_valid = 3, 10
+    elif case == "tail":
+        start, n_valid = S - 5, 5      # window clamps back, shift > 0
+    else:
+        start, n_valid = 2, 6          # nb (16) > S (8)
+    want = {n: np.array(a) for n, a in rows.items()}
+    for i in range(n_valid):
+        pos = start + i
+        if pos >= S:
+            continue
+        want["k"][:, row, :, pos] = np.asarray(cache["k"])[:, slots[i]]
+        want["ks"][:, row, :, pos] = np.asarray(cache["ks"])[:, slots[i]]
+    got = _load_prefix(dict(rows), cache, jnp.asarray(slots),
+                       jnp.asarray(row, np.int32),
+                       jnp.asarray(start, np.int32),
+                       jnp.asarray(n_valid, np.int32))
+    for name in want:
+        np.testing.assert_array_equal(np.asarray(got[name]), want[name],
+                                      err_msg=f"{case}/{name}")
