@@ -109,10 +109,14 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
                                 ) * scale
         if quant:
             # per-key dequant applied on the LOGITS, where the key axis
-            # is the LANE dim and the scales load as a lane-major
-            # [hb, 1, chunk] vector — a sublane-vector broadcast cost
-            # +0.39 ms/call in ablation (the relayout, not the DMA)
-            s = s * ks_ref[0, 0]
+            # is the LANE dim. Scales block as [hb, chunk] (the buffer's
+            # own natural (Hkv, S) tile): a 5-d [hb, 1, chunk] block
+            # avoided this sublane broadcast in-kernel but forced a
+            # NON-default operand layout outside it — XLA relayout-
+            # copied the FULL [L,B,Hkv,S] scale planes every layer of
+            # the decode scan (2x33.5MB/layer at 7B, the whole int8-KV
+            # decode regression)
+            s = s * ks_ref[0, 0][:, None, :]
         if logit_cap > 0.0:  # Gemma2 attention softcapping
             s = logit_cap * jnp.tanh(s / logit_cap)
         # head-independent [qb, chunk] mask (broadcast over hb) — the
@@ -136,7 +140,7 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
         v = v_ref[0, 0].astype(cdt)                # [hb, chunk, hd]
         if quant:  # fold the per-key V scale into p (lane-wise, cheap)
-            p = p * vs_ref[0, 0]
+            p = p * vs_ref[0, 0][:, None, :]
         acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
                       + jax.lax.dot_general(
                           p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
@@ -321,7 +325,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
                 _chunk_clamp(c, i, b, lens, offs, win_arr), 0)
 
     def scale_map(i, g, b, c, lens, offs, rows, win_arr, lay_arr):
-        return (lay_arr[0], rows[i], g, 0,
+        return (lay_arr[0], rows[i], g,
                 _chunk_clamp(c, i, b, lens, offs, win_arr))
 
     def q_map(i, g, b, c, lens, offs, rows, win_arr, lay_arr):
@@ -334,13 +338,19 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     ]
     operands = [qh, k_rows, v_rows]
     if quant:
-        # scales ride LANE-major as [L, B, Hkv, 1, S] with
-        # (1, 1, hb, 1, chunk) blocks: the kernel consumes them along the
-        # logits' key (lane) axis, so no sublane-vector relayout happens
-        in_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), scale_map),
-                     pl.BlockSpec((1, 1, hb, 1, chunk), scale_map)]
-        operands += [k_scales.astype(jnp.float32)[:, :, :, None, :],
-                     v_scales.astype(jnp.float32)[:, :, :, None, :]]
+        # scales block 4-d as (1, 1, hb, chunk) over the buffer's own
+        # [L, B, Hkv, S] shape — the natural (Hkv, S) tile, so the
+        # pallas operand needs NO layout change. The earlier 5-d
+        # [L, B, Hkv, 1, S] lane-major trick made a (1, chunk) block
+        # broadcast for free in-kernel but pushed a full-plane relayout
+        # copy OUTSIDE the kernel on every layer of the decode scan
+        # (Mosaic wants default layouts; a default-layout 5-d buffer
+        # pads the singleton sublane dim 8x), which dominated the int8
+        # decode step (TPU HLO census, probe6 round 4).
+        in_specs += [pl.BlockSpec((1, 1, hb, chunk), scale_map),
+                     pl.BlockSpec((1, 1, hb, chunk), scale_map)]
+        operands += [k_scales.astype(jnp.float32),
+                     v_scales.astype(jnp.float32)]
 
     out = pl.pallas_call(
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
@@ -411,11 +421,11 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
                           127).astype(jnp.int8)
             k_m = jnp.where(sel, k8[:, None, :], k_in)
             v_m = jnp.where(sel, v8[:, None, :], v_in)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, chunk), 2)
-            sel_l = c * chunk + lane == off             # [1, 1, chunk]
-            ks_m = jnp.where(sel_l, s_k[:, None, None], ks_ref[0, 0])
-            vs_m = jnp.where(sel_l, s_v[:, None, None], vs_ref[0, 0])
-            return k_m, v_m, ks_m, vs_m
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+            sel_l = c * chunk + lane == off             # [1, chunk]
+            ks_m = jnp.where(sel_l, s_k[:, None], ks_ref[0, 0])
+            vs_m = jnp.where(sel_l, s_v[:, None], vs_ref[0, 0])
+            return k_m, v_m, ks_m, vs_m                 # scales [hb, chunk]
         k_m = jnp.where(sel, kn_ref[0].astype(k_in.dtype)[:, None, :],
                         k_in)
         v_m = jnp.where(sel, vn_ref[0].astype(v_in.dtype)[:, None, :],
@@ -432,7 +442,7 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
                                 (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         if quant:
-            s = s * ks_m
+            s = s * ks_m[:, None, :]
         if logit_cap > 0.0:  # Gemma2 attention softcapping
             s = logit_cap * jnp.tanh(s / logit_cap)
         spos = c * chunk + jax.lax.broadcasted_iota(
@@ -447,7 +457,7 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
         if quant:
-            p = p * vs_m
+            p = p * vs_m[:, None, :]
         acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
                       + jax.lax.dot_general(
                           p, v_m.astype(jnp.float32),
@@ -550,13 +560,13 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
 
     def scale_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
         idx = kv_map(i, g, c, lens, offs_, rows, win_arr, lay_arr)
-        return (idx[0], idx[1], idx[2], 0, idx[3])
+        return (idx[0], idx[1], idx[2], idx[3])
 
     def wc_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
         return (lay_arr[0], rows[i], g, _last(i, lens), 0)
 
     def wcs_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
-        return (lay_arr[0], rows[i], g, 0, _last(i, lens))
+        return (lay_arr[0], rows[i], g, _last(i, lens))
 
     def q_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
         return (i, g, 0, 0)
@@ -584,20 +594,24 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     # win=3 lay=4 q=5 k=6 v=7 [ks=8 vs=9 kn=10 vn=11 | kn=8 vn=9]
     aliases = {6: 1, 7: 2}
     if quant:
-        in_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), scale_map),
-                     pl.BlockSpec((1, 1, hb, 1, chunk), scale_map)]
-        operands += [k_scales.astype(jnp.float32)[:, :, :, None, :],
-                     v_scales.astype(jnp.float32)[:, :, :, None, :]]
+        # 4-d scale blocks over the buffer's own [L, B, Hkv, S] shape:
+        # the operand keeps its default (Hkv, S)-tiled layout, so the
+        # alias holds with ZERO relayout copies around the layer scan
+        # (see the extend kernel's quant comment / probe6 HLO census)
+        in_specs += [pl.BlockSpec((1, 1, hb, chunk), scale_map),
+                     pl.BlockSpec((1, 1, hb, chunk), scale_map)]
+        operands += [k_scales.astype(jnp.float32),
+                     v_scales.astype(jnp.float32)]
         # sized from the SCALE buffers' own row dim (like k/v above) —
         # q.shape[0] breaks the alias when a decode wave covers a
         # subset of engine rows (Bk != R)
         out_shapes += [
-            jax.ShapeDtypeStruct((L, k_scales.shape[1], Hkv, 1, S),
+            jax.ShapeDtypeStruct((L, k_scales.shape[1], Hkv, S),
                                  jnp.float32),
-            jax.ShapeDtypeStruct((L, v_scales.shape[1], Hkv, 1, S),
+            jax.ShapeDtypeStruct((L, v_scales.shape[1], Hkv, S),
                                  jnp.float32)]
-        out_specs += [pl.BlockSpec((1, 1, hb, 1, chunk), wcs_map),
-                      pl.BlockSpec((1, 1, hb, 1, chunk), wcs_map)]
+        out_specs += [pl.BlockSpec((1, 1, hb, chunk), wcs_map),
+                      pl.BlockSpec((1, 1, hb, chunk), wcs_map)]
         aliases.update({8: 3, 9: 4})
     in_specs += [pl.BlockSpec((1, hb, hd), new_map),
                  pl.BlockSpec((1, hb, hd), new_map)]
@@ -628,8 +642,7 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     out = out.reshape(B, Hkv, G, 1, hd).transpose(0, 3, 1, 2, 4)
     out = out.reshape(B, 1, Hq, hd)
     if quant:
-        return (out, res[1], res[2],
-                res[3][:, :, :, 0, :], res[4][:, :, :, 0, :])
+        return out, res[1], res[2], res[3], res[4]
     return out, res[1], res[2]
 
 
