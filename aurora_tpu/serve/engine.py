@@ -885,7 +885,9 @@ def _samp_arrays(reqs, n, rows=None):
         out["freq"][j] = s.frequency_penalty
         out["pres"][j] = s.presence_penalty
         out["rep"][j] = s.repetition_penalty
-    return {k: jnp.asarray(v) for k, v in out.items()}
+    # host (numpy) arrays: jit uploads them on use, and _decode compares
+    # them against its device-side operand cache BEFORE uploading
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -975,7 +977,16 @@ def _decode_block_impl(fwd, params, cfg, rows, counts, seen, tokens,
 
     (tokens, counts, seen, rows), outs = jax.lax.scan(
         step, (tokens, counts, seen, rows), jnp.arange(K))
-    return outs + (counts, seen, rows)
+    # next-block operands, computed ON DEVICE: the host can re-feed these
+    # without any H2D when the batch composition is unchanged (see
+    # ServeEngine._decode's operand cache — each small upload through the
+    # single-stream relay costs ~10-30ms of latency, and a 256-token
+    # caption at K=16 pays it 16x for arrays whose values the device
+    # already knows). Inactive lanes pin to 0 so they compare equal to
+    # the host's freshly built arrays.
+    tok_next = jnp.where(active, tokens, 0)
+    pos_next = jnp.where(active, positions + K, 0)
+    return outs + (counts, seen, rows, tok_next, pos_next)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk", "K",
@@ -1841,7 +1852,7 @@ class ServeEngine:
         if not rows:
             return
 
-        samp = _samp_arrays(rows, B, [r.batch_row for r in rows])
+        samp_np = _samp_arrays(rows, B, [r.batch_row for r in rows])
         allowed = self._allowed_mask(rows, [r.batch_row for r in rows], B)
         all_greedy = all(r.sampling.temperature <= 0.0 for r in rows)
         want_lp = any(r.logprobs for r in rows)
@@ -1851,19 +1862,49 @@ class ServeEngine:
         # never decode past the tightest remaining budget
         K = max(1, min(K, min(r.max_new_tokens - len(r.output_ids)
                               for r in rows)))
-        tok_dev = jnp.asarray(tokens)
-        act_dev = jnp.asarray(act)
+        # operand cache: a decode block's outputs fully determine the next
+        # block's inputs, so when the freshly built host arrays equal what
+        # the previous block left ON DEVICE (batch composition unchanged —
+        # no admission/finish/jump/abort in between), reuse those device
+        # arrays and skip ~10 small H2D uploads whose relay latency
+        # (~10-30ms each) dominated long decodes. The equality check
+        # self-validates against ANY host-side mutation (jump-forward,
+        # retokenization healing, row release) with no invalidation hooks.
+        cache = getattr(self, "_dec_cache", None)
+        if (cache is not None
+                and np.array_equal(cache["pred_tok"], tokens)
+                and np.array_equal(cache["pred_pos"], positions)
+                and np.array_equal(cache["pred_act"], act)
+                and all(np.array_equal(cache["samp_np"][k], samp_np[k])
+                        for k in samp_np)):
+            tok_dev, pos_dev = cache["tok"], cache["pos"]
+            act_dev, samp = cache["act"], cache["samp"]
+            self._dec_cache_hits = getattr(self, "_dec_cache_hits", 0) + 1
+        else:
+            tok_dev, pos_dev = jnp.asarray(tokens), jnp.asarray(positions)
+            act_dev = jnp.asarray(act)
+            samp = {k: jnp.asarray(v) for k, v in samp_np.items()}
+        self._dec_cache = None
         if K > 1 and allowed is None:
             # K steps in ONE compiled program: one dispatch + one fetch
             # per block (see _decode_block_impl)
             self._rng, key = jax.random.split(self._rng)
             (sampled, tok_lp, top_lp, top_ids, self.counts, self.seen,
-             self.rows) = self._decode_block_fn(
+             self.rows, tok_next, pos_next) = self._decode_block_fn(
                 self.params, self.rows, self.counts, self.seen,
-                tok_dev, jnp.asarray(positions), act_dev, samp, key,
+                tok_dev, pos_dev, act_dev, samp, key,
                 K=K, all_greedy=all_greedy, want_logprobs=want_lp)
             fetched = jax.device_get((sampled, tok_lp, top_lp, top_ids))
             steps = [tuple(x[j] for x in fetched) for j in range(K)]
+            self._dec_cache = {
+                "tok": tok_next, "pos": pos_next, "act": act_dev,
+                "samp": samp, "samp_np": samp_np,
+                "pred_tok": np.where(act, fetched[0][K - 1],
+                                     0).astype(np.int32),
+                "pred_pos": np.where(act, positions + K,
+                                     0).astype(np.int32),
+                "pred_act": act.copy(),
+            }
         else:
             outs = []
             for j in range(K):

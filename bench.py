@@ -341,7 +341,7 @@ def _llm_stage(jax, jnp, embeds, detail):
     ecfg = EngineConfig(
         max_batch=LLM_BATCH, max_seq_len=max_seq, num_slots=128,
         prefill_buckets=(-(-prompt_len // 256) * 256,),
-        kv_chunk=256, decode_steps=16, kv_quant="int8")
+        kv_chunk=256, decode_steps=32, kv_quant="int8")
     host = np.random.default_rng(1)
 
     emb_table = {}
@@ -392,7 +392,7 @@ def _llm_stage(jax, jnp, embeds, detail):
               file=sys.stderr)
         return max(fit, 0)
 
-    def aot_fit(batch, kv_quant, p):
+    def aot_fit(batch, kv_quant, p, lanes=None):
         """Chipless AOT try-compile of the extend step at this engine
         config — the fit oracle that replaces downward probing. Two
         round-4 findings make it necessary and sufficient: (a) the
@@ -410,7 +410,9 @@ def _llm_stage(jax, jnp, embeds, detail):
         import dataclasses
 
         from aurora_tpu.serve import engine as E
-        ec = dataclasses.replace(ecfg, max_batch=batch, kv_quant=kv_quant)
+        ec = dataclasses.replace(
+            ecfg, max_batch=batch, kv_quant=kv_quant,
+            **({} if lanes is None else {"max_extend_lanes": lanes}))
         L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                       cfg.head_dim)
         S = ec.s_row
@@ -452,7 +454,7 @@ def _llm_stage(jax, jnp, embeds, detail):
               f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr)
         return ok
 
-    def run_e2e(batch, p, kv_quant):
+    def run_e2e(batch, p, kv_quant, lanes=None):
         # videos == batch: a fallback batch must not leave an underfilled
         # tail wave decoding 256 tokens at tiny batch (that would penalize
         # the smaller config for the LARGER config's video count)
@@ -461,11 +463,13 @@ def _llm_stage(jax, jnp, embeds, detail):
         import dataclasses
         engine = None
         try:
-            engine = ServeEngine(p, cfg,
-                                 dataclasses.replace(ecfg,
-                                                     max_batch=batch,
-                                                     kv_quant=kv_quant),
-                                 embed_fn=embed_fn)
+            engine = ServeEngine(
+                p, cfg,
+                dataclasses.replace(
+                    ecfg, max_batch=batch, kv_quant=kv_quant,
+                    **({} if lanes is None
+                       else {"max_extend_lanes": lanes})),
+                embed_fn=embed_fn)
             t0 = time.perf_counter()
             warm_done = []
             engine.add_request(make_req(p, 0, warm=True))
@@ -543,11 +547,19 @@ def _llm_stage(jax, jnp, embeds, detail):
     if not ladder:
         raise RuntimeError("no e2e batch fits the HBM budget")
     for b in ladder:
-        if not aot_fit(b, "int8", params):
+        # a 16-lane extend wave's temps (~3.6G at 7B/T1408) are the
+        # binding constraint above b14 — 8-lane waves roughly halve
+        # them, buying 4-6 more KV rows for a second wave's worth of
+        # prefill time (decode, the dominant stage, scales ~linearly
+        # with rows: b8→b14 costs only +7% per step)
+        lanes = next((ln for ln in (16, 8, 4)
+                      if aot_fit(b, "int8", params, ln)), None)
+        if lanes is None:
             continue
         try:
-            t_llm, n_videos = best_of_2(run_e2e, b, params, "int8")
+            t_llm, n_videos = best_of_2(run_e2e, b, params, "int8", lanes)
             detail["e2e_llm_batch"] = b
+            detail["e2e_extend_lanes"] = lanes
             break
         except Exception as e:  # noqa: BLE001 — likely HBM exhaustion
             print(f"[bench] e2e batch {b} failed ({str(e)[:120]}); "

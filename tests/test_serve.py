@@ -378,6 +378,41 @@ def test_engine_multi_step_decode_matches_single(tiny_engine, rng):
     assert multi.check_memory()["leaked"] == 0
 
 
+def test_decode_operand_cache_hits_and_invalidates(tiny_engine, rng):
+    """The decode operand cache (engine.py _decode) must HIT between
+    consecutive blocks of an unchanged batch (skipping the ~10 small H2D
+    uploads whose relay latency dominated long decodes) and REBUILD when
+    the composition changes mid-stream — here a second request admitted
+    between blocks. Outputs must match isolated single-engine greedy."""
+    import dataclasses as dc
+    params, cfg, ecfg = tiny_engine
+    ids_a = [int(x) for x in rng.integers(3, 128, size=6)]
+    ids_b = [int(x) for x in rng.integers(3, 128, size=9)]
+    want_a = _offline_greedy(params, cfg, ids_a, 12)
+
+    engine = ServeEngine(params, cfg, dc.replace(ecfg, decode_steps=4))
+    engine.add_request(Request(rid="a", input_ids=list(ids_a),
+                               max_new_tokens=12, eos_ids=(-1,)))
+    done = {}
+    for _ in range(2):  # prefill+block, then a cache-hit block
+        for r in engine.step():
+            done[r.rid] = r
+    assert getattr(engine, "_dec_cache_hits", 0) >= 1
+    # admission between blocks changes the composition: the freshly
+    # built host arrays no longer match the device-side prediction
+    engine.add_request(Request(rid="b", input_ids=list(ids_b),
+                               max_new_tokens=5))  # default eos=(2,)
+                                                   # like the oracle
+    for _ in range(200):
+        for r in engine.step():
+            done[r.rid] = r
+        if not engine.has_work():
+            break
+    assert done["a"].output_ids == want_a
+    assert done["b"].output_ids == _offline_greedy(params, cfg, ids_b, 5)
+    assert engine.check_memory()["leaked"] == 0
+
+
 def test_multi_replica_controller(tiny_engine, rng):
     """DP serving over multiple devices (ControllerMulti parity):
     dispatch spreads requests, outputs match single-engine greedy, and
