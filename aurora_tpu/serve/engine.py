@@ -1430,10 +1430,23 @@ class ServeEngine:
 
     def _run_wave_chunks(self, wave: List["Request"]) -> None:
         """Run an admission wave as sub-waves of ≤ max_extend_lanes (see
-        EngineConfig.max_extend_lanes), with per-request isolation."""
+        EngineConfig.max_extend_lanes), with per-request isolation.
+
+        A system error (compile failure / device OOM) raised by an early
+        sub-wave aborts THAT sub-wave inside _run_wave and re-raises —
+        but the remaining sub-waves' requests already claimed KV rows and
+        radix prefix locks in _prepare and are in neither sched.running
+        nor sched.aborted, so fail_running() could never reclaim them
+        (permanent row/lock leak, clients hung forever). Abort them here
+        before propagating."""
         cap = max(1, self.ecfg.max_extend_lanes)
         for at in range(0, len(wave), cap):
-            self._run_wave(wave[at:at + cap])
+            try:
+                self._run_wave(wave[at:at + cap])
+            except Exception as e:
+                for req in wave[at + cap:]:
+                    self._abort_admission(req, req.batch_row, e)
+                raise
 
     def _run_wave(self, wave: List["Request"]) -> None:
         try:

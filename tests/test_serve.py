@@ -1239,6 +1239,57 @@ def test_system_error_reraises_not_isolated(tiny_engine, rng):
     assert all(len(done2[r.rid].output_ids) == 4 for r in reqs2)
 
 
+def test_system_error_aborts_pending_subwaves(rng):
+    """A system error in an EARLY sub-wave of _run_wave_chunks must also
+    abort the requests queued in the remaining sub-waves (regression:
+    they had already claimed KV rows + radix prefix locks in _prepare
+    but were in neither sched.running nor sched.aborted, so fail_running
+    could never reclaim them — rows and locks leaked permanently and
+    those clients hung forever)."""
+    cfg = LlamaConfig.tiny(vocab_size=128)
+    params = init_llama_params(jax.random.PRNGKey(7), cfg,
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=4, max_seq_len=64, num_slots=512,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        max_extend_lanes=1)   # 3 reqs -> 3 sub-waves
+    engine = ServeEngine(params, cfg, ecfg)
+
+    class FakeXlaRuntimeError(RuntimeError):
+        pass
+    FakeXlaRuntimeError.__name__ = "XlaRuntimeError"
+
+    orig = engine._extend_fn
+
+    def boom(*a, **kw):
+        raise FakeXlaRuntimeError("RESOURCE_EXHAUSTED: out of memory")
+
+    engine._extend_fn = boom
+    reqs = [Request(rid=f"w{i}",
+                    input_ids=[int(x) for x in rng.integers(3, 128, 8)],
+                    max_new_tokens=4) for i in range(3)]
+    for r in reqs:
+        engine.add_request(r)
+    with pytest.raises(FakeXlaRuntimeError):
+        engine.step()
+    # EVERY request — including the sub-waves that never ran — is
+    # aborted with its row freed and its radix lock dropped
+    for r in reqs:
+        assert r.finished is not None, r.rid
+        assert r.error, r.rid
+        assert not r.prefix_locked, r.rid
+    assert all(x is None for x in engine.row_reqs)
+    assert {r.rid for r in engine.sched.aborted} == {r.rid for r in reqs}
+    assert not engine.sched.running and not engine.sched.waiting
+    # rows/locks reclaimed -> the engine still has full capacity
+    engine._extend_fn = orig
+    engine.sched.aborted.clear()
+    done = _run_engine(engine, [Request(
+        rid="ok", input_ids=[int(x) for x in rng.integers(3, 128, 8)],
+        max_new_tokens=4)])
+    assert len(done["ok"].output_ids) == 4 and not done["ok"].error
+    assert engine.check_memory()["leaked"] == 0
+
+
 # ---------------------------------------------------------------------------
 # Windowed KV writes (engine._write_kv_window / engine._load_prefix)
 # ---------------------------------------------------------------------------

@@ -145,7 +145,7 @@ def main():
     # --- 3. the K-step block (lax.scan) ---------------------------------
     def block():
         (sampled, _tl, _tp, _ti, eng.counts, eng.seen,
-         eng.rows) = eng._decode_block_fn(
+         eng.rows, _tok_next, _pos_next) = eng._decode_block_fn(
             eng.params, eng.rows, eng.counts, eng.seen, tok, pos,
             act, samp_probe, key, K=K, all_greedy=True,
             want_logprobs=False)
