@@ -54,6 +54,11 @@ def main():
                         "weight HBM stream, up to ~2x decode throughput; "
                         "int4 (nibble-packed, g=128 grouped scales): "
                         "half of W8 again — buys KV rows/batch")
+    p.add_argument("--disable-radix-cache", action="store_true",
+                   help="disable prefix caching (sglang "
+                        "--disable-radix-cache / ChunkCache): every "
+                        "request prefills from scratch; skips the "
+                        "prompt-KV pool copy on finish")
     p.add_argument("--aurora", action="store_true",
                    help="model_path is an xtuner-format AuroraCap dir; "
                         "enable multimodal /generate "
@@ -138,6 +143,7 @@ def main():
                         kv_dtype=dtype,
                         kv_quant=args.kv_quant,
                         decode_steps=args.decode_steps,
+                        disable_radix_cache=args.disable_radix_cache,
                         tp=args.tp)
     if args.max_batch <= 0 or args.num_slots <= 0:
         # profile free HBM NOW (weights are resident, so they're already

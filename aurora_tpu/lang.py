@@ -58,6 +58,108 @@ class RuntimeEndpoint:
             timeout=self.timeout)
 
 
+class OpenAI(RuntimeEndpoint):
+    """OpenAI backend (lang/backend/openai.py parity): the hosted chat
+    API is OpenAI-protocol, so this is RuntimeEndpoint pinned at
+    api.openai.com with a required model + api key. choices/regex are
+    rejected — a hosted endpoint cannot run our FSM-constrained decode
+    (the reference emulates select via logit_bias on COMPLETION models
+    only, openai.py:352-372; its chat path has the same limitation)."""
+
+    def __init__(self, model_name: str, api_key: Optional[str] = None,
+                 base_url: str = "https://api.openai.com",
+                 timeout: float = 600.0):
+        import os
+        super().__init__(base_url, timeout=timeout, model=model_name,
+                         api_key=api_key or os.environ.get(
+                             "OPENAI_API_KEY"))
+
+    def chat(self, messages, *, max_tokens, temperature, stop=(),
+             choices=None, regex=None) -> str:
+        if choices or regex:
+            raise ValueError(
+                "OpenAI chat backend does not support choices/regex "
+                "constrained decode; use RuntimeEndpoint (our server)")
+        return super().chat(messages, max_tokens=max_tokens,
+                            temperature=temperature, stop=stop)
+
+
+class Anthropic:
+    """Anthropic messages-API backend (lang/backend/anthropic.py:16-77
+    parity). Raw HTTP instead of the anthropic SDK (not installed in
+    this environment): POST /v1/messages with x-api-key +
+    anthropic-version headers; a leading system message moves to the
+    top-level `system` field exactly as the reference does
+    (anthropic.py:39-43). No choices/regex (same as the reference)."""
+
+    def __init__(self, model_name: str, api_key: Optional[str] = None,
+                 base_url: str = "https://api.anthropic.com",
+                 timeout: float = 600.0):
+        import os
+        self.model = model_name
+        self.api_key = api_key or os.environ.get("ANTHROPIC_API_KEY")
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def chat(self, messages: List[Dict[str, str]], *, max_tokens: int,
+             temperature: float, stop: Sequence[str] = (),
+             choices=None, regex=None) -> str:
+        if choices or regex:
+            raise ValueError(
+                "Anthropic backend does not support choices/regex")
+        msgs = list(messages)
+        system = ""
+        if msgs and msgs[0]["role"] == "system":
+            system = msgs.pop(0)["content"]
+        payload: Dict[str, Any] = {
+            "model": self.model, "messages": msgs,
+            "max_tokens": max_tokens, "temperature": temperature}
+        if system:
+            payload["system"] = system
+        if stop:
+            payload["stop_sequences"] = list(stop)
+        import json
+        import urllib.request
+        req = urllib.request.Request(
+            self.base_url + "/v1/messages",
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json",
+                     "x-api-key": self.api_key or "",
+                     "anthropic-version": "2023-06-01"})
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            body = json.loads(r.read())
+        return body["content"][0]["text"]
+
+
+class LiteLLM(RuntimeEndpoint):
+    """LiteLLM backend (lang/backend/litellm.py parity). The reference
+    calls the litellm SDK in proxy-less mode; this environment has no
+    litellm, so the adapter targets a LiteLLM PROXY server — which
+    speaks the OpenAI chat protocol verbatim with the provider routed
+    by the model string ("anthropic/claude-...", "gpt-4o", ...)."""
+
+    def __init__(self, model_name: str,
+                 base_url: str = "http://localhost:4000",
+                 api_key: Optional[str] = None, timeout: float = 600.0):
+        super().__init__(base_url, timeout=timeout, model=model_name,
+                         api_key=api_key)
+
+
+class VertexAI:
+    """VertexAI backend stub (lang/backend/vertexai.py parity shape).
+    The reference requires the `vertexai` SDK and raises the ImportError
+    at construction when absent (vertexai.py:20-24); this environment
+    has no SDK and no egress, so the constructor raises the same way.
+    The request mapping (system instruction + contents with
+    user/model roles) is documented in docs/SERVE.md."""
+
+    def __init__(self, model_name: str, **kwargs):
+        raise ImportError(
+            "VertexAI backend requires the google-cloud vertexai SDK, "
+            "which is not available in this environment (reference "
+            "behavior: lang/backend/vertexai.py raises at init too)")
+
+
 def set_default_backend(backend) -> None:
     global _default_backend
     with _backend_lock:

@@ -127,6 +127,12 @@ class EngineConfig:
     # ('tp',) mesh; the compiled steps run under shard_map with two
     # psums/layer (serve/tp.py). Requires tp | num_key_value_heads.
     tp: int = 1
+    # True disables prefix caching entirely (sglang --disable-radix-cache
+    # → ChunkCache passthrough, chunk_cache.py:1-83): every request
+    # prefills from scratch and finished prompts are never copied into
+    # the slot pool. Useful when prompts never share prefixes (the
+    # radix insert costs one device copy of the prompt KV per request).
+    disable_radix_cache: bool = False
     # Extend waves are split into sub-waves of at most this many lanes.
     # Bounds the extend step's activation footprint ([Bk, T, D] embeds +
     # MLP intermediates scale with the LANE bucket, not the row count)
@@ -1135,7 +1141,11 @@ class ServeEngine:
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
                            quant=quant)
         self.alloc = SlotAllocator(ecfg.num_slots)
-        self.radix = _make_radix(self.alloc.free)
+        if ecfg.disable_radix_cache:
+            from aurora_tpu.serve.radix_cache import NullPrefixCache
+            self.radix = NullPrefixCache()
+        else:
+            self.radix = _make_radix(self.alloc.free)
         self.sched = Scheduler(ecfg.max_batch,
                                ecfg.max_batch * ecfg.max_seq_len,
                                ecfg.policy, self.radix)
@@ -1985,6 +1995,11 @@ class ServeEngine:
                 self.prefilling.remove(req)
             req.prefill_active = False
             req.prefill_embeds = None
+            unlock()
+            return
+        if getattr(self.radix, "disable", False):
+            # --disable-radix-cache: no prompt-KV copy into the pool, no
+            # insert (ChunkCache passthrough parity, chunk_cache.py:1-83)
             unlock()
             return
         if row < 0 or not req.prefix_locked:

@@ -164,3 +164,37 @@ class RadixCache:
     def total_cached_tokens(self) -> int:
         return sum(len(n.key) for n in self._all_nodes()
                    if n is not self.root)
+
+
+class NullPrefixCache:
+    """Prefix caching DISABLED (sglang --disable-radix-cache →
+    src/sglang/python/sglang/srt/mem_cache/chunk_cache.py:1-83): every
+    request prefills from scratch; nothing is inserted, matched, locked,
+    or evicted. The `disable` attribute mirrors ChunkCache's — the
+    engine's finish path checks it and skips the prompt-KV copy into the
+    pool entirely (the reference's ChunkCache entries exist to resume
+    chunked prefill, which this engine tracks on the Request instead,
+    so a pure passthrough is the complete equivalent)."""
+
+    disable = True
+
+    def __init__(self, free_slots: Optional[Callable] = None):
+        self.root = _Node()
+        self.root.lock_ref = 1
+        self.evictable_size = 0
+
+    def match_prefix(self, token_ids) -> Tuple[np.ndarray, "_Node"]:
+        return np.empty((0,), np.int32), self.root
+
+    def insert(self, token_ids, slots: np.ndarray) -> int:
+        raise NotImplementedError(
+            "radix cache disabled: the engine must not cache prompt KV")
+
+    def lock(self, node: "_Node", delta: int) -> None:
+        pass
+
+    def evict(self, num_tokens: int) -> int:
+        return 0
+
+    def total_cached_tokens(self) -> int:
+        return 0

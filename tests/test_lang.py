@@ -194,3 +194,72 @@ def test_compile_static_graph(echo):
         backend=backend, num_threads=4)
     assert all(s.messages[1]["content"] == f"Write about t{i}."
                for i, s in enumerate(states))
+
+
+def test_provider_backends(echo, monkeypatch):
+    """Thin provider adapters (lang/backend/{openai,anthropic,litellm,
+    vertexai}.py parity): OpenAI/LiteLLM speak the OpenAI chat protocol
+    (verified against the live echo endpoint); Anthropic maps to the
+    messages API (system extraction, x-api-key + anthropic-version
+    headers, stop_sequences) — verified via a captured urllib request;
+    VertexAI raises at init without its SDK, like the reference."""
+    import json
+
+    from aurora_tpu.lang import Anthropic, LiteLLM, OpenAI, VertexAI
+
+    base = f"http://127.0.0.1:{echo.port}"
+    oa = OpenAI("gpt-4o-mini", api_key="sk-test", base_url=base)
+    out = oa.chat([{"role": "user", "content": "hello"}],
+                  max_tokens=16, temperature=0.5)
+    assert out.startswith("reply1:")
+    sent = echo.requests[-1]
+    assert sent["model"] == "gpt-4o-mini" and sent["temperature"] == 0.5
+    with pytest.raises(ValueError):
+        oa.chat([{"role": "user", "content": "x"}], max_tokens=4,
+                temperature=0.0, choices=["a", "b"])
+
+    ll = LiteLLM("anthropic/claude-3-haiku", base_url=base)
+    assert ll.chat([{"role": "user", "content": "hi"}],
+                   max_tokens=8, temperature=0.0).startswith("reply1:")
+    assert echo.requests[-1]["model"] == "anthropic/claude-3-haiku"
+
+    captured = {}
+
+    class _Resp:
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+        def read(self):
+            return json.dumps(
+                {"content": [{"text": "claude says hi"}]}).encode()
+
+    def fake_urlopen(req, timeout=None):
+        captured["url"] = req.full_url
+        captured["headers"] = dict(req.header_items())
+        captured["payload"] = json.loads(req.data)
+        return _Resp()
+
+    import urllib.request
+    monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+    ant = Anthropic("claude-3-5-sonnet-20240620", api_key="ak-test")
+    out = ant.chat([{"role": "system", "content": "be terse"},
+                    {"role": "user", "content": "hello"}],
+                   max_tokens=32, temperature=0.0, stop=["\n\n"])
+    assert out == "claude says hi"
+    assert captured["url"].endswith("/v1/messages")
+    hdr = {k.lower(): v for k, v in captured["headers"].items()}
+    assert hdr["x-api-key"] == "ak-test"
+    assert hdr["anthropic-version"] == "2023-06-01"
+    p = captured["payload"]
+    assert p["system"] == "be terse"           # extracted, not in messages
+    assert [m["role"] for m in p["messages"]] == ["user"]
+    assert p["stop_sequences"] == ["\n\n"]
+    with pytest.raises(ValueError):
+        ant.chat([{"role": "user", "content": "x"}], max_tokens=4,
+                 temperature=0.0, regex="[0-9]+")
+
+    with pytest.raises(ImportError):
+        VertexAI("gemini-1.5-pro")

@@ -1239,6 +1239,37 @@ def test_system_error_reraises_not_isolated(tiny_engine, rng):
     assert all(len(done2[r.rid].output_ids) == 4 for r in reqs2)
 
 
+def test_disable_radix_cache_passthrough(tiny_engine, rng):
+    """disable_radix_cache=True (sglang --disable-radix-cache /
+    ChunkCache parity): outputs match the radix engine exactly, nothing
+    is ever cached or matched (the repeat prompt re-prefills from
+    scratch), no slots are consumed, and no memory leaks."""
+    import dataclasses as dc
+    params, cfg, ecfg = tiny_engine
+    ids = [int(x) for x in rng.integers(3, 128, size=12)]
+
+    eng_r = ServeEngine(params, cfg, ecfg)
+    want = {r.rid: r.output_ids for r in _run_engine(
+        eng_r, [Request(rid="a", input_ids=list(ids), max_new_tokens=6),
+                Request(rid="b", input_ids=list(ids),
+                        max_new_tokens=6)]).values()}
+
+    eng = ServeEngine(params, cfg,
+                      dc.replace(ecfg, disable_radix_cache=True))
+    done = _run_engine(
+        eng, [Request(rid="a", input_ids=list(ids), max_new_tokens=6)])
+    assert done["a"].output_ids == want["a"]
+    assert eng.radix.total_cached_tokens() == 0
+    assert eng.alloc.available() == ecfg.num_slots  # no pool copy made
+    # the SAME prompt again: no prefix hit, full re-prefill, same output
+    done2 = _run_engine(
+        eng, [Request(rid="b", input_ids=list(ids), max_new_tokens=6)])
+    assert done2["b"].output_ids == want["b"]
+    assert done2["b"].n_cached == 0                 # nothing matched
+    mem = eng.check_memory()
+    assert mem["leaked"] == 0 and mem["cached"] == 0, mem
+
+
 def test_system_error_aborts_pending_subwaves(rng):
     """A system error in an EARLY sub-wave of _run_wave_chunks must also
     abort the requests queued in the remaining sub-waves (regression:
