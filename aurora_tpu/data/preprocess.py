@@ -105,6 +105,48 @@ def clip_resize_crop(images: Union[ImageLike, Sequence[ImageLike]],
     return np.stack(out)
 
 
+def clip_resize_crop_device(frames, size: int = 378, crop: int = 378):
+    """DEVICE geometry half of the CLIP pipeline: [N, H, W, 3] uint8 →
+    [N, crop, crop, 3] uint8-valued float32 (jit-traceable).
+
+    Shortest-edge bicubic resize + center crop, computed on-device so a
+    1-core host only decodes: the round-4 driver bench measured the host
+    bicubic (~70ms/video) SERIALIZING against JAX dispatch on the single
+    host core — overlap cost +186% instead of hiding the decode. Raw
+    360p frames ship 1.6x the bytes of cropped ones (5.5MB vs 3.4MB per
+    8-frame clip) but drop the host resample entirely — a clear win on a
+    1-core host feeding a fast chip (VERDICT r4 next-round #2).
+
+    Resampling parity: PIL BICUBIC is the Keys cubic (a=-0.5) with
+    support scaling on downscale — exactly jax.image.resize's 'bicubic'
+    with antialias=True. PIL computes in uint8-quantized fixed point and
+    clamps out-of-range source taps differently at borders, so outputs
+    match within ±2/255 per channel rather than bit-exactly
+    (tests/test_data.py asserts the tolerance). The target geometry
+    (int() truncation of the long edge) matches _resize_shortest_edge.
+    Use where frame shapes are uniform (one jit cache entry per input
+    resolution); arbitrary-resolution serving keeps the host path."""
+    import jax
+    import jax.numpy as jnp
+    N, H, W, C = frames.shape
+    if min(H, W) == size:
+        nh, nw = H, W
+        x = frames.astype(jnp.float32)
+    else:
+        if H <= W:
+            nh, nw = size, int(size * W / H)
+        else:
+            nh, nw = int(size * H / W), size
+        x = jax.image.resize(frames.astype(jnp.float32), (N, nh, nw, C),
+                             method="bicubic", antialias=True)
+    top, left = (nh - crop) // 2, (nw - crop) // 2
+    x = jax.lax.dynamic_slice(
+        x, (0, top, left, 0), (N, crop, crop, C))
+    # PIL rounds to uint8 between resize and normalize; matching that
+    # quantization keeps the split pipelines order-identical downstream
+    return jnp.clip(jnp.round(x), 0.0, 255.0)
+
+
 def clip_normalize_device(frames) -> "np.ndarray":
     """Device half of the split pipeline: [N, H, W, 3] uint8 →
     [N, 3, H, W] float32 (jit-traceable; float32 so downstream bf16

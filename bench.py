@@ -174,7 +174,7 @@ def _vit_stage(jax, jnp, detail):
 
     from aurora_tpu.data.prefetch import BatchPrefetcher
     from aurora_tpu.data.preprocess import (clip_normalize_device,
-                                            clip_resize_crop)
+                                            clip_resize_crop_device)
     from aurora_tpu.data.video import read_video
     from aurora_tpu.models.projector import (ProjectorConfig,
                                              apply_projector,
@@ -194,7 +194,12 @@ def _vit_stage(jax, jnp, detail):
     import functools
 
     @functools.partial(jax.jit, donate_argnums=())
-    def enc(params, pj, px_u8):
+    def enc(params, pj, raw_u8):
+        # geometry (bicubic shortest-edge + center crop) runs ON DEVICE:
+        # the round-4 driver run measured the host bicubic serializing
+        # against dispatch on the 1-core host (+186% overlap overhead) —
+        # raw frames ship 1.6x the bytes for ZERO host resample
+        px_u8 = clip_resize_crop_device(raw_u8, IMAGE_SIZE, IMAGE_SIZE)
         px = clip_normalize_device(px_u8).astype(jnp.bfloat16)
         feats = vit_encode(params, px, cfg, kept_ratio=KEPT_RATIO,
                            select_layer=-2)
@@ -208,11 +213,11 @@ def _vit_stage(jax, jnp, detail):
               f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
         def fetch(path):
-            # worker-thread host stage: load + sample FRAMES + resize +
-            # crop — returns a HOST uint8 [F, H, W, 3]; H2D ships ONE
-            # batch per dispatch group (below), never per clip
-            return clip_resize_crop(list(read_video(path, FRAMES)),
-                                    IMAGE_SIZE, IMAGE_SIZE)
+            # worker-thread host stage: load + sample FRAMES only —
+            # returns RAW host uint8 [F, H, W, 3]; geometry runs inside
+            # enc on device, H2D ships ONE batch per dispatch group
+            # (below), never per clip
+            return np.asarray(read_video(path, FRAMES))[:FRAMES]
 
         # untimed serial pass: page-cache warm + per-video host cost
         t0 = time.perf_counter()
@@ -264,8 +269,11 @@ def _vit_stage(jax, jnp, detail):
 
         # pass 2 — host-included: worker threads re-decode from disk;
         # the assembly thread concatenates the group and issues the H2D,
-        # double-buffered against the device encode
-        workers = max(2, int(os.environ.get("BENCH_DECODE_WORKERS", 4)))
+        # double-buffered against the device encode. Default workers=2:
+        # the host stage is now decode-only (np.load + frame sampling,
+        # single-digit ms/clip) and the host has ONE core — 4 threads
+        # just contended with the dispatch thread (r04: +186% overhead)
+        workers = max(1, int(os.environ.get("BENCH_DECODE_WORKERS", 2)))
         t0 = time.perf_counter()
         outs = []
         with BatchPrefetcher(iter(groups),

@@ -287,3 +287,36 @@ def test_split_clip_pipeline_matches_fused(rng):
     assert u8.dtype == np.uint8 and u8.shape == (3, 112, 112, 3)
     got = np.asarray(jax.jit(clip_normalize_device)(jnp.asarray(u8)))
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_device_resize_crop_matches_pil():
+    """clip_resize_crop_device (jax.image bicubic, on-device) tracks the
+    PIL host geometry within quantization tolerance: PIL computes the
+    same Keys a=-0.5 cubic in uint8 fixed point with clamped border
+    taps, so per-pixel deltas stay within a couple of gray levels on
+    natural (smooth) content. Uses a smooth synthetic frame — adversarial
+    white-noise pixels can differ more under any two resamplers."""
+    from aurora_tpu.data.preprocess import (clip_resize_crop,
+                                            clip_resize_crop_device)
+    yy, xx = np.mgrid[0:180, 0:320].astype(np.float32)
+    frame = np.stack([
+        127 + 120 * np.sin(xx / 23.0) * np.cos(yy / 17.0),
+        127 + 110 * np.cos(xx / 31.0 + 1.0),
+        127 + 100 * np.sin((xx + yy) / 41.0),
+    ], axis=-1)
+    frames = np.clip(np.round(frame), 0, 255).astype(np.uint8)[None]
+    frames = np.repeat(frames, 2, axis=0)
+    want = clip_resize_crop(list(frames), size=112, crop=112)
+    got = np.asarray(jax.jit(
+        lambda f: clip_resize_crop_device(f, size=112, crop=112))(
+        jnp.asarray(frames)))
+    assert got.shape == (2, 112, 112, 3)
+    diff = np.abs(got - want.astype(np.float32))
+    assert diff.max() <= 3.0, diff.max()          # gray levels
+    assert diff.mean() <= 0.5, diff.mean()
+    # already-at-size inputs skip the resample and match the host crop
+    sq = frames[:, :112, : , :][:, :, :160, :]    # H=112 shortest edge
+    want2 = clip_resize_crop(list(sq), size=112, crop=112)
+    got2 = np.asarray(clip_resize_crop_device(jnp.asarray(sq),
+                                              size=112, crop=112))
+    np.testing.assert_allclose(got2, want2.astype(np.float32), atol=0)
