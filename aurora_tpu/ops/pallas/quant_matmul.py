@@ -137,6 +137,115 @@ def w4a16_matmul(h: jnp.ndarray, pk: jnp.ndarray, s_w: jnp.ndarray, *,
     return out[:B]
 
 
+def _kernel_w4a8(he_ref, ho_ref, s_a_ref, pk_ref, sw_ref, out_ref,
+                 acc_ref, *, gh: int):
+    """One [bk, bn] packed-int4 tile, W4A8 grouped:
+
+      lo*16 = pk << 4 ; hi = pk >> 4           (1 VPU shift per plane —
+                                                the arithmetic unpack
+                                                (pk<<4)>>4 is folded
+                                                into the int32 partials
+                                                as an exact >>4)
+      per-group int8 MXU dots against the even/odd activation rows
+      partial[g] = (dot(he_g, lo16_g) >> 4) + dot(ho_g, hi_g)   (int32)
+      acc += sum_g partial[g] * s_w[g]                          (f32)
+
+    The group scales apply to PARTIAL SUMS in VMEM — the property the
+    XLA path lacks: its [G, N_tok, O] grouped accumulator and unpacked
+    nibble planes round-trip HBM (w4_xla measured 233GB/s effective on
+    a 3.24GB stream; the W8 dots on the same shapes do 535GB/s)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    pk = pk_ref[...]                               # [bk, bn] int8
+    bk, bn = pk.shape
+    gk = bk // gh
+    # int8 SHIFTS crash this backend's Mosaic compiler (probe round 1:
+    # tpu_compile_helper exit 1 on any int8 shift; int8 dots/reshapes/
+    # batched dots all fine) — unpack through int32 lanes instead
+    pki = pk.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(pki, 28), 28).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(pki, 4).astype(jnp.int8)
+    dn = (((2,), (1,)), ((0,), (0,)))
+    p_lo = jax.lax.dot_general(he_ref[...], lo.reshape(gk, gh, bn), dn,
+                               preferred_element_type=jnp.int32)
+    p_hi = jax.lax.dot_general(ho_ref[...], hi.reshape(gk, gh, bn), dn,
+                               preferred_element_type=jnp.int32)
+    part = p_lo + p_hi
+    sw = sw_ref[...]                               # [gk, bn] f32
+    acc_ref[...] += jnp.sum(part.astype(jnp.float32) * sw[:, None, :],
+                            axis=0)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _():
+        out_ref[...] = (acc_ref[...] * s_a_ref[...]).astype(out_ref.dtype)
+
+
+def _w4_block_k(G: int, gh: int, block_n: int,
+                budget: int = 3 << 20) -> int:
+    """Largest gk dividing G with a [gk*gh, block_n] int8 tile under
+    `budget` bytes (the packed tile is double-buffered by the pipeline
+    and its two unpacked planes live once in VMEM — ~4x the tile)."""
+    cap = max(1, budget // (gh * block_n))
+    gk = 0
+    for d in range(1, G + 1):
+        if G % d == 0 and d <= cap:
+            gk = d
+    return gk * gh
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "block_k",
+                                             "out_dtype", "interpret"))
+def w4a8_matmul(h: jnp.ndarray, pk: jnp.ndarray, s_w: jnp.ndarray, *,
+                block_n: int = 512, block_k: int | None = None,
+                out_dtype=jnp.bfloat16, interpret=None):
+    """[B, K] float x nibble-packed W4 [G, g/2, N] -> [B, N] out_dtype.
+
+    Decode-path W4 matmul: per-token int8 activation quantization (the
+    engine _w4dot recipe — same numerics), packed HBM stream, in-VMEM
+    unpack + grouped rescale. pk/s_w use the engine quantize_weights_int4
+    layout (even input row in the low nibble; s_w [G, 1, N] f32).
+    N % block_n must be 0 (the engine pads fused streams to 256)."""
+    B, K = h.shape
+    G, gh, N = pk.shape
+    assert 2 * G * gh == K and N % block_n == 0, (h.shape, pk.shape)
+    h8, s_a = quantize_activations(h)
+    Bp = max(32, -(-B // 32) * 32)
+    if Bp != B:
+        h8 = jnp.pad(h8, ((0, Bp - B), (0, 0)))
+        s_a = jnp.pad(s_a, ((0, Bp - B), (0, 0)))
+    # even/odd input rows, grouped to match the packing: [G, Bp, g/2]
+    he = h8[:, 0::2].reshape(Bp, G, gh).transpose(1, 0, 2)
+    ho = h8[:, 1::2].reshape(Bp, G, gh).transpose(1, 0, 2)
+    bk = block_k if block_k is not None else _w4_block_k(G, gh, block_n)
+    assert bk % gh == 0 and (G * gh) % bk == 0, (bk, G, gh)
+    gk = bk // gh
+    out = pl.pallas_call(
+        functools.partial(_kernel_w4a8, gh=gh),
+        grid=(N // block_n, (G * gh) // bk),
+        in_specs=[
+            pl.BlockSpec((gk, Bp, gh), lambda j, k: (k, 0, 0)),   # he
+            pl.BlockSpec((gk, Bp, gh), lambda j, k: (k, 0, 0)),   # ho
+            pl.BlockSpec((Bp, 1), lambda j, k: (0, 0)),           # s_a
+            pl.BlockSpec((bk, block_n), lambda j, k: (k, j)),     # packed
+            pl.BlockSpec((gk, block_n), lambda j, k: (k, j)),     # scales
+        ],
+        out_specs=pl.BlockSpec((Bp, block_n), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((Bp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, block_n), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret),
+    )(he, ho, s_a.astype(jnp.float32), pk.reshape(G * gh, N),
+      s_w.reshape(G, N).astype(jnp.float32))
+    return out[:B]
+
+
 def quantize_activations(h: jnp.ndarray):
     """Per-token absmax int8 quantization (engine _wdot recipe).
     h: [..., K] float -> (h8 int8, s_a f32 [..., 1])."""

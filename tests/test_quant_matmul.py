@@ -57,6 +57,41 @@ def test_w4a16_block_and_padding_edges(rng):
     assert not np.any(np.isnan(np.asarray(out, np.float32)))
 
 
+def test_w4a8_matches_engine_w4dot(rng):
+    """w4a8_matmul == the engine _w4dot decode path EXACTLY (same
+    per-token int8 activation quantization, same grouped int4 weights,
+    f32 partial rescale) — the Pallas kernel is a drop-in for the
+    decode weight stream, so its numerics must be the XLA path's, not
+    merely close."""
+    from aurora_tpu.ops.pallas.quant_matmul import w4a8_matmul
+    from aurora_tpu.serve.engine import _w4, _w4dot
+
+    B, K, N, g = 5, 512, 768, 128
+    w = jnp.asarray(rng.standard_normal((1, K, N)), jnp.float32)
+    pk, s = _w4(w, group=g)
+    pk, s = pk[0], s[0]
+    h = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    want = np.asarray(_w4dot(h, pk, s), np.float32)   # decode branch (B<=64)
+    got = w4a8_matmul(h, pk, s, block_n=256, out_dtype=jnp.float32,
+                      interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-3,
+                               atol=2e-3)
+    # multi-k-tile path (block_k < K/2) accumulates identically
+    got2 = w4a8_matmul(h, pk, s, block_n=256, block_k=g // 2,
+                       out_dtype=jnp.float32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(got),
+                               rtol=0, atol=1e-5)
+    # bf16 output + odd group count (G=3) exercises _w4_block_k's
+    # divisor walk
+    w3 = jnp.asarray(rng.standard_normal((1, 3 * g, 256)), jnp.float32)
+    pk3, s3 = _w4(w3, group=g)
+    out3 = w4a8_matmul(jnp.asarray(rng.standard_normal((2, 3 * g)),
+                                   jnp.bfloat16), pk3[0], s3[0],
+                       block_n=256, interpret=True)
+    assert out3.shape == (2, 256)
+    assert not np.any(np.isnan(np.asarray(out3, np.float32)))
+
+
 def test_w8a8_matches_dequant_reference(rng):
     """w8a8_matmul == dequant(h8) @ dequant(w8) for the engine's W8A8
     conventions (per-token activation scales, per-output-channel weight

@@ -199,6 +199,18 @@ def main():
     except Exception as e:  # noqa: BLE001
         out["w4_pallas_error"] = str(e)[:160]
 
+    # w4a8 grouped streaming kernel (the decode-path candidate): in-VMEM
+    # unpack via <<4, per-group int8 MXU dots, f32 partial rescale
+    from aurora_tpu.ops.pallas.quant_matmul import w4a8_matmul
+    for bn in (256, 512, 1024):
+        def dot_a8(h, pk, s, bn=bn):
+            return w4a8_matmul(h, pk, s, block_n=bn)
+        try:
+            timed(f"w4a8_pallas_bn{bn}", lambda p, x: jax.lax.scan(
+                body4_with(dot_a8), x, p["layers"])[0], w4params, x)
+        except Exception as e:  # noqa: BLE001
+            out[f"w4a8_pallas_bn{bn}_error"] = str(e)[:160]
+
     bytes_w4 = sum(v.nbytes for k, v in w4params["layers"].items()
                    if not k.endswith("_scale4"))
     out["w4_stream_gb"] = round(bytes_w4 / 1e9, 2)
