@@ -1159,6 +1159,8 @@ class ServeEngine:
         self.prefilling: List[Request] = []   # interleaved chunked
         self._rng = jax.random.PRNGKey(0)
         self._steps = 0
+        self.t_extend_s = 0.0   # cumulative prefill/extend wall (step())
+        self.t_decode_s = 0.0   # cumulative decode wall (step())
         self.mesh = None
         if ecfg.tp > 1:
             self._init_tp(devices)
@@ -1360,12 +1362,24 @@ class ServeEngine:
             return False, str(e)
 
     def step(self) -> List[Request]:
-        """One engine iteration → requests finished this step."""
+        """One engine iteration → requests finished this step.
+
+        Accumulates per-phase wall time (t_extend_s / t_decode_s): both
+        phases end in a host-visible fetch (`jax.device_get` of the
+        sampled tokens — the only call that syncs the relay), so the
+        wall split IS the device split plus each phase's own host
+        bookkeeping. Surfaced via decode_stats() and the bench's
+        e2e_extend_s/e2e_decode_s decomposition (throughput_hook.py:
+        133-142-style accounting for serving)."""
+        t0 = time.perf_counter()
         self._admit()
         self._prefill_tick()
         self._jump_forwards()
+        t1 = time.perf_counter()
         self._decode()
         self._jump_forwards()
+        self.t_extend_s += t1 - t0
+        self.t_decode_s += time.perf_counter() - t1
         # requests finished at add time (empty prompt / max_new=0)
         done = list(getattr(self, "_done_buffer", ()))
         if done:
@@ -2065,4 +2079,6 @@ class ServeEngine:
                 "slot_usage": round(used / max(self.ecfg.num_slots, 1),
                                     4),
                 "gen_tokens_per_s": round(
-                    max(toks - last_n, 0) / max(now - last_t, 1e-9), 1)}
+                    max(toks - last_n, 0) / max(now - last_t, 1e-9), 1),
+                "extend_s": round(self.t_extend_s, 3),
+                "decode_s": round(self.t_decode_s, 3)}

@@ -490,6 +490,7 @@ def _llm_stage(jax, jnp, embeds, detail):
             # dispatches) happens OUTSIDE the timed region
             reqs = [make_req(p, i) for i in range(n)]
             _sync(emb_table[reqs[-1].rid])
+            engine.t_extend_s = engine.t_decode_s = 0.0  # exclude warm
             t0 = time.perf_counter()
             for r in reqs:
                 engine.add_request(r)
@@ -497,13 +498,14 @@ def _llm_stage(jax, jnp, embeds, detail):
             while engine.has_work():
                 done.extend(engine.step())
             t = time.perf_counter() - t0
+            split = (engine.t_extend_s, engine.t_decode_s)
             # a run only counts if every request produced its full
             # caption: the round-4 driver bench "measured" int8-KV
             # serving that was pure compile thrash — every request
             # aborted, zero tokens produced, and the timing recorded
             # as if it were decode
             _check_outputs(done, n, CAPTION_TOKENS)
-            return t, n
+            return t, n, split
         finally:
             # the engine's rows/pool must leave HBM NOW: the radix tree
             # is cyclic (parent<->child), so without an explicit
@@ -516,13 +518,14 @@ def _llm_stage(jax, jnp, embeds, detail):
 
     def best_of_2(fn, *a):
         # the relay's latency fluctuates run to run; the faster of two
-        # passes is the truer hardware number (compiles are already warm)
-        t1, n = fn(*a)
+        # passes is the truer hardware number (compiles are already
+        # warm). The extend/decode split travels with its own pass.
+        r1 = fn(*a)
         try:
-            t2, _ = fn(*a)
+            r2 = fn(*a)
         except Exception:  # noqa: BLE001
-            t2 = t1
-        return min(t1, t2), n
+            r2 = r1
+        return min(r1, r2, key=lambda r: r[0])
 
     # W4 (default) halves the W8 stream again — the freed HBM goes to KV
     # rows (batch), the binding constraint on videos/s; free_source
@@ -565,9 +568,12 @@ def _llm_stage(jax, jnp, embeds, detail):
         if lanes is None:
             continue
         try:
-            t_llm, n_videos = best_of_2(run_e2e, b, params, "int8", lanes)
+            t_llm, n_videos, (t_ext, t_dec) = best_of_2(
+                run_e2e, b, params, "int8", lanes)
             detail["e2e_llm_batch"] = b
             detail["e2e_extend_lanes"] = lanes
+            detail["e2e_extend_s"] = round(t_ext, 3)
+            detail["e2e_decode_s"] = round(t_dec, 3)
             break
         except Exception as e:  # noqa: BLE001 — likely HBM exhaustion
             print(f"[bench] e2e batch {b} failed ({str(e)[:120]}); "
@@ -581,6 +587,20 @@ def _llm_stage(jax, jnp, embeds, detail):
     detail["e2e_caption_tokens"] = CAPTION_TOKENS
     detail["e2e_llm_tokens_per_s"] = round(
         n_videos * CAPTION_TOKENS / t_llm, 1)
+    if detail.get("e2e_extend_s"):
+        # forward-only Megatron accounting (throughput_hook.py:133-142
+        # formula / 3 — no bwd) over the wave's prompt tokens, against
+        # the extend-phase WALL time (includes host scheduling + H2D:
+        # the honest serving number, not a kernel-only figure)
+        from aurora_tpu.train.metrics import megatron_flops_per_token
+        fl = megatron_flops_per_token(
+            cfg.hidden_size, cfg.num_hidden_layers, cfg.vocab_size,
+            prompt_len, intermediate=cfg.intermediate_size) / 3.0
+        detail["prefill_tflops_per_device"] = round(
+            n_videos * prompt_len * fl / detail["e2e_extend_s"] / 1e12,
+            1)
+        detail["prefill_mfu_pct"] = round(
+            detail["prefill_tflops_per_device"] / 197.0 * 100, 1)
     detail["e2e_kv_quant"] = "int8"
     detail["e2e_weight_quant"] = WEIGHT_QUANT
     emb_table.clear()
@@ -588,13 +608,13 @@ def _llm_stage(jax, jnp, embeds, detail):
     # steady-state b8/ctx1k decode: W8 weights, bf16 vs int8 KV (the
     # round-2 int8 regression's exact shape — both now run the fused
     # write+attend decode kernel)
-    def decode_stage(tag, kv_quant):
+    def decode_stage(tag, kv_quant, p):
         gc.collect()  # prior stage's rows must be gone before alloc
         ecfg_d = EngineConfig(max_batch=8, max_seq_len=1280,
                               num_slots=128, prefill_buckets=(1024,),
                               kv_chunk=256, decode_steps=32,
                               kv_quant=kv_quant)
-        eng = ServeEngine(params, cfg, ecfg_d)
+        eng = ServeEngine(p, cfg, ecfg_d)
 
         def batch(btag, n_new):
             return [Request(rid=f"{tag}{btag}{i}",
@@ -635,13 +655,39 @@ def _llm_stage(jax, jnp, embeds, detail):
     detail["backend"] = jax.default_backend()
     wtag = "w4" if WEIGHT_QUANT == "int4" else "w8"
     try:
-        decode_stage(wtag, "none")        # quantized W + bf16 KV
+        decode_stage(wtag, "none", params)   # quantized W + bf16 KV
     except Exception as e:  # noqa: BLE001
         detail[wtag + "_error"] = str(e)[:160]
     try:
-        decode_stage(wtag + "kv8", "int8")  # full quantized config
+        decode_stage(wtag + "kv8", "int8", params)  # full quant config
     except Exception as e:  # noqa: BLE001
         detail[wtag + "kv8_error"] = str(e)[:160]
+
+    # W8 attribution rungs (round-4 VERDICT #5: r04 carried only w4
+    # keys, so the quant chain bf16 → W8 → W4 had a hole). Fresh bf16
+    # init → int8 quantize REPLACES the W4 tree first — W8 (6.7GB) + W4
+    # (3.4GB) + 13.5GB bf16 source cannot coexist in 15.75GB.
+    if (WEIGHT_QUANT == "int4" and not TINY
+            and os.environ.get("BENCH_W8_RUNGS", "1") != "0"
+            and jax.default_backend() == "tpu" and _remaining() > 1400):
+        del params
+        gc.collect()
+        try:
+            p8 = init_llama_params(jax.random.PRNGKey(0), cfg,
+                                   jnp.bfloat16)
+            p8 = quantize_weights_int8(p8, free_source=True)
+            p8 = fuse_serving_weights(p8, free_source=True)
+            gc.collect()
+            _sync(p8["layers"]["qkv"])
+            for tag, kvq in (("w8", "none"), ("w8kv8", "int8")):
+                try:
+                    decode_stage(tag, kvq, p8)
+                except Exception as e:  # noqa: BLE001
+                    detail[tag + "_error"] = str(e)[:160]
+            params = p8   # the bf16 rung below dels `params`
+        except Exception as e:  # noqa: BLE001
+            detail["w8_rungs_error"] = str(e)[:160]
+            params = None
 
     # bf16 e2e rung (round-3 VERDICT #3): the attribution baseline that
     # makes the W4+int8KV headline's speedup + quality cost
@@ -670,7 +716,7 @@ def _llm_stage(jax, jnp, embeds, detail):
                     detail["bf16_rung_error"] = f"b{b} fails aot_fit"
                     continue
                 try:
-                    t_bf16, n_bf16 = best_of_2(run_e2e, b, p16, "none")
+                    t_bf16, n_bf16, _ = best_of_2(run_e2e, b, p16, "none")
                     detail["e2e_bf16_llm_batch"] = b
                     detail["e2e_bf16_llm_s"] = round(t_bf16, 3)
                     detail["e2e_bf16_videos"] = n_bf16

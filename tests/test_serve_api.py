@@ -393,7 +393,7 @@ def test_decode_stats_endpoint(served):
         assert r.status == 200
         body = await r.json()
         assert set(body) == {"running", "queued", "slot_usage",
-                             "gen_tokens_per_s"}
+                             "gen_tokens_per_s", "extend_s", "decode_s"}
         assert body["running"] == 0 and body["queued"] == 0
         return True
 
