@@ -27,7 +27,7 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--ctx", type=int, default=1024)
     ap.add_argument("--weight-quant", default="int8",
-                    choices=["int8", "none"])
+                    choices=["int8", "int4", "none"])
     ap.add_argument("--kv-quant", default="int8", choices=["int8", "none"])
     ap.add_argument("--tiny", action="store_true",
                     help="tiny config (CPU smoke of the harness itself)")
@@ -38,6 +38,7 @@ def main():
 
     from aurora_tpu.models.llama import LlamaConfig, init_llama_params
     from aurora_tpu.serve.engine import (EngineConfig, ServeEngine,
+                                         quantize_weights_int4,
                                          quantize_weights_int8, _wdot)
     from aurora_tpu.serve.scheduler import Request
 
@@ -46,6 +47,8 @@ def main():
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
     if args.weight_quant == "int8":
         params = quantize_weights_int8(params, free_source=True)
+    elif args.weight_quant == "int4":
+        params = quantize_weights_int4(params, free_source=True)
     K, B = args.steps, args.batch
     out = {"B": B, "ctx": args.ctx, "K": K, "wq": args.weight_quant,
            "kvq": args.kv_quant}
