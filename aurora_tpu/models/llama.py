@@ -481,7 +481,18 @@ def llama_apply(params: Params, cfg: LlamaConfig, *,
                            segment_ids, cache_len, use_flash, sp_attn)
         return h, (ck, cv) if kv_cache is not None else None
 
-    body = jax.checkpoint(scan_fn) if remat else scan_fn
+    if remat:
+        # remat may name a jax.checkpoint_policies member (VERDICT r4
+        # #7: full remat recomputes the matmuls too — dots_saveable /
+        # dots_with_no_batch_dims_saveable keep MXU outputs and
+        # recompute only the cheap elementwise ops, the selective
+        # activation checkpointing the reference trains with,
+        # llava_train_sp.py:836-841); True/'full' = recompute all
+        policy = (getattr(jax.checkpoint_policies, remat)
+                  if isinstance(remat, str) and remat != "full" else None)
+        body = jax.checkpoint(scan_fn, policy=policy)
+    else:
+        body = scan_fn
     if kv_cache is not None:
         xs = (params["layers"], kv_cache["k"][first_k:],
               kv_cache["v"][first_k:])

@@ -337,8 +337,13 @@ def vit_encode(params: Params, pixel_values: jnp.ndarray, cfg: ViTConfig,
     size = None
     layer_fn = _encoder_layer
     if remat:
+        # remat may name a jax.checkpoint_policies member (see
+        # llama_apply); True/'full' recomputes everything
+        policy = (getattr(jax.checkpoint_policies, remat)
+                  if isinstance(remat, str) and remat != "full" else None)
         layer_fn = jax.checkpoint(_encoder_layer,
-                                  static_argnums=(3, 4, 5))
+                                  static_argnums=(3, 4, 5),
+                                  policy=policy)
     for li, lp in enumerate(params["layers"]):
         hidden_states.append(x)
         x, size = layer_fn(lp, x, size, sched[li].r, cfg, act)

