@@ -79,6 +79,13 @@ def main():
     p.add_argument("--prefetch", type=int, default=2,
                    help="in-flight batches (2 = double buffering)")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--remat-policy", default=None,
+                   help="jax.checkpoint_policies name for selective "
+                        "activation checkpointing (e.g. "
+                        "dots_with_no_batch_dims_saveable: keep MXU "
+                        "outputs, recompute elementwise — ~10%% faster "
+                        "steps than full remat at 7B shapes for a "
+                        "modest memory cost); default: full remat")
     p.add_argument("--float32", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -160,6 +167,9 @@ def main():
 
     # ---- state
     tcfg = stage.train
+    if args.remat_policy:
+        import dataclasses as _dc
+        tcfg = _dc.replace(tcfg, remat_policy=args.remat_policy)
     ckpt_dir = os.path.join(args.work_dir, "checkpoints")
     start = 0
     use_lora = args.lora_r > 0
