@@ -213,11 +213,22 @@ def _vit_stage(jax, jnp, detail):
               f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr)
 
         def fetch(path):
-            # worker-thread host stage: load + sample FRAMES only —
-            # returns RAW host uint8 [F, H, W, 3]; geometry runs inside
-            # enc on device, H2D ships ONE batch per dispatch group
-            # (below), never per clip
-            return np.asarray(read_video(path, FRAMES))[:FRAMES]
+            # worker-thread host stage: load + sample FRAMES + a
+            # center-SQUARE crop (a strided copy, no resample — ~0 host
+            # CPU). The device bicubic then maps the square EXACTLY
+            # onto the 378-crop: resize-shortest-then-center-crop ==
+            # center-square-then-resize in geometry (scale 378/360
+            # makes the crop ranges coincide; only the resampler's
+            # border clamping differs, a ~2px ring). Ships 3.1MB/video
+            # — FEWER bytes than the r04 host-resampled path (3.4MB)
+            # and 1.8x less than raw frames (r5b's +302% overlap run
+            # shipped 5.5MB/video through a congested relay).
+            f = np.asarray(read_video(path, FRAMES))[:FRAMES]
+            H, W = f.shape[1:3]
+            s = min(H, W)
+            top, left = (H - s) // 2, (W - s) // 2
+            return np.ascontiguousarray(
+                f[:, top:top + s, left:left + s])
 
         # untimed serial pass: page-cache warm + per-video host cost
         t0 = time.perf_counter()
@@ -636,6 +647,7 @@ def _llm_stage(jax, jnp, embeds, detail):
               f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
         def one(btag):
+            eng.t_extend_s = eng.t_decode_s = 0.0
             t0 = time.perf_counter()
             for r in batch(btag, 160):
                 eng.add_request(r)
@@ -644,13 +656,21 @@ def _llm_stage(jax, jnp, embeds, detail):
                 done.extend(eng.step())
             t = time.perf_counter() - t0
             _check_outputs(done, 8, 160)  # see run_e2e
-            return t
+            return t, eng.t_extend_s, eng.t_decode_s
 
-        t = min(one("p1"), one("p2"))
+        t, t_ext, t_dec = min(one("p1"), one("p2"), key=lambda r: r[0])
         detail[f"decode_tokens_per_s_b8_ctx1k_{tag}"] = round(
             8 * 160 / t, 1)
+        # the wall metric (kept for r01-r04 comparability) amortizes
+        # the 8x1024-token prefill into the "per-step" figure (~1.5s of
+        # MXU-bound extend over 160 steps ≈ +9ms/step); the _pure key
+        # is the engine-timer decode phase alone — the number the
+        # <=14ms VERDICT target is about
         detail[f"decode_ms_per_step_b8_ctx1k_{tag}"] = round(
             t / 160 * 1e3, 2)
+        detail[f"decode_ms_per_step_b8_ctx1k_{tag}_pure"] = round(
+            t_dec / 160 * 1e3, 2)
+        detail[f"decode_prefill_s_b8_ctx1k_{tag}"] = round(t_ext, 3)
 
     detail["backend"] = jax.default_backend()
     wtag = "w4" if WEIGHT_QUANT == "int4" else "w8"
@@ -817,7 +837,11 @@ def _train_stage(jax, jnp, detail):
         detail[f"train_step_ms_{rp or 'full'}"] = round(t_rp * 1e3, 1)
         if t is None or t_rp < t:
             t, best_policy = t_rp, rp
-        # free this policy's donated state/opt before the next compile
+        # the step DONATES its input state — the original `params`
+        # buffers are consumed by the first policy's first step, so the
+        # next policy must build from the state's LIVE output params
+        # (r5b run: policy 2 died with "Array has been deleted")
+        params = state.params
         del state, opt, step
         import gc as _gc
         _gc.collect()

@@ -320,3 +320,26 @@ def test_device_resize_crop_matches_pil():
     got2 = np.asarray(clip_resize_crop_device(jnp.asarray(sq),
                                               size=112, crop=112))
     np.testing.assert_allclose(got2, want2.astype(np.float32), atol=0)
+    # host center-SQUARE crop + device resize (the bench's cheap-host
+    # split): geometrically identical to resize-shortest-then-crop
+    # WHEN the crop offset lands on integer source coordinates — true
+    # for the bench's 360x640 -> 378 (147 * 640/672 = exactly 140),
+    # NOT for arbitrary sizes (the serving path keeps the full-frame
+    # order). Device-vs-device: only the resampler's border clamping
+    # may differ, and on an upscale its support is ~2px.
+    yy2, xx2 = np.mgrid[0:360, 0:640].astype(np.float32)
+    fr2 = np.stack([127 + 120 * np.sin(xx2 / 37.0) * np.cos(yy2 / 29.0),
+                    127 + 110 * np.cos(xx2 / 53.0),
+                    127 + 100 * np.sin((xx2 + yy2) / 71.0)], axis=-1)
+    fr2 = np.clip(np.round(fr2), 0, 255).astype(np.uint8)[None]
+    full3 = np.asarray(jax.jit(
+        lambda f: clip_resize_crop_device(f, size=378, crop=378))(
+        jnp.asarray(fr2)))
+    sq3 = fr2[:, :, (640 - 360) // 2:(640 + 360) // 2, :]
+    got3 = np.asarray(jax.jit(
+        lambda f: clip_resize_crop_device(f, size=378, crop=378))(
+        jnp.asarray(sq3)))
+    inner = (slice(None), slice(4, -4), slice(4, -4), slice(None))
+    diff3 = np.abs(got3[inner] - full3[inner])
+    assert diff3.max() <= 1.0, diff3.max()
+    assert diff3.mean() <= 0.02, diff3.mean()
