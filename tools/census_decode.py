@@ -90,9 +90,11 @@ def main():
     pos = jnp.asarray([args.ctx + 2] * B, jnp.int32)
     key = jax.random.PRNGKey(1)
 
-    lowered = eng._decode_block_fn.lower(
+    from aurora_tpu.serve import engine as E
+    lowered = E._decode_block.lower(
         eng.params, eng.rows, eng.counts, eng.seen, tok, pos, act,
-        samp, key, K=K, all_greedy=True, want_logprobs=False)
+        samp, key, cfg=cfg, chunk=min(ecfg.kv_chunk, ecfg.s_row),
+        K=K, all_greedy=True, want_logprobs=False)
     comp = lowered.compile()
 
     ca = comp.cost_analysis()
