@@ -43,7 +43,9 @@ def probe(tag, fn):
         return None
 
 
-MASK = jnp.int32(0xF0F0F0F0 - (1 << 32))     # sign-correct constant
+# plain Python int (sign-correct for int32): a module-level jnp scalar
+# would be a device array the Pallas kernel "captures" — rejected
+MASK = 0xF0F0F0F0 - (1 << 32)
 
 
 def _mask_unpack(pk):
