@@ -160,8 +160,9 @@ def _kernel_w4a8(he_ref, ho_ref, s_a_ref, pk_ref, sw_ref, out_ref,
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    pk = pk_ref[...]                               # [bk, bn] int8
-    bk, bn = pk.shape
+    pk = pk_ref[...]                  # [bk, bn] (flat) or [1, 1, bk, bn]
+    bk, bn = pk.shape[-2], pk.shape[-1]
+    pk = pk.reshape(bk, bn)
     gk = bk // gh
     # int8 SHIFTS crash this backend's Mosaic compiler (probe round 1:
     # tpu_compile_helper exit 1 on any int8 shift; int8 dots/reshapes/
@@ -176,7 +177,7 @@ def _kernel_w4a8(he_ref, ho_ref, s_a_ref, pk_ref, sw_ref, out_ref,
     p_hi = jax.lax.dot_general(ho_ref[...], hi.reshape(gk, gh, bn), dn,
                                preferred_element_type=jnp.int32)
     part = p_lo + p_hi
-    sw = sw_ref[...]                               # [gk, bn] f32
+    sw = sw_ref[...].reshape(gk, bn)               # [gk, bn] f32
     acc_ref[...] += jnp.sum(part.astype(jnp.float32) * sw[:, None, :],
                             axis=0)
 
@@ -243,6 +244,107 @@ def w4a8_matmul(h: jnp.ndarray, pk: jnp.ndarray, s_w: jnp.ndarray, *,
                    if interpret is None else interpret),
     )(he, ho, s_a.astype(jnp.float32), pk.reshape(G * gh, N),
       s_w.reshape(G, N).astype(jnp.float32))
+    return out[:B]
+
+
+def w4_tile_layout(pk: jnp.ndarray, s_w: jnp.ndarray, *,
+                   block_n: int | None = None, budget: int = 3 << 20):
+    """Engine W4 layout ([G, g/2, N] packed + [G, 1, N] scales, optional
+    leading layer-stack dim) → the tile-contiguous decode layout:
+
+      pkt [Nb, Kb, bk, bn] int8,  swt [Nb, Gb, gk, bn] f32
+
+    where each (j, k) grid block of the kernel is ONE contiguous HBM
+    stripe. The flat layout reads every (bk, bn) block as a strided DMA
+    of bn-byte bursts (stride N up to 22016) — TPU-measured 389GB/s on
+    the fused 7B decode stream vs ~530GB/s for the same-shape W8 dots;
+    pre-tiling once at quantize time converts those into single ~1-3MB
+    contiguous reads. Geometry (bn, bk) is a pure function of the
+    shapes, recomputed identically by the matmul (shapes self-describe:
+    gh = bk // gk, G = Gb*gk, N = Nb*bn)."""
+    if pk.ndim == 4:                       # [L, G, g/2, N] layer stack
+        L, G, gh, N = pk.shape
+        bn = block_n if block_n is not None else (512 if N % 512 == 0
+                                                  else 256)
+        bk = _w4_block_k(G, gh, bn, budget)
+        gk = bk // gh
+        K2 = G * gh
+        pkt = (pk.reshape(L, K2 // bk, bk, N // bn, bn)
+               .transpose(0, 3, 1, 2, 4))
+        swt = (s_w.reshape(L, G // gk, gk, N // bn, bn)
+               .astype(jnp.float32).transpose(0, 3, 1, 2, 4))
+        return pkt, swt
+    G, gh, N = pk.shape
+    bn = block_n if block_n is not None else (512 if N % 512 == 0
+                                              else 256)
+    assert N % bn == 0, (pk.shape, bn)
+    bk = _w4_block_k(G, gh, bn, budget)
+    gk = bk // gh
+    K2 = G * gh
+    pkt = pk.reshape(K2 // bk, bk, N // bn, bn).transpose(2, 0, 1, 3)
+    swt = (s_w.reshape(G // gk, gk, N // bn, bn).astype(jnp.float32)
+           .transpose(2, 0, 1, 3))
+    return pkt, swt
+
+
+def w4_untile_layout(pkt: jnp.ndarray, swt: jnp.ndarray):
+    """Inverse of w4_tile_layout for one layer: (pkt, swt) → the engine
+    ([G, g/2, N], [G, 1, N]) layout — a pure XLA transpose expression
+    for the paths that want flat weights (prefill bf16 dequant; CPU)."""
+    Nb, Kb, bk, bn = pkt.shape
+    gk = swt.shape[2]
+    gh = bk // gk
+    K2, N = Kb * bk, Nb * bn
+    G = K2 // gh
+    pk = pkt.transpose(1, 2, 0, 3).reshape(K2, N).reshape(G, gh, N)
+    s_w = swt.transpose(1, 2, 0, 3).reshape(G, 1, N)
+    return pk, s_w
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def w4a8_matmul_tiled(h: jnp.ndarray, pkt: jnp.ndarray,
+                      swt: jnp.ndarray, *, out_dtype=jnp.bfloat16,
+                      interpret=None):
+    """w4a8_matmul over the tile-contiguous layout (w4_tile_layout).
+
+    Same kernel math (exact _w4dot numerics, parity-tested); the only
+    change is the weight/scale BlockSpecs: every grid block is one
+    contiguous HBM read instead of a strided burst train. B pads to the
+    next sublane multiple (8) rather than the fixed 32 — at decode B=8
+    the 32-pad spent 4x the MACs/VMEM for nothing (TPU-measured
+    8.33ms vs 8.73ms on the fused 7B stream)."""
+    B, K = h.shape
+    Nb, Kb, bk, bn = pkt.shape
+    gk = swt.shape[2]
+    gh = bk // gk
+    K2, N = Kb * bk, Nb * bn
+    G = K2 // gh
+    assert 2 * K2 == K, (h.shape, pkt.shape)
+    h8, s_a = quantize_activations(h)
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        h8 = jnp.pad(h8, ((0, Bp - B), (0, 0)))
+        s_a = jnp.pad(s_a, ((0, Bp - B), (0, 0)))
+    he = h8[:, 0::2].reshape(Bp, G, gh).transpose(1, 0, 2)
+    ho = h8[:, 1::2].reshape(Bp, G, gh).transpose(1, 0, 2)
+    out = pl.pallas_call(
+        functools.partial(_kernel_w4a8, gh=gh),
+        grid=(Nb, Kb),
+        in_specs=[
+            pl.BlockSpec((gk, Bp, gh), lambda j, k: (k, 0, 0)),   # he
+            pl.BlockSpec((gk, Bp, gh), lambda j, k: (k, 0, 0)),   # ho
+            pl.BlockSpec((Bp, 1), lambda j, k: (0, 0)),           # s_a
+            pl.BlockSpec((1, 1, bk, bn), lambda j, k: (j, k, 0, 0)),
+            pl.BlockSpec((1, 1, gk, bn), lambda j, k: (j, k, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((Bp, bn), lambda j, k: (0, j)),
+        out_shape=jax.ShapeDtypeStruct((Bp, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=(jax.default_backend() != "tpu"
+                   if interpret is None else interpret),
+    )(he, ho, s_a.astype(jnp.float32), pkt, swt)
     return out[:B]
 
 

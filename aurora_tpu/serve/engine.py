@@ -255,12 +255,27 @@ def _w4dot(h, pk, s):
     is MXU-compute-bound, not weight-stream-bound — so the weights
     dequantize to bf16 per layer (transient ≤ a few hundred MB, freed
     before the next layer) and the dot runs plain bf16. Exact same
-    grouped dequant values; no activation quantization on this path."""
+    grouped dequant values; no activation quantization on this path.
+
+    pk.ndim == 4 is the TILE-CONTIGUOUS layout (_w4_tile_params /
+    ops/pallas/quant_matmul.py w4_tile_layout): decode reads it via the
+    tiled Pallas kernel (every weight block one contiguous HBM stripe);
+    prefill reconstructs the flat view with a transpose expression
+    (noise next to the bf16 dequant transient it already pays)."""
     lead, D = h.shape[:-1], h.shape[-1]
-    G, gh, O = pk.shape
     n_tok = 1
     for dim in lead:
         n_tok *= dim
+    if pk.ndim == 4:                       # tiled [Nb, Kb, bk, bn]
+        from aurora_tpu.ops.pallas.quant_matmul import (
+            w4_untile_layout, w4a8_matmul_tiled)
+        if (n_tok <= _W4_GROUPED_MAX_TOKENS
+                and os.environ.get("AURORA_W4_PALLAS", "1") != "0"):
+            out = w4a8_matmul_tiled(h.reshape(-1, D), pk, s,
+                                    out_dtype=h.dtype)
+            return out.reshape(*lead, pk.shape[0] * pk.shape[3])
+        pk, s = w4_untile_layout(pk, s)
+    G, gh, O = pk.shape
     if (n_tok <= _W4_GROUPED_MAX_TOKENS and O % 256 == 0
             and jax.default_backend() == "tpu"
             and os.environ.get("AURORA_W4_PALLAS", "1") != "0"):
@@ -553,6 +568,39 @@ def quantize_weights_int4(params: Params, free_source: bool = False,
         out["lm_head"], out["lm_head_scale"] = _w8(params["lm_head"])
         if free_source:
             params["lm_head"] = None
+    return out
+
+
+def _w4_tile_params(params: Params) -> Params:
+    """Re-lay out every eligible W4 stack ([L, G, g/2, O] packed int4 +
+    '<name>_scale4') into the tile-contiguous decode layout
+    (ops/pallas/quant_matmul.py w4_tile_layout — [L, Nb, Kb, bk, bn]):
+    one transpose per stack at engine init so every decode-step weight
+    block is a single contiguous HBM read instead of a strided train of
+    bn-byte bursts. Same bytes, same numerics (_w4dot reconstructs the
+    flat view for prefill); idempotent; names whose output dim the
+    kernel cannot tile (O % 256 != 0) stay flat. AURORA_W4_TILED=0
+    keeps the flat layout (the pre-round-5 behavior)."""
+    from aurora_tpu.ops.pallas.quant_matmul import (_w4_block_k,
+                                                    w4_tile_layout)
+    out = dict(params)
+    layers = dict(params.get("layers", {}))
+    for name in list(layers):
+        if not name.endswith("_scale4"):
+            continue
+        base = name[:-len("_scale4")]
+        pk = layers.get(base)
+        if pk is None or pk.ndim != 4:     # absent or already tiled
+            continue
+        L, G, gh, O = pk.shape
+        if O % 256 != 0:
+            continue
+        bn = 512 if O % 512 == 0 else 256
+        if _w4_block_k(G, gh, bn) % 8:     # Mosaic sublane alignment
+            continue
+        layers[base], layers[name] = w4_tile_layout(pk, layers[name],
+                                                    block_n=bn)
+    out["layers"] = layers
     return out
 
 
@@ -1153,6 +1201,13 @@ class ServeEngine:
         # weights (OOM for a bf16 7B), and freeing here would mutate
         # trees callers may reuse. The forward transparently supports
         # both fused and per-name layouts.
+        if ecfg.tp == 1 and \
+                os.environ.get("AURORA_W4_TILED", "1") != "0" and \
+                any(k.endswith("_scale4")
+                    for k in params.get("layers", {})):
+            # W4 decode layout: tile the packed stacks for contiguous
+            # per-block HBM reads (one transpose per stack, same bytes)
+            self.params = params = _w4_tile_params(params)
         quant = ecfg.kv_quant == "int8"
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
                            quant=quant)
@@ -1355,6 +1410,11 @@ class ServeEngine:
         if "qkv" in self.params.get("layers", {}) and \
                 "qkv" not in new_params.get("layers", {}):
             new_params = fuse_serving_weights(new_params)
+        live = self.params.get("layers", {})
+        if any(k.endswith("_scale4") and live[k[:-7]].ndim == 5
+               for k in live if k[:-7] in live):
+            # live tree holds the tiled W4 layout — match it
+            new_params = _w4_tile_params(new_params)
         old = self.params
         try:
             paths_old = jax.tree_util.tree_leaves_with_path(old)

@@ -548,6 +548,13 @@ def _llm_stage(jax, jnp, embeds, detail):
                 else quantize_weights_int8)
     params = quantize(params, free_source=True)
     params = fuse_serving_weights(params, free_source=True)
+    if WEIGHT_QUANT == "int4":
+        # tile HERE (engine init would do it too) so the AOT fit oracle
+        # lowers the exact program the engine will run — the tiled tree
+        # has the same bytes but different extend temps (the prefill
+        # path reconstructs the flat view with a per-layer transpose)
+        from aurora_tpu.serve.engine import _w4_tile_params
+        params = _w4_tile_params(params)
     gc.collect()
     _sync(params["layers"]["qkv"])   # quantize/fuse must complete (and
     # the bf16 sources actually free) before engine rows allocate

@@ -92,6 +92,77 @@ def test_w4a8_matches_engine_w4dot(rng):
     assert not np.any(np.isnan(np.asarray(out3, np.float32)))
 
 
+def test_w4_tile_layout_roundtrip_and_kernel_parity(rng):
+    """The tile-contiguous decode layout is a pure relayout: untile
+    inverts tile exactly, and w4a8_matmul_tiled == w4a8_matmul ==
+    _w4dot bit-for-bit intent (same int8/f32 math, different DMA
+    geometry)."""
+    from aurora_tpu.ops.pallas.quant_matmul import (w4_tile_layout,
+                                                    w4_untile_layout,
+                                                    w4a8_matmul,
+                                                    w4a8_matmul_tiled)
+    from aurora_tpu.serve.engine import _w4, _w4dot
+
+    B, K, N, g = 5, 512, 768, 128
+    w = jnp.asarray(rng.standard_normal((1, K, N)), jnp.float32)
+    pk, s = _w4(w, group=g)
+    pk, s = pk[0], s[0]
+
+    pkt, swt = w4_tile_layout(pk, s, block_n=256)
+    pk2, s2 = w4_untile_layout(pkt, swt)
+    np.testing.assert_array_equal(np.asarray(pk2), np.asarray(pk))
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s, np.float32),
+                               rtol=0, atol=0)
+
+    h = jnp.asarray(rng.standard_normal((B, K)), jnp.float32)
+    want = np.asarray(w4a8_matmul(h, pk, s, block_n=256,
+                                  out_dtype=jnp.float32, interpret=True))
+    got = w4a8_matmul_tiled(h, pkt, swt, out_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=0, atol=1e-5)
+
+    # multi-k-tile geometry (bk < K/2): force via a small budget
+    pkt2, swt2 = w4_tile_layout(pk, s, block_n=256, budget=g // 2 * 256)
+    assert pkt2.shape[1] > 1                       # >1 k tile
+    got2 = w4a8_matmul_tiled(h, pkt2, swt2, out_dtype=jnp.float32,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), want, rtol=0, atol=1e-5)
+
+    # _w4dot consumes the tiled layout directly on both paths:
+    # decode (<=64 tokens -> tiled kernel) and prefill (untile + bf16
+    # dequant dot)
+    got3 = _w4dot(h, pkt, swt)
+    np.testing.assert_allclose(np.asarray(got3, np.float32), want,
+                               rtol=2e-2, atol=2e-2)
+    h_many = jnp.asarray(rng.standard_normal((80, K)), jnp.bfloat16)
+    flat_many = np.asarray(_w4dot(h_many, pk, s), np.float32)
+    tiled_many = np.asarray(_w4dot(h_many, pkt, swt), np.float32)
+    np.testing.assert_allclose(tiled_many, flat_many, rtol=1e-2,
+                               atol=1e-2)
+
+
+def test_w4_tile_params_stack_and_eligibility(rng):
+    """_w4_tile_params tiles eligible layer stacks (O % 256 == 0) into
+    [L, Nb, Kb, bk, bn], skips ineligible names, and is idempotent."""
+    from aurora_tpu.serve.engine import _w4, _w4_tile_params
+
+    L, K, N, g = 2, 256, 512, 128
+    w = jnp.asarray(rng.standard_normal((L, K, N)), jnp.float32)
+    pk, s = _w4(w, group=g)
+    w_bad = jnp.asarray(rng.standard_normal((L, K, 192)), jnp.float32)
+    pk_b, s_b = _w4(w_bad, group=g)
+    params = {"layers": {"q": pk, "q_scale4": s,
+                         "odd": pk_b, "odd_scale4": s_b}}
+    out = _w4_tile_params(params)
+    lay = out["layers"]
+    assert lay["q"].ndim == 5 and lay["q_scale4"].ndim == 5
+    assert lay["q"].shape[0] == L
+    assert lay["q"].nbytes == pk.nbytes            # same bytes
+    assert lay["odd"].ndim == 4                    # O=192 stays flat
+    again = _w4_tile_params(out)["layers"]
+    assert again["q"].shape == lay["q"].shape      # idempotent
+
+
 def test_w8a8_matches_dequant_reference(rng):
     """w8a8_matmul == dequant(h8) @ dequant(w8) for the engine's W8A8
     conventions (per-token activation scales, per-output-channel weight

@@ -669,6 +669,62 @@ def test_engine_int4_weights(tiny_engine, rng):
     assert done2["w4b"].output_ids[0] == int(jnp.argmax(ref[0, -1]))
 
 
+def test_engine_int4_tiled_layout(rng):
+    """The tile-contiguous W4 decode layout (engine init relayouts every
+    eligible packed stack; _w4dot reads it via the tiled Pallas kernel
+    for decode and reconstructs the flat view for prefill) serves the
+    same greedy tokens as the flat layout, and update_weights matches
+    the live tiled tree."""
+    import dataclasses as dc
+    import os
+
+    from aurora_tpu.serve.engine import quantize_weights_int4
+
+    # dims divisible by 256 so every projection tiles (tiny() at 64/128
+    # is ineligible and exercises only the skip path)
+    cfg = LlamaConfig(vocab_size=128, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg,
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        weight_quant="int4")
+    qp = quantize_weights_int4(params)
+    ids = [int(x) for x in rng.integers(3, 120, size=12)]
+
+    def run(p):
+        engine = ServeEngine(p, cfg, ecfg)
+        done = _run_engine(engine, [Request(
+            rid="t", input_ids=list(ids), max_new_tokens=6,
+            eos_ids=(-1,))])
+        assert engine.check_memory()["leaked"] == 0
+        return engine, done["t"].output_ids
+
+    engine_t, out_tiled = run(dict(qp))
+    lay = engine_t.params["layers"]
+    for name in ("q", "k", "v", "o", "gate", "up", "down"):
+        assert lay[name].ndim == 5, name            # [L, Nb, Kb, bk, bn]
+        assert lay[name + "_scale4"].ndim == 5, name
+
+    os.environ["AURORA_W4_TILED"] = "0"
+    try:
+        jax.clear_caches()
+        engine_f, out_flat = run(dict(qp))
+        assert engine_f.params["layers"]["q"].ndim == 4   # stayed flat
+    finally:
+        del os.environ["AURORA_W4_TILED"]
+        jax.clear_caches()
+    assert out_tiled == out_flat
+
+    # live reload: incoming bf16/flat trees are quantized AND tiled to
+    # match the live tree (shape validation would reject flat)
+    ok, msg = engine_t.update_weights(params)
+    assert ok, msg
+    assert engine_t.params["layers"]["q"].ndim == 5
+
+
 def test_engine_sliding_window_matches_offline(rng):
     """Serving a sliding_window config (Mistral SWA) through the engine
     matches llama_apply's windowed semantics — prompts longer than the
