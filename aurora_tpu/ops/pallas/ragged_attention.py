@@ -437,10 +437,19 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
     @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo))
     def _compute():
         k_m, v_m, ks_m, vs_m = merged()
-        q = q_ref[0].astype(jnp.float32)                # [hb, QR, hd]
-        s = jax.lax.dot_general(q * scale, k_m.astype(jnp.float32),
+        # bf16 MXU dots with f32 accumulation on the production path —
+        # the same recipe as the extend kernel (int8 values ≤127 are
+        # EXACT in bf16; the f32 dots this kernel originally ran cost a
+        # 4-byte VPU convert per streamed KV byte and were the whole
+        # 546-vs-785GB/s gap to the extend kernel). fp32 only when the
+        # caller computes in fp32 (CPU tests).
+        cdt = (jnp.float32 if q_ref.dtype == jnp.float32
+               else jnp.bfloat16)
+        q = q_ref[0].astype(cdt)                        # [hb, QR, hd]
+        s = jax.lax.dot_general(q, k_m.astype(cdt),
                                 (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32
+                                ) * scale
         if quant:
             s = s * ks_m[:, None, :]
         if logit_cap > 0.0:  # Gemma2 attention softcapping
@@ -460,7 +469,7 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
             p = p * vs_m[:, None, :]
         acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
                       + jax.lax.dot_general(
-                          p, v_m.astype(jnp.float32),
+                          p.astype(cdt), v_m.astype(cdt),
                           (((2,), (1,)), ((0,), (0,))),
                           preferred_element_type=jnp.float32))
         m_ref[:, :, 0] = m_new
@@ -537,7 +546,11 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
         print(f"[ragged] decode hb={hb} chunk={chunk} "
               f"quant={quant}", file=_sys.stderr)
 
-    qh = q.reshape(B, Hkv, G, hd).astype(jnp.float32)
+    # bf16 q on the production path (the kernel computes bf16 MXU dots
+    # with f32 accumulation, like extend); fp32 only when the caller
+    # computes in fp32 (CPU tests)
+    qdt = jnp.float32 if q.dtype == jnp.float32 else jnp.bfloat16
+    qh = q.reshape(B, Hkv, G, hd).astype(qdt)
     if qr_pad != qr:
         qh = jnp.pad(qh, ((0, 0), (0, 0), (0, qr_pad - qr), (0, 0)))
 

@@ -964,6 +964,22 @@ def _samp_arrays(reqs, n, rows=None):
 # Compiled steps
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("idx", "ncs", "dtype"))
+def _assemble_wave_embeds(embed_tokens, ids, lanes, idx, ncs, dtype):
+    """One-dispatch wave embed assembly: the [Bk, T] text-id gather plus
+    every multimodal lane's (static) cached-prefix slice and splice,
+    fused into a single program. `lanes` is a tuple of [T_i, D] device
+    embeds; `idx`/`ncs` are static lane positions / n_cached offsets.
+    Eagerly these were 2 relay dispatches per lane (slice + DUS) at
+    ~10-30ms of relay latency each — pure overhead inside the timed
+    extend phase."""
+    embeds = jnp.take(embed_tokens, ids, axis=0).astype(dtype)
+    for j, i in enumerate(idx):
+        e = lanes[j][ncs[j]:].astype(dtype)
+        embeds = jax.lax.dynamic_update_slice(embeds, e[None], (i, 0, 0))
+    return embeds
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk"),
                    donate_argnums=(1,))
 def _extend_step(params, rows, embeds, row_ids, q_offsets,
@@ -1658,11 +1674,38 @@ class ServeEngine:
         return jnp.take(self.params["embed_tokens"], jnp.asarray(ids),
                         axis=0)
 
+    def _assemble_wave(self, ids, mm_lanes):
+        """[Bk, T, D] wave embeds. ≥2 multimodal lanes fuse the id
+        gather + every lane splice into ONE jitted dispatch — the eager
+        per-lane slice+DUS chain costs ~10-30ms of relay latency PER OP
+        (the decode operand-cache finding, 185e1b2), so a 16-lane wave
+        paid ~0.3-1s of pure dispatch before the extend kernel started.
+        Single-lane/text waves keep the eager path (the fused program
+        re-traces per lane-shape combo; chat traffic is shape-diverse
+        while batch-serving waves repeat one combo)."""
+        if len(mm_lanes) >= 2:
+            return _assemble_wave_embeds(
+                self.params["embed_tokens"], jnp.asarray(ids),
+                tuple(jnp.asarray(self.embed_fn(req))
+                      for _, req in mm_lanes),
+                idx=tuple(i for i, _ in mm_lanes),
+                ncs=tuple(req.n_cached for _, req in mm_lanes),
+                dtype=self.ecfg.kv_dtype)
+        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(ids),
+                          axis=0).astype(self.ecfg.kv_dtype)
+        for i, req in mm_lanes:
+            e = self._embeds_for(req, req.n_cached).astype(
+                self.ecfg.kv_dtype)
+            embeds = jax.lax.dynamic_update_slice(embeds, e[None],
+                                                  (i, 0, 0))
+        return embeds
+
     def _extend_wave(self, wave: List[Request]) -> None:
         """Batched multi-request prefill: ONE kernel call for all admitted
         requests (tp_worker.py:411-570 forward_prefill_batch parity).
         Embeds assemble ON DEVICE: text lanes via one [Bk, T] id lookup,
-        multimodal lanes spliced in with dynamic_update_slice."""
+        multimodal lanes spliced in (fused single dispatch ≥2 lanes —
+        _assemble_wave)."""
         T = self._bucket(max(r.extend_len_pending for r in wave))
         Bk = self._wave_bucket(len(wave))
         ids = np.zeros((Bk, T), np.int64)
@@ -1681,13 +1724,7 @@ class ServeEngine:
             row_ids[i] = req.batch_row
             offs[i] = req.n_cached
             lens[i] = req.n_cached + n_new
-        embeds = jnp.take(self.params["embed_tokens"], jnp.asarray(ids),
-                          axis=0).astype(self.ecfg.kv_dtype)
-        for i, req in mm_lanes:
-            e = self._embeds_for(req, req.n_cached).astype(
-                self.ecfg.kv_dtype)
-            embeds = jax.lax.dynamic_update_slice(embeds, e[None],
-                                                  (i, 0, 0))
+        embeds = self._assemble_wave(ids, mm_lanes)
         logits, self.rows = self._extend_fn(
             self.params, self.rows, embeds, jnp.asarray(row_ids),
             jnp.asarray(offs), jnp.asarray(lens))

@@ -269,6 +269,41 @@ def test_fused_decode_int8_quantizes_in_kernel():
                                    np.asarray(sv)[b], rtol=1e-5)
 
 
+def test_fused_decode_bf16_production_path():
+    """bf16 q selects the bf16-MXU dot path in the FUSED decode kernel
+    (the production dtype — the kernel originally ran f32 dots, a
+    4-byte VPU convert per streamed KV byte and the whole 546-vs-785
+    GB/s gap to the extend kernel); int8 values are exact in bf16, so
+    parity with the f32 oracle holds within bf16 rounding."""
+    from aurora_tpu.ops.pallas.ragged_attention import \
+        ragged_decode_attention
+    rng = np.random.default_rng(21)
+    L, B, Hkv, S, hd = 2, 2, 2, 128, 128
+    kf = rng.standard_normal((L, B, Hkv, S, hd)).astype(np.float32)
+    vf = rng.standard_normal((L, B, Hkv, S, hd)).astype(np.float32)
+    ks = np.maximum(np.abs(kf).max(-1), 1e-8) / 127.0
+    vs = np.maximum(np.abs(vf).max(-1), 1e-8) / 127.0
+    k8 = np.clip(np.round(kf / ks[..., None]), -127, 127).astype(np.int8)
+    v8 = np.clip(np.round(vf / vs[..., None]), -127, 127).astype(np.int8)
+    lens = jnp.asarray([60, 128], jnp.int32)
+    rows = jnp.arange(B, dtype=jnp.int32)
+    q32 = jnp.asarray(rng.standard_normal((B, 1, Hkv, hd)), jnp.float32)
+    k_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    v_new = jnp.asarray(rng.standard_normal((B, Hkv, hd)), jnp.float32)
+    got = ragged_decode_attention(
+        q32.astype(jnp.bfloat16), k_new.astype(jnp.bfloat16),
+        v_new.astype(jnp.bfloat16), jnp.asarray(k8), jnp.asarray(v8),
+        lens, rows, layer=0, chunk=128, k_scales=jnp.asarray(ks),
+        v_scales=jnp.asarray(vs))[0]
+    want = ragged_decode_attention(
+        q32, k_new, v_new, jnp.asarray(k8), jnp.asarray(v8), lens, rows,
+        layer=0, chunk=128, k_scales=jnp.asarray(ks),
+        v_scales=jnp.asarray(vs))[0]
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               atol=0.04, rtol=0.04)
+
+
 @pytest.mark.parametrize("T,G", [(512, 2), (384, 1)])
 def test_extend_long_t_query_blocks(T, G):
     """T > 256 activates the 2D query-block tiling (scoped-vmem fix):

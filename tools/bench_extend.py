@@ -25,6 +25,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--kv-quant", default="int8", choices=["int8", "none"])
+    ap.add_argument("--weight-quant", default="int8",
+                    choices=["int8", "int4"])
     ap.add_argument("--skip-step", action="store_true")
     args = ap.parse_args()
 
@@ -35,6 +37,7 @@ def main():
     from aurora_tpu.ops.pallas.ragged_attention import ragged_attention
     from aurora_tpu.serve.engine import (EngineConfig, ServeEngine,
                                          fuse_serving_weights,
+                                         quantize_weights_int4,
                                          quantize_weights_int8)
     from aurora_tpu.serve.scheduler import Request
 
@@ -45,6 +48,7 @@ def main():
     S = 1280
     quant = args.kv_quant == "int8"
     out = {"B": B, "T": T, "chunk": args.chunk, "kvq": args.kv_quant,
+           "wq": args.weight_quant,
            "qb": os.environ.get("AURORA_EXTEND_QB", "256")}
 
     def timed(tag, fn, warm=1, iters=4):
@@ -84,7 +88,9 @@ def main():
 
     # --- full engine extend wave ---------------------------------------
     params = init_llama_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
-    params = quantize_weights_int8(params, free_source=True)
+    quantize = (quantize_weights_int4 if args.weight_quant == "int4"
+                else quantize_weights_int8)
+    params = quantize(params, free_source=True)
     params = fuse_serving_weights(params, free_source=True)
     ecfg = EngineConfig(max_batch=B, max_seq_len=S, num_slots=128,
                         prefill_buckets=(T,), kv_chunk=args.chunk,
