@@ -45,7 +45,7 @@ def main():
     B, T = args.batch, args.t
     L, H, hd = (cfg.num_hidden_layers, cfg.num_attention_heads,
                 cfg.head_dim)
-    S = 1280
+    S = -(-max(1280, T + 128) // 256) * 256
     quant = args.kv_quant == "int8"
     out = {"B": B, "T": T, "chunk": args.chunk, "kvq": args.kv_quant,
            "wq": args.weight_quant,
