@@ -44,7 +44,7 @@ def main():
     p.add_argument("--block-steps", type=int, default=1,
                    help="decode steps fused into one compiled program "
                         "(EngineConfig.decode_steps)")
-    p.add_argument("--kv-quant", default="none", choices=["none", "int8"])
+    p.add_argument("--kv-quant", default="none", choices=["none", "int8", "int4"])
     p.add_argument("--weight-quant", default="none",
                    choices=["none", "int8", "int4"])
     p.add_argument("--dtype", default="bfloat16",

@@ -45,7 +45,7 @@ def main():
                    choices=["lpm", "fcfs", "lof", "random", "dfs-weight"])
     p.add_argument("--dtype", default="bfloat16",
                    choices=["bfloat16", "float32"])
-    p.add_argument("--kv-quant", default="none", choices=["none", "int8"],
+    p.add_argument("--kv-quant", default="none", choices=["none", "int8", "int4"],
                    help="int8 KV + per-token scales: ~half the decode "
                         "HBM traffic, ~2x batch*context per chip")
     p.add_argument("--weight-quant", default="none",

@@ -55,16 +55,39 @@ from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -2.3819763e38
 DEFAULT_CHUNK = 512
+# nibble-packed int4 KV: one int8 byte holds TWO tokens of the same
+# 256-token segment — token seg*256+j in the low nibble and
+# seg*256+j+128 in the high nibble (j < 128), i.e. packed row
+# seg*128+j. The pairing is confined to the kernel's own chunk so a
+# packed block splits into two half-chunk PLANES that reuse the
+# existing per-chunk compute verbatim (two online-softmax merges per
+# grid cell); every in-kernel op stays >=128-lane tile-aligned (int32
+# shifts + aligned value slices only — the ops the Mosaic feature
+# matrix probes proved safe; int8 shifts and sub-128 lane slicing are
+# deliberately avoided).
+PACK_SEG = 256
 
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _unpack_planes(x):
+    """int8 packed nibbles → (lo, hi) sign-extended int32 planes.
+    Accepts int8 or int32 input; masks to the low byte first so the
+    shift trick is correct for both."""
+    byte = jnp.bitwise_and(x.astype(jnp.int32), 0xFF)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(byte, 28), 28)
+    hi = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(byte, 24), 28)
+    return lo, hi
+
+
 def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
             q_ref, k_ref, v_ref, *rest,
             scale, chunk, t_q, qb, hb, quant, windowed, aligned,
-            logit_cap=0.0):
+            logit_cap=0.0, kv_pack=False):
     if quant:
         ks_ref, vs_ref, o_ref, acc_ref, m_ref, l_ref = rest
     else:
@@ -102,55 +125,112 @@ def _kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         cdt = (jnp.float32 if q_ref.dtype == jnp.float32
                else jnp.bfloat16)
         q = q_ref[0].astype(cdt)                   # [hb, qb, hd]
-        k = k_ref[0, 0].astype(cdt)                # [hb, chunk, hd]
-        s = jax.lax.dot_general(q, k,
-                                (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32
-                                ) * scale
-        if quant:
-            # per-key dequant applied on the LOGITS, where the key axis
-            # is the LANE dim. Scales block as [hb, chunk] (the buffer's
-            # own natural (Hkv, S) tile): a 5-d [hb, 1, chunk] block
-            # avoided this sublane broadcast in-kernel but forced a
-            # NON-default operand layout outside it — XLA relayout-
-            # copied the FULL [L,B,Hkv,S] scale planes every layer of
-            # the decode scan (2x33.5MB/layer at 7B, the whole int8-KV
-            # decode regression)
-            s = s * ks_ref[0, 0][:, None, :]
-        if logit_cap > 0.0:  # Gemma2 attention softcapping
-            s = logit_cap * jnp.tanh(s / logit_cap)
-        # head-independent [qb, chunk] mask (broadcast over hb) — the
-        # [hb, qr, chunk] iotas of the untiled kernel were what blew the
-        # 16MB scoped-vmem limit at T=1024
-        qr_ids = jax.lax.broadcasted_iota(jnp.int32, (qb, chunk), 0)
-        qpos = off + (b * qb + qr_ids) % t_q
-        spos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (qb, chunk), 1)
-        mask = (spos <= qpos) & (spos < ln)
-        if windowed:
-            # Mistral/Gemma2 SWA: key must lie within the last w
-            # positions of its query (spos > qpos - w)
-            mask &= (w <= 0) | (spos > qpos - w)
-        s = jnp.where(mask[None], s, _NEG_INF)
 
-        m_prev = m_ref[:, :, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
-        p = jnp.where(mask[None], jnp.exp(s - m_new[:, :, None]), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
-        v = v_ref[0, 0].astype(cdt)                # [hb, chunk, hd]
-        if quant:  # fold the per-key V scale into p (lane-wise, cheap)
-            p = p * vs_ref[0, 0][:, None, :]
-        acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
-                      + jax.lax.dot_general(
-                          p.astype(cdt), v, (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32))
-        m_ref[:, :, 0] = m_new
+        def plane(k, v, ks, vs, base, width):
+            """One key plane: `width` keys at token positions
+            c*chunk+base+[0,width) — the whole chunk when unpacked, a
+            half-chunk nibble plane when kv_pack. Sequential calls
+            merge through the online-softmax state (m/l/acc)."""
+            s = jax.lax.dot_general(q, k,
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            if quant:
+                # per-key dequant applied on the LOGITS, where the key
+                # axis is the LANE dim. Scales block as [hb, chunk]
+                # (the buffer's own natural (Hkv, S) tile): a 5-d
+                # [hb, 1, chunk] block avoided this sublane broadcast
+                # in-kernel but forced a NON-default operand layout
+                # outside it — XLA relayout-copied the FULL
+                # [L,B,Hkv,S] scale planes every layer of the decode
+                # scan (2x33.5MB/layer at 7B, the whole int8-KV decode
+                # regression)
+                s = s * ks[:, None, :]
+            if logit_cap > 0.0:  # Gemma2 attention softcapping
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            # head-independent [qb, width] mask (broadcast over hb) —
+            # the [hb, qr, chunk] iotas of the untiled kernel were what
+            # blew the 16MB scoped-vmem limit at T=1024
+            qr_ids = jax.lax.broadcasted_iota(jnp.int32, (qb, width), 0)
+            qpos = off + (b * qb + qr_ids) % t_q
+            spos = c * chunk + base + jax.lax.broadcasted_iota(
+                jnp.int32, (qb, width), 1)
+            mask = (spos <= qpos) & (spos < ln)
+            if windowed:
+                # Mistral/Gemma2 SWA: key must lie within the last w
+                # positions of its query (spos > qpos - w)
+                mask &= (w <= 0) | (spos > qpos - w)
+            s = jnp.where(mask[None], s, _NEG_INF)
+
+            m_prev = m_ref[:, :, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+            p = jnp.where(mask[None], jnp.exp(s - m_new[:, :, None]),
+                          0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:, :, 0] = (l_ref[:, :, 0] * alpha
+                              + jnp.sum(p, axis=2))
+            if quant:  # fold the per-key V scale into p (lane-wise)
+                p = p * vs[:, None, :]
+            acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
+                          + jax.lax.dot_general(
+                              p.astype(cdt), v,
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32))
+            m_ref[:, :, 0] = m_new
+
+        if kv_pack:
+            # nibble-packed int4: the [hb, chunk/2, hd] packed block
+            # splits into lo/hi half-chunk planes (see PACK_SEG)
+            half = chunk // 2
+            klo, khi = _unpack_planes(k_ref[0, 0])
+            vlo, vhi = _unpack_planes(v_ref[0, 0])
+            ks = ks_ref[0, 0]
+            vs = vs_ref[0, 0]
+            plane(klo.astype(cdt), vlo.astype(cdt),
+                  ks[:, :half], vs[:, :half], 0, half)
+            plane(khi.astype(cdt), vhi.astype(cdt),
+                  ks[:, half:], vs[:, half:], half, half)
+        else:
+            plane(k_ref[0, 0].astype(cdt), v_ref[0, 0].astype(cdt),
+                  ks_ref[0, 0] if quant else None,
+                  vs_ref[0, 0] if quant else None, 0, chunk)
 
     @pl.when(c == nc - 1)
     def _finalize():
         l = jnp.maximum(l_ref[:, :, 0], 1e-30)
         o_ref[0] = (acc_ref[:] / l[:, :, None]).astype(o_ref.dtype)
+
+
+def pack_int4_rows(q4):
+    """Token-space int8 grid values [..., S, hd] (each in [-7, 7]) →
+    nibble-packed rows [..., S/2, hd] with the PACK_SEG pairing (token
+    seg*256+j low nibble, seg*256+j+128 high). XLA-side helper for the
+    engine's extend/prefix write paths and test oracles; the kernels'
+    in-VMEM twin is _unpack_planes."""
+    *lead, S, hd = q4.shape
+    assert S % PACK_SEG == 0, (S,)
+    half = PACK_SEG // 2
+    x = q4.reshape(*lead, S // PACK_SEG, 2, half, hd)
+    lo = x[..., 0, :, :].astype(jnp.int32)
+    hi = x[..., 1, :, :].astype(jnp.int32)
+    b = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                       jnp.bitwise_and(jnp.left_shift(hi, 4), 0xF0))
+    return b.astype(jnp.int8).reshape(*lead, S // 2, hd)
+
+
+def unpack_int4_rows(pk):
+    """Inverse of pack_int4_rows: [..., S/2, hd] → [..., S, hd] int8."""
+    *lead, S2, hd = pk.shape
+    half = PACK_SEG // 2
+    assert S2 % half == 0, (S2,)
+    nseg = S2 // half
+    b = jnp.bitwise_and(pk.astype(jnp.int32), 0xFF)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(b, 28), 28).reshape(*lead, nseg, half, hd)
+    hi = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(b, 24), 28).reshape(*lead, nseg, half, hd)
+    out = jnp.concatenate([lo, hi], axis=-2)    # [..., nseg, 256, hd]
+    return out.reshape(*lead, 2 * S2, hd).astype(jnp.int8)
 
 
 def _pick_hb(Hkv: int, want: int) -> int:
@@ -208,7 +288,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
                      scale=None, chunk: int = DEFAULT_CHUNK,
                      k_scales=None, v_scales=None, window=None,
                      layer=None, head_block: int = 8,
-                     logit_cap: float = 0.0):
+                     logit_cap: float = 0.0, kv_pack: bool = False):
     """Causal attention of new tokens against row-contiguous KV.
 
     q:        [Bk, T, Hq, hd] — new-token queries for Bk batch lanes
@@ -254,8 +334,17 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     lay = jnp.asarray(layer, jnp.int32).reshape(1)
     if scale is None:
         scale = hd ** -0.5
-    chunk = min(chunk, S)
-    assert S % chunk == 0, (S, chunk)
+    if kv_pack:
+        # nibble-packed int4 rows: the buffer's S axis holds S/2 packed
+        # rows (PACK_SEG pairing); kernel positions stay in TOKEN space.
+        # chunk pins to PACK_SEG so a block is exactly one segment.
+        assert quant, "packed int4 KV requires per-token scales"
+        S = 2 * S
+        chunk = PACK_SEG
+        assert S % chunk == 0, (S, chunk)
+    else:
+        chunk = min(chunk, S)
+        assert S % chunk == 0, (S, chunk)
     qr = G * T
     # 2D flash tiling: query-row blocks of qb rows bound the kernel's
     # working set (the untiled kernel at T=1024 requested 21MB of
@@ -287,11 +376,14 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         qb = max(align, -(-(qb // 2) // align) * align)
     aligned = T % qb == 0
     qr_pad = -(-qr // qb) * qb
+    if kv_pack:
+        assert chunk == PACK_SEG, \
+            (chunk, "packed int4 KV needs chunk 256 (VMEM shrank it)")
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
         print(f"[ragged] extend hb={hb} qb={qb} qr_pad={qr_pad} "
-              f"chunk={chunk} quant={quant} aligned={aligned}",
-              file=_sys.stderr)
+              f"chunk={chunk} quant={quant} pack={kv_pack} "
+              f"aligned={aligned}", file=_sys.stderr)
 
     # [Bk, T, Hq, hd] → [Bk, Hkv, G*T, hd]
     qh = q.reshape(Bk, T, Hkv, G, hd).transpose(0, 2, 3, 1, 4)
@@ -331,10 +423,11 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
     def q_map(i, g, b, c, lens, offs, rows, win_arr, lay_arr):
         return (i, g, b, 0)
 
+    kc = chunk // 2 if kv_pack else chunk   # packed rows per block
     in_specs = [
         pl.BlockSpec((1, hb, qb, hd), q_map),
-        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
-        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
+        pl.BlockSpec((1, 1, hb, kc, hd), kv_map),
+        pl.BlockSpec((1, 1, hb, kc, hd), kv_map),
     ]
     operands = [qh, k_rows, v_rows]
     if quant:
@@ -356,7 +449,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
         functools.partial(_kernel, scale=float(scale), chunk=chunk,
                           t_q=T, qb=qb, hb=hb, quant=quant,
                           windowed=windowed, aligned=aligned,
-                          logit_cap=float(logit_cap)),
+                          logit_cap=float(logit_cap), kv_pack=kv_pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=grid,
@@ -380,7 +473,7 @@ def ragged_attention(q, k_rows, v_rows, kv_lens, q_offsets, row_ids, *,
 def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
                    q_ref, k_ref, v_ref, *rest,
                    scale, chunk, qr, hb, quant, windowed,
-                   logit_cap=0.0):
+                   logit_cap=0.0, kv_maxq=127.0, kv_pack=False):
     if quant:
         (ks_ref, vs_ref, kn_ref, vn_ref,
          o_ref, ok_ref, ov_ref, oks_ref, ovs_ref,
@@ -402,6 +495,52 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
+    def new_quantized():
+        """Quantize the new token in-kernel (the extend path's
+        _kv_quantize twin). Returns int32 grid values + scales."""
+        knf = kn_ref[0].astype(jnp.float32)             # [hb, hd]
+        vnf = vn_ref[0].astype(jnp.float32)
+        s_k = jnp.maximum(jnp.max(jnp.abs(knf), axis=-1),
+                          1e-8) / kv_maxq               # [hb]
+        s_v = jnp.maximum(jnp.max(jnp.abs(vnf), axis=-1),
+                          1e-8) / kv_maxq
+        k8 = jnp.clip(jnp.round(knf / s_k[:, None]), -kv_maxq, kv_maxq)
+        v8 = jnp.clip(jnp.round(vnf / s_v[:, None]), -kv_maxq, kv_maxq)
+        return k8, v8, s_k, s_v
+
+    def merged_scales(s_k, s_v):
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
+        sel_l = c * chunk + lane == off                 # [1, chunk]
+        ks_m = jnp.where(sel_l, s_k[:, None], ks_ref[0, 0])
+        vs_m = jnp.where(sel_l, s_v[:, None], vs_ref[0, 0])
+        return ks_m, vs_m
+
+    def merged_packed():
+        """Packed block (int32 byte form, low 8 bits live) with the new
+        token's NIBBLE merged at its (byte row, plane); the mate nibble
+        is preserved. Identity when this block doesn't contain off."""
+        half = chunk // 2
+        joff = off % chunk
+        in_c = c == off // chunk
+        sub = jax.lax.broadcasted_iota(jnp.int32, (1, half, 1), 1)
+        sel = in_c & (sub == joff % half)               # byte row
+        is_hi = joff >= half
+        k8, v8, s_k, s_v = new_quantized()
+
+        def merge(buf_ref, q8):
+            b8 = jnp.bitwise_and(buf_ref[0, 0].astype(jnp.int32), 0xFF)
+            nib = jnp.bitwise_and(q8.astype(jnp.int32), 0xF)[:, None, :]
+            lo_case = jnp.bitwise_or(jnp.bitwise_and(b8, 0xF0), nib)
+            hi_case = jnp.bitwise_or(jnp.bitwise_and(b8, 0x0F),
+                                     jax.lax.shift_left(nib, 4))
+            return jnp.where(sel, jnp.where(is_hi, hi_case, lo_case),
+                             b8)
+
+        pk_m = merge(k_ref, k8)
+        pv_m = merge(v_ref, v8)
+        ks_m, vs_m = merged_scales(s_k, s_v)
+        return pk_m, pv_m, ks_m, vs_m
+
     def merged():
         """Current chunk's K/V (+scales) with the new token merged in.
         Identity for chunks that don't contain `off` (mask empty)."""
@@ -409,22 +548,10 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         sel = c * chunk + sub == off                    # [1, chunk, 1]
         k_in, v_in = k_ref[0, 0], v_ref[0, 0]           # [hb, chunk, hd]
         if quant:
-            knf = kn_ref[0].astype(jnp.float32)         # [hb, hd]
-            vnf = vn_ref[0].astype(jnp.float32)
-            s_k = jnp.maximum(jnp.max(jnp.abs(knf), axis=-1),
-                              1e-8) / 127.0             # [hb]
-            s_v = jnp.maximum(jnp.max(jnp.abs(vnf), axis=-1),
-                              1e-8) / 127.0
-            k8 = jnp.clip(jnp.round(knf / s_k[:, None]), -127,
-                          127).astype(jnp.int8)
-            v8 = jnp.clip(jnp.round(vnf / s_v[:, None]), -127,
-                          127).astype(jnp.int8)
-            k_m = jnp.where(sel, k8[:, None, :], k_in)
-            v_m = jnp.where(sel, v8[:, None, :], v_in)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, chunk), 1)
-            sel_l = c * chunk + lane == off             # [1, chunk]
-            ks_m = jnp.where(sel_l, s_k[:, None], ks_ref[0, 0])
-            vs_m = jnp.where(sel_l, s_v[:, None], vs_ref[0, 0])
+            k8, v8, s_k, s_v = new_quantized()
+            k_m = jnp.where(sel, k8.astype(jnp.int8)[:, None, :], k_in)
+            v_m = jnp.where(sel, v8.astype(jnp.int8)[:, None, :], v_in)
+            ks_m, vs_m = merged_scales(s_k, s_v)
             return k_m, v_m, ks_m, vs_m                 # scales [hb, chunk]
         k_m = jnp.where(sel, kn_ref[0].astype(k_in.dtype)[:, None, :],
                         k_in)
@@ -436,7 +563,6 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
 
     @pl.when((c * chunk < ln) & ((c + 1) * chunk > lo))
     def _compute():
-        k_m, v_m, ks_m, vs_m = merged()
         # bf16 MXU dots with f32 accumulation on the production path —
         # the same recipe as the extend kernel (int8 values ≤127 are
         # EXACT in bf16; the f32 dots this kernel originally ran cost a
@@ -446,45 +572,69 @@ def _decode_kernel(lens_ref, offs_ref, rows_ref, win_ref, layer_ref,
         cdt = (jnp.float32 if q_ref.dtype == jnp.float32
                else jnp.bfloat16)
         q = q_ref[0].astype(cdt)                        # [hb, QR, hd]
-        s = jax.lax.dot_general(q, k_m.astype(cdt),
-                                (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32
-                                ) * scale
-        if quant:
-            s = s * ks_m[:, None, :]
-        if logit_cap > 0.0:  # Gemma2 attention softcapping
-            s = logit_cap * jnp.tanh(s / logit_cap)
-        spos = c * chunk + jax.lax.broadcasted_iota(
-            jnp.int32, (hb, qr, chunk), 2)
-        mask = (spos <= off) & (spos < ln)   # every query row sits at off
-        if windowed:
-            mask &= (w <= 0) | (spos > off - w)
-        s = jnp.where(mask, s, _NEG_INF)
-        m_prev = m_ref[:, :, 0]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
-        p = jnp.where(mask, jnp.exp(s - m_new[:, :, None]), 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
-        if quant:
-            p = p * vs_m[:, None, :]
-        acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
-                      + jax.lax.dot_general(
-                          p.astype(cdt), v_m.astype(cdt),
-                          (((2,), (1,)), ((0,), (0,))),
-                          preferred_element_type=jnp.float32))
-        m_ref[:, :, 0] = m_new
+
+        def plane(k_m, v_m, ks_m, vs_m, base, width):
+            """Keys at token positions c*chunk+base+[0,width) — the
+            whole chunk when unpacked, a nibble plane when kv_pack."""
+            s = jax.lax.dot_general(q, k_m.astype(cdt),
+                                    (((2,), (2,)), ((0,), (0,))),
+                                    preferred_element_type=jnp.float32
+                                    ) * scale
+            if quant:
+                s = s * ks_m[:, None, :]
+            if logit_cap > 0.0:  # Gemma2 attention softcapping
+                s = logit_cap * jnp.tanh(s / logit_cap)
+            spos = c * chunk + base + jax.lax.broadcasted_iota(
+                jnp.int32, (hb, qr, width), 2)
+            mask = (spos <= off) & (spos < ln)  # all query rows sit at off
+            if windowed:
+                mask &= (w <= 0) | (spos > off - w)
+            s = jnp.where(mask, s, _NEG_INF)
+            m_prev = m_ref[:, :, 0]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=2))
+            p = jnp.where(mask, jnp.exp(s - m_new[:, :, None]), 0.0)
+            alpha = jnp.exp(m_prev - m_new)
+            l_ref[:, :, 0] = l_ref[:, :, 0] * alpha + jnp.sum(p, axis=2)
+            if quant:
+                p = p * vs_m[:, None, :]
+            acc_ref[:] = (acc_ref[:] * alpha[:, :, None]
+                          + jax.lax.dot_general(
+                              p.astype(cdt), v_m.astype(cdt),
+                              (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32))
+            m_ref[:, :, 0] = m_new
+
+        if kv_pack:
+            half = chunk // 2
+            pk_m, pv_m, ks_m, vs_m = merged_packed()
+            klo, khi = _unpack_planes(pk_m)
+            vlo, vhi = _unpack_planes(pv_m)
+            plane(klo.astype(cdt), vlo.astype(cdt),
+                  ks_m[:, :half], vs_m[:, :half], 0, half)
+            plane(khi.astype(cdt), vhi.astype(cdt),
+                  ks_m[:, half:], vs_m[:, half:], half, half)
+        else:
+            k_m, v_m, ks_m, vs_m = merged()
+            plane(k_m, v_m, ks_m, vs_m, 0, chunk)
 
     @pl.when(c == last_c)
     def _writeback():
         # the output blocks alias the KV rows at the write chunk; flush
         # happens once per (lane, head-group) when the block index
         # changes. ln == 0 lanes write their chunk 0 back unmodified.
-        k_m, v_m, ks_m, vs_m = merged()
-        ok_ref[0, 0] = k_m
-        ov_ref[0, 0] = v_m
-        if quant:
+        if kv_pack:
+            pk_m, pv_m, ks_m, vs_m = merged_packed()
+            ok_ref[0, 0] = pk_m.astype(jnp.int8)
+            ov_ref[0, 0] = pv_m.astype(jnp.int8)
             oks_ref[0, 0] = ks_m
             ovs_ref[0, 0] = vs_m
+        else:
+            k_m, v_m, ks_m, vs_m = merged()
+            ok_ref[0, 0] = k_m
+            ov_ref[0, 0] = v_m
+            if quant:
+                oks_ref[0, 0] = ks_m
+                ovs_ref[0, 0] = vs_m
 
     @pl.when(c == nc - 1)
     def _finalize():
@@ -496,7 +646,9 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
                             row_ids, *, layer, scale=None,
                             chunk: int = DEFAULT_CHUNK,
                             k_scales=None, v_scales=None, window=None,
-                            head_block: int = 8, logit_cap: float = 0.0):
+                            head_block: int = 8, logit_cap: float = 0.0,
+                            kv_maxq: float = 127.0,
+                            kv_pack: bool = False):
     """Fused DECODE step: write each lane's new K/V token into its row
     (quantizing to int8 in-kernel when scales are given) AND attend over
     the row — one kernel, no XLA scatter/DUS, KV buffers updated in place
@@ -528,8 +680,16 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     lay = jnp.asarray(layer, jnp.int32).reshape(1)
     if scale is None:
         scale = hd ** -0.5
-    chunk = min(chunk, S)
-    assert S % chunk == 0, (S, chunk)
+    if kv_pack:
+        # nibble-packed int4 rows: S axis holds S/2 packed rows
+        # (PACK_SEG pairing); positions stay in TOKEN space
+        assert quant, "packed int4 KV requires per-token scales"
+        S = 2 * S
+        chunk = PACK_SEG
+        assert S % chunk == 0, (S, chunk)
+    else:
+        chunk = min(chunk, S)
+        assert S % chunk == 0, (S, chunk)
     # vmem-aware head block: the decode step is dominated by grid-cell
     # overhead, not DMA (per-layer call ~0.44ms at b8/ctx1k while the KV
     # bytes are ~0.1ms) — fewer, fatter cells are strictly better as
@@ -540,11 +700,14 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     qr_pad = max(8, -(-qr // 8) * 8)
     hb, chunk = _fit_chunk(Hkv, hd, kvb, chunk, S, head_block,
                            qb=qr_pad)
+    if kv_pack:
+        assert chunk == PACK_SEG, \
+            (chunk, "packed int4 KV needs chunk 256 (VMEM shrank it)")
     import os as _os
     if _os.environ.get("AURORA_KERNEL_DEBUG"):
         import sys as _sys
         print(f"[ragged] decode hb={hb} chunk={chunk} "
-              f"quant={quant}", file=_sys.stderr)
+              f"quant={quant} pack={kv_pack}", file=_sys.stderr)
 
     # bf16 q on the production path (the kernel computes bf16 MXU dots
     # with f32 accumulation, like extend); fp32 only when the caller
@@ -587,10 +750,11 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     def new_map(i, g, c, lens, offs_, rows, win_arr, lay_arr):
         return (i, g, 0)
 
+    kc = chunk // 2 if kv_pack else chunk   # packed rows per block
     in_specs = [
         pl.BlockSpec((1, hb, qr_pad, hd), q_map),
-        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
-        pl.BlockSpec((1, 1, hb, chunk, hd), kv_map),
+        pl.BlockSpec((1, 1, hb, kc, hd), kv_map),
+        pl.BlockSpec((1, 1, hb, kc, hd), kv_map),
     ]
     operands = [qh, k_rows, v_rows]
     out_shapes = [
@@ -600,8 +764,8 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
     ]
     out_specs = [
         pl.BlockSpec((1, hb, qr_pad, hd), q_map),
-        pl.BlockSpec((1, 1, hb, chunk, hd), wc_map),
-        pl.BlockSpec((1, 1, hb, chunk, hd), wc_map),
+        pl.BlockSpec((1, 1, hb, kc, hd), wc_map),
+        pl.BlockSpec((1, 1, hb, kc, hd), wc_map),
     ]
     # flattened operand indices (scalars included): lens=0 offs=1 rows=2
     # win=3 lay=4 q=5 k=6 v=7 [ks=8 vs=9 kn=10 vn=11 | kn=8 vn=9]
@@ -634,7 +798,8 @@ def ragged_decode_attention(q, k_new, v_new, k_rows, v_rows, kv_lens,
         functools.partial(_decode_kernel, scale=float(scale),
                           chunk=chunk, qr=qr_pad, hb=hb, quant=quant,
                           windowed=windowed,
-                          logit_cap=float(logit_cap)),
+                          logit_cap=float(logit_cap),
+                          kv_maxq=float(kv_maxq), kv_pack=kv_pack),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=5,
             grid=grid,

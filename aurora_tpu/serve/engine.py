@@ -110,7 +110,13 @@ class EngineConfig:
     # "int8" stores KV as int8 + per-token fp32 scales: half the KV HBM
     # bytes → ~2x batch×context per chip AND ~20% faster per call than
     # bf16 KV (0.44 vs 0.55 ms at b8/ctx1k on v5e; scales apply post-dot
-    # along the lane axis so dequant costs nothing)
+    # along the lane axis so dequant costs nothing).
+    # "int4" nibble-packs two tokens per byte (PACK_SEG pairing,
+    # ops/pallas/ragged_attention.py) on the 16-level per-token grid —
+    # half of int8's KV bytes again. At the benched b20 decode shape the
+    # KV read (~8GB/step int8) dwarfs the packed-W4 weight stream, so
+    # this is the largest decode-bandwidth lever; measured quality cost
+    # sits between int8 KV and W4 weights (tests/test_kv_int4_quality).
     kv_quant: str = "none"
     # "int8" quantizes the LLM weight matrices to int8 + per-output-
     # channel scales at engine init. Decode is weight-bandwidth-bound
@@ -147,8 +153,11 @@ class EngineConfig:
 
     @property
     def s_row(self) -> int:
-        """KV row width: max_seq_len rounded up to a chunk multiple."""
+        """KV row width: max_seq_len rounded up to a chunk multiple
+        (to the 256-token packing segment for int4 KV)."""
         c = min(self.kv_chunk, self.max_seq_len)
+        if self.kv_quant == "int4":
+            c = max(-(-c // 256) * 256, 256)
         return -(-self.max_seq_len // c) * c
 
 
@@ -177,6 +186,8 @@ def kv_bytes_per_token_layer(cfg, kv_quant: str, kv_dtype) -> int:
     planes = 1 if getattr(cfg, "mla_kv_lora_rank", None) else 2
     if kv_quant == "int8":
         return planes * hkv * (hd + 4)            # values + fp32 scales
+    if kv_quant == "int4":
+        return planes * hkv * (hd // 2 + 4)       # nibble-packed values
     return planes * hkv * hd * jnp.dtype(kv_dtype).itemsize
 
 
@@ -297,6 +308,34 @@ def _w4dot(h, pk, s):
     hi = jax.lax.shift_right_arithmetic(pk, four)
     if n_tok > _W4_GROUPED_MAX_TOKENS:
         q = jnp.stack([lo, hi], axis=2).reshape(G, 2 * gh, O)
+        if os.environ.get("AURORA_W4_PREFILL", "bf16") == "a8":
+            # int8-MXU prefill (W4A8): the extend wave is pure MXU
+            # compute (r5b: 390 TFLOP in 4.84s = 40.7% of the 197-TFLOP
+            # bf16 peak) while v5e's int8 pipe peaks at 394 TOPs — so
+            # requantize the grouped-W4 weights to PER-OUTPUT-CHANNEL
+            # int8 per layer (cs = 8*max_g s / 127 covers the full
+            # dequant range; the requant error is <= cs/2 ~ 6% of the
+            # W4 grid step itself) and run the dot on the int8 MXU pipe
+            # with per-token int8 activations — the SAME numerics
+            # family as the shipped W4A8 decode kernel (_W4_GROUPED
+            # branch / ops/pallas/quant_matmul.py), which passed the
+            # quality gates. XLA fuses the unpack+requant elementwise
+            # chain into one producer of the int8 [D, O] transient
+            # (~half the bf16 path's dequant transient).
+            cs = jnp.max(s, axis=0, keepdims=True) * (8.0 / 127.0)
+            m = (s / cs).astype(jnp.float32)                # [G, 1, O]
+            w8 = jnp.clip(jnp.round(q.astype(jnp.float32) * m), -127,
+                          127).astype(jnp.int8).reshape(D, O)
+            hf = h.astype(jnp.float32).reshape(-1, D)
+            s_a = jnp.maximum(jnp.max(jnp.abs(hf), axis=-1,
+                                      keepdims=True) / 127.0, 1e-12)
+            h8 = jnp.clip(jnp.round(hf / s_a), -127,
+                          127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                h8, w8, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * s_a * cs.reshape(1, O)
+            return out.astype(h.dtype).reshape(*lead, O)
         w = (q.astype(jnp.float32) * s).astype(h.dtype).reshape(D, O)
         return jnp.dot(h, w,
                        preferred_element_type=jnp.float32).astype(h.dtype)
@@ -647,12 +686,98 @@ def fuse_serving_weights(params: Params,
     return out
 
 
-def _kv_quantize(x):
+def _kv_maxq() -> float:
+    """Quantization grid max for the int8-stored KV cache: 127 (int8,
+    default) or 7 when AURORA_KV_BITS=4 — an int4-GRID EMULATION that
+    keeps int8 storage (same HBM) but rounds every cached K/V to the
+    16-level per-token grid a nibble-packed cache would hold. Used to
+    measure the int4 quality cost end-to-end (tests/
+    test_kv_int4_quality.py) before/without paying the packed-layout
+    complexity; read at trace time."""
+    return 7.0 if os.environ.get("AURORA_KV_BITS", "8") == "4" else 127.0
+
+
+def _kv_quantize(x, maxq: float = 127.0):
     """[..., hd] → (int8 values, per-token fp32 scales [...])."""
     xf = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / 127.0
-    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127)
+    s = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), 1e-8) / maxq
+    q = jnp.clip(jnp.round(xf / s[..., None]), -maxq, maxq)
     return q.astype(jnp.int8), s
+
+
+def _write_kv_window_packed(r, l, k4, v4, scales, row_ids, q_offsets,
+                            kv_lens):
+    """_write_kv_window for nibble-packed int4 rows: blend each new
+    token's NIBBLE into the byte window covering its positions, keeping
+    mate nibbles (tokens outside the write window sharing a byte)
+    intact. k4/v4 are int4-GRID int8 values ([-7,7], _kv_quantize maxq
+    7); scale planes stay token-space and reuse the unpacked blend."""
+    from aurora_tpu.ops.pallas.ragged_attention import PACK_SEG
+    Bk, T, Hkv, hd = k4.shape
+    S2 = r["k"].shape[3]
+    S = 2 * S2
+    half = PACK_SEG // 2
+    W = min(T, S)
+    # byte window: W tokens span at most ceil(W/256)+1 segments
+    Wb = min((-(-W // PACK_SEG) + 1) * half, S2)
+    kn = k4.transpose(0, 2, 1, 3)                 # [Bk, Hkv, T, hd]
+    vn = v4.transpose(0, 2, 1, 3)
+    ksn = scales[0].transpose(0, 2, 1)            # [Bk, Hkv, T]
+    vsn = scales[1].transpose(0, 2, 1)
+
+    def lane(i, r):
+        row = row_ids[i]
+        # --- packed value planes ---
+        start = jnp.clip(q_offsets[i], 0, S - W)
+        start_b = jnp.clip((start // PACK_SEG) * half, 0, S2 - Wb)
+        pr = start_b + jnp.arange(Wb)             # byte rows
+        t_lo = (pr // half) * PACK_SEG + pr % half
+        t_hi = t_lo + half
+
+        def nib(new, t):
+            valid = (t >= q_offsets[i]) & (t < kv_lens[i]) \
+                & (t >= start) & (t < start + W)
+            idx = jnp.clip(t - q_offsets[i], 0, T - 1)
+            nv = jnp.take(new[i], idx, axis=1).astype(jnp.int32)
+            return valid[None, :, None], jnp.bitwise_and(nv, 0xF)
+
+        def blend(buf, new):
+            idx = (l, row, 0, start_b, 0)
+            cur = jax.lax.dynamic_slice(
+                buf, idx, (1, 1, Hkv, Wb, hd))[0, 0].astype(jnp.int32)
+            v_lo, n_lo = nib(new, t_lo)
+            v_hi, n_hi = nib(new, t_hi)
+            blo = jnp.where(v_lo, n_lo, jnp.bitwise_and(cur, 0xF))
+            bhi = jnp.where(v_hi, n_hi,
+                            jnp.bitwise_and(
+                                jax.lax.shift_right_logical(cur, 4),
+                                0xF))
+            byte = jnp.bitwise_or(blo, jax.lax.shift_left(bhi, 4))
+            return jax.lax.dynamic_update_slice(
+                buf, byte.astype(buf.dtype)[None, None], idx)
+
+        r["k"] = blend(r["k"], kn)
+        r["v"] = blend(r["v"], vn)
+        # --- token-space scale planes (unpacked blend, as before) ---
+        startt = jnp.clip(q_offsets[i], 0, S - W)
+        shift = q_offsets[i] - startt
+        pos = startt + jnp.arange(W)
+        valid = (pos >= q_offsets[i]) & (pos < kv_lens[i])
+
+        def sblend(buf, new):
+            idx = (l, row, 0, startt)
+            cur = jax.lax.dynamic_slice(buf, idx, (1, 1, Hkv, W))
+            rolled = jnp.roll(new[i], shift, axis=1)[:, :W]
+            upd = jnp.where(valid[None, :], rolled.astype(buf.dtype),
+                            cur[0, 0])
+            return jax.lax.dynamic_update_slice(buf, upd[None, None],
+                                                idx)
+
+        r["ks"] = sblend(r["ks"], ksn)
+        r["vs"] = sblend(r["vs"], vsn)
+        return r
+
+    return jax.lax.fori_loop(0, Bk, lane, r)
 
 
 def _write_kv_window(r, l, k, v, scales, row_ids, q_offsets, kv_lens):
@@ -740,6 +865,11 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
     Bk, T, _ = x.shape
     L = rows["k"].shape[0]
     quant = "ks" in rows
+    # nibble-packed int4 rows carry S/2 value rows next to full-S scale
+    # planes — the shape asymmetry IS the packing flag (no config
+    # threading through the jitted step signatures)
+    kv_pack = quant and rows["k"].shape[3] * 2 == rows["ks"].shape[3]
+    maxq = 7.0 if kv_pack else _kv_maxq()
     positions = q_offsets[:, None] + jnp.arange(T)[None, :]       # [Bk, T]
     if cfg.learned_pos:  # GPT-BigCode wpe; rope disabled
         safe = jnp.clip(positions, 0, params["wpe"].shape[0] - 1)
@@ -783,25 +913,31 @@ def _forward_rows(params: Params, cfg: LlamaConfig, embeds, rows,
                 layer=l, chunk=chunk, k_scales=r.get("ks"),
                 v_scales=r.get("vs"), window=_window(l),
                 scale=cfg.attn_scale,
-                logit_cap=cfg.attn_logit_softcap)
+                logit_cap=cfg.attn_logit_softcap,
+                kv_maxq=maxq, kv_pack=kv_pack)
             attn, r["k"], r["v"] = res[0], res[1], res[2]
             if quant:
                 r["ks"], r["vs"] = res[3], res[4]
         else:       # extend: per-lane windowed write (see _write_kv_window)
             scales = None
             if quant:
-                k, ksc = _kv_quantize(k)
-                v, vsc = _kv_quantize(v)
+                k, ksc = _kv_quantize(k, maxq)
+                v, vsc = _kv_quantize(v, maxq)
                 scales = (ksc, vsc)
-            r = _write_kv_window(r, l, k, v, scales, row_ids,
-                                 q_offsets, kv_lens)
+            if kv_pack:
+                r = _write_kv_window_packed(r, l, k, v, scales,
+                                            row_ids, q_offsets, kv_lens)
+            else:
+                r = _write_kv_window(r, l, k, v, scales, row_ids,
+                                     q_offsets, kv_lens)
             attn = ragged_attention(q, r["k"], r["v"], kv_lens,
                                     q_offsets, row_ids, chunk=chunk,
                                     layer=l, k_scales=r.get("ks"),
                                     v_scales=r.get("vs"),
                                     window=_window(l),
                                     scale=cfg.attn_scale,
-                                    logit_cap=cfg.attn_logit_softcap)
+                                    logit_cap=cfg.attn_logit_softcap,
+                                    kv_pack=kv_pack)
         attn = _wdot(attn.reshape(Bk, T, -1).astype(x.dtype), lp, "o")
         if tp_axis is not None:  # row-parallel o-proj partial sum
             attn = jax.lax.psum(attn, tp_axis)
@@ -1040,7 +1176,8 @@ def _decode_block_impl(fwd, params, cfg, rows, counts, seen, tokens,
     vs 19ms for the raw step at b8/ctx1k on v5e). Sglang's CUDA-graph +
     --num-continuous-decode-steps analog, done the XLA way."""
     B = tokens.shape[0]
-    S_row = rows["k"].shape[3]
+    S_row = (rows["ks"].shape[3] if "ks" in rows
+             else rows["k"].shape[3])    # token space (int4 packs k)
     row_ids = jnp.arange(B, dtype=jnp.int32)
 
     def step(carry, j):
@@ -1117,18 +1254,51 @@ def _load_prefix(rows, cache, slots, row, start, n_valid):
     extend write, see _write_kv_window). The window keeps the native
     layout so the donated buffers update in place; slot padding
     (i >= n_valid) is dropped by blending back the current contents."""
+    from aurora_tpu.ops.pallas.ragged_attention import PACK_SEG
     nb = slots.shape[0]
-    S = rows["k"].shape[3]
+    packed = "ks" in rows and rows["k"].shape[3] * 2 == rows["ks"].shape[3]
+    S = rows["ks"].shape[3] if packed else rows["k"].shape[3]  # tokens
     W = min(nb, S)   # slot chunks are bucket-rounded and may exceed S
     start_c = jnp.clip(start, 0, S - W)
     shift = start - start_c                  # > 0 only at the row tail
     pos = start_c + jnp.arange(W)
     valid = (pos >= start) & (pos < start + n_valid)
+    half = PACK_SEG // 2
     for name in rows:
         buf = rows[name]
         c = jnp.take(cache[name], slots, axis=1)  # [L, nb, Hkv, (hd)]
         vec = c.ndim == 3                          # scale planes
         c = c.transpose((0, 2, 1) if vec else (0, 2, 1, 3))
+        if packed and not vec:
+            # pool slots hold unpacked int4-grid values — blend each
+            # token's NIBBLE into the packed byte window, preserving
+            # mate nibbles (same scheme as _write_kv_window_packed)
+            L_, Hkv, hd = buf.shape[0], buf.shape[2], buf.shape[4]
+            S2 = buf.shape[3]
+            Wb = min((-(-W // PACK_SEG) + 1) * half, S2)
+            start_b = jnp.clip((start // PACK_SEG) * half, 0, S2 - Wb)
+            pr = start_b + jnp.arange(Wb)
+            t_lo = (pr // half) * PACK_SEG + pr % half
+            t_hi = t_lo + half
+
+            def nib(t):
+                v = (t >= start) & (t < start + n_valid)
+                idx = jnp.clip(t - start, 0, nb - 1)
+                nv = jnp.take(c, idx, axis=2).astype(jnp.int32)
+                return v[None, None, :, None], jnp.bitwise_and(nv, 0xF)
+
+            idx5 = (0, row, 0, start_b, 0)
+            cur = jax.lax.dynamic_slice(
+                buf, idx5, (L_, 1, Hkv, Wb, hd))[:, 0].astype(jnp.int32)
+            v_lo, n_lo = nib(t_lo)
+            v_hi, n_hi = nib(t_hi)
+            blo = jnp.where(v_lo, n_lo, jnp.bitwise_and(cur, 0xF))
+            bhi = jnp.where(v_hi, n_hi, jnp.bitwise_and(
+                jax.lax.shift_right_logical(cur, 4), 0xF))
+            byte = jnp.bitwise_or(blo, jax.lax.shift_left(bhi, 4))
+            rows[name] = jax.lax.dynamic_update_slice(
+                buf, byte.astype(buf.dtype)[:, None], idx5)
+            continue
         c = jnp.roll(c, shift, axis=2)             # [L, Hkv, nb(, hd)]
         c = c[:, :, :W]
         if vec:
@@ -1149,14 +1319,31 @@ def _load_prefix(rows, cache, slots, row, start, n_valid):
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _store_prompt(cache, rows, row, start, slots):
     """Copy row KV positions [start, start+nb) into pool slots (release-
-    time radix insert). slots entries == num_slots are dropped (padding)."""
-    S_row = rows["k"].shape[3]
+    time radix insert). slots entries == num_slots are dropped (padding).
+    Packed int4 rows unpack at this boundary (the pool is token-granular
+    while the packing is positional — pool slots hold the grid values in
+    an int8 container)."""
+    from aurora_tpu.ops.pallas.ragged_attention import PACK_SEG
+    packed = "ks" in rows and rows["k"].shape[3] * 2 == rows["ks"].shape[3]
+    S_row = rows["ks"].shape[3] if packed else rows["k"].shape[3]
+    half = PACK_SEG // 2
     nb = slots.shape[0]
     pos = jnp.clip(start + jnp.arange(nb), 0, S_row - 1)
+    pr = (pos // PACK_SEG) * half + (pos % PACK_SEG) % half
+    is_hi = (pos % PACK_SEG) >= half
     for name in rows:
         r = rows[name][:, row]
-        x = (r[:, :, pos].transpose(0, 2, 1, 3) if r.ndim == 4
-             else r[:, :, pos].transpose(0, 2, 1))  # [L, nb, Hkv, (hd)]
+        if packed and r.ndim == 4:
+            b = r[:, :, pr].astype(jnp.int32)    # [L, Hkv, nb, hd] bytes
+            lo = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(jnp.bitwise_and(b, 0xFF), 28), 28)
+            hi = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(jnp.bitwise_and(b, 0xFF), 24), 28)
+            x = jnp.where(is_hi[None, None, :, None], hi,
+                          lo).astype(jnp.int8).transpose(0, 2, 1, 3)
+        else:
+            x = (r[:, :, pos].transpose(0, 2, 1, 3) if r.ndim == 4
+                 else r[:, :, pos].transpose(0, 2, 1))  # [L,nb,Hkv,(hd)]
         cache[name] = cache[name].at[:, slots].set(
             x.astype(cache[name].dtype), mode="drop")
     return cache
@@ -1224,7 +1411,13 @@ class ServeEngine:
             # W4 decode layout: tile the packed stacks for contiguous
             # per-block HBM reads (one transpose per stack, same bytes)
             self.params = params = _w4_tile_params(params)
-        quant = ecfg.kv_quant == "int8"
+        quant = ecfg.kv_quant in ("int8", "int4")
+        if ecfg.kv_quant == "int4":
+            assert ecfg.tp == 1, "packed int4 KV is single-device"
+            assert cfg.head_dim % 2 == 0
+        # the radix POOL stores unpacked grid values (int8 container)
+        # either way: slots are token-granular while the packing is
+        # positional — rows pack/unpack at the pool boundary
         self.pool = KVPool(cfg, ecfg.num_slots, ecfg.kv_dtype,
                            quant=quant)
         self.alloc = SlotAllocator(ecfg.num_slots)
@@ -1363,7 +1556,8 @@ class ServeEngine:
             # orphans every cached prefix, so drop the tree too
             self.pool = KVPool(self.cfg, self.ecfg.num_slots,
                                self.ecfg.kv_dtype,
-                               quant=self.ecfg.kv_quant == "int8")
+                               quant=self.ecfg.kv_quant in ("int8",
+                                                            "int4"))
             if self.mesh is not None:
                 from aurora_tpu.serve.tp import shard_tree, tp_pool_specs
                 self.pool.set_dict(shard_tree(
@@ -1376,17 +1570,21 @@ class ServeEngine:
         """(Re)allocate the per-row KV buffers + sampler histograms —
         used at init and for post-failure recovery of donated buffers."""
         cfg, ecfg = self.cfg, self.ecfg
-        quant = ecfg.kv_quant == "int8"
+        quant = ecfg.kv_quant in ("int8", "int4")
         B, S = ecfg.max_batch, ecfg.s_row
         L, Hkv, hd = (cfg.num_hidden_layers, cfg.num_key_value_heads,
                       cfg.head_dim)
         store_dt = jnp.int8 if quant else ecfg.kv_dtype
+        # int4: the value buffers hold S/2 nibble-packed rows (PACK_SEG
+        # pairing); the per-token scale planes stay full-S — the kernels
+        # detect the packing from this shape asymmetry
+        Sv = S // 2 if ecfg.kv_quant == "int4" else S
         if cfg.mla_kv_lora_rank:
             # one latent vector per token (Hkv=1, hd=rank+rope); no "v"
             self.rows = {"k": jnp.zeros((L, B, 1, S, hd), store_dt)}
         else:
-            self.rows = {"k": jnp.zeros((L, B, Hkv, S, hd), store_dt),
-                         "v": jnp.zeros((L, B, Hkv, S, hd), store_dt)}
+            self.rows = {"k": jnp.zeros((L, B, Hkv, Sv, hd), store_dt),
+                         "v": jnp.zeros((L, B, Hkv, Sv, hd), store_dt)}
         if quant:
             self.rows["ks"] = jnp.zeros((L, B, Hkv, S), jnp.float32)
             self.rows["vs"] = jnp.zeros((L, B, Hkv, S), jnp.float32)

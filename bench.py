@@ -100,6 +100,14 @@ CAPTION_TOKENS = 8 if TINY else 256
 # round-3 measured best) when the rows don't fit next to the weights.
 LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 2 if TINY else 28))
 WEIGHT_QUANT = os.environ.get("BENCH_WEIGHT_QUANT", "int4")
+# headline KV config: nibble-packed int4 (PACK_SEG pairing) halves the
+# dominant decode stream again vs int8 — at b20 the int8 KV read
+# (~8GB/step) dwarfs the 3.24GB packed-W4 weights. Quality measured on
+# the tiny oracle between int8 KV and W4 weights
+# (tests/test_kv_int4_quality.py); packing parity-tested end-to-end
+# (tests/test_kv_int4_packed.py). BENCH_KV_QUANT=int8 restores r04's
+# config.
+E2E_KV = os.environ.get("BENCH_KV_QUANT", "int4")
 E2E_VIDEOS = int(os.environ.get("BENCH_E2E_VIDEOS",
                                 4 if TINY else LLM_BATCH))
 LLM_HIDDEN = 64 if TINY else 4096
@@ -436,10 +444,11 @@ def _llm_stage(jax, jnp, embeds, detail):
                       cfg.head_dim)
         S = ec.s_row
         sds = jax.ShapeDtypeStruct
-        dt = jnp.int8 if kv_quant == "int8" else ec.kv_dtype
-        rows = {"k": sds((L, batch, Hkv, S, hd), dt),
-                "v": sds((L, batch, Hkv, S, hd), dt)}
-        if kv_quant == "int8":
+        dt = jnp.int8 if kv_quant in ("int8", "int4") else ec.kv_dtype
+        Sv = S // 2 if kv_quant == "int4" else S   # nibble-packed rows
+        rows = {"k": sds((L, batch, Hkv, Sv, hd), dt),
+                "v": sds((L, batch, Hkv, Sv, hd), dt)}
+        if kv_quant in ("int8", "int4"):
             rows["ks"] = sds((L, batch, Hkv, S), jnp.float32)
             rows["vs"] = sds((L, batch, Hkv, S), jnp.float32)
         Bk = min(ec.max_extend_lanes, 1 << max(batch - 1, 0).bit_length())
@@ -566,7 +575,7 @@ def _llm_stage(jax, jnp, embeds, detail):
     if TINY or jax.default_backend() != "tpu":
         cap = LLM_BATCH
     else:
-        cap = min(LLM_BATCH, fit_batch("int8"))
+        cap = min(LLM_BATCH, fit_batch(E2E_KV))
     # dense ladder: the AOT oracle rejects oversize rungs in ~3s each
     # (chipless), so stepping by 2 costs nothing and the first rung
     # that passes is within 1 of the true maximum
@@ -582,12 +591,12 @@ def _llm_stage(jax, jnp, embeds, detail):
         # prefill time (decode, the dominant stage, scales ~linearly
         # with rows: b8→b14 costs only +7% per step)
         lanes = next((ln for ln in (16, 8, 4)
-                      if aot_fit(b, "int8", params, ln)), None)
+                      if aot_fit(b, E2E_KV, params, ln)), None)
         if lanes is None:
             continue
         try:
             t_llm, n_videos, (t_ext, t_dec) = best_of_2(
-                run_e2e, b, params, "int8", lanes)
+                run_e2e, b, params, E2E_KV, lanes)
             detail["e2e_llm_batch"] = b
             detail["e2e_extend_lanes"] = lanes
             detail["e2e_extend_s"] = round(t_ext, 3)
@@ -619,7 +628,7 @@ def _llm_stage(jax, jnp, embeds, detail):
             1)
         detail["prefill_mfu_pct"] = round(
             detail["prefill_tflops_per_device"] / 197.0 * 100, 1)
-    detail["e2e_kv_quant"] = "int8"
+    detail["e2e_kv_quant"] = E2E_KV
     detail["e2e_weight_quant"] = WEIGHT_QUANT
     emb_table.clear()
 
@@ -686,9 +695,13 @@ def _llm_stage(jax, jnp, embeds, detail):
     except Exception as e:  # noqa: BLE001
         detail[wtag + "_error"] = str(e)[:160]
     try:
-        decode_stage(wtag + "kv8", "int8", params)  # full quant config
+        decode_stage(wtag + "kv8", "int8", params)  # r04 headline config
     except Exception as e:  # noqa: BLE001
         detail[wtag + "kv8_error"] = str(e)[:160]
+    try:
+        decode_stage(wtag + "kv4", "int4", params)  # r05 headline config
+    except Exception as e:  # noqa: BLE001
+        detail[wtag + "kv4_error"] = str(e)[:160]
 
     # W8 attribution rungs (round-4 VERDICT #5: r04 carried only w4
     # keys, so the quant chain bf16 → W8 → W4 had a hole). Fresh bf16
