@@ -100,14 +100,17 @@ CAPTION_TOKENS = 8 if TINY else 256
 # round-3 measured best) when the rows don't fit next to the weights.
 LLM_BATCH = int(os.environ.get("BENCH_LLM_BATCH", 2 if TINY else 28))
 WEIGHT_QUANT = os.environ.get("BENCH_WEIGHT_QUANT", "int4")
-# headline KV config: nibble-packed int4 (PACK_SEG pairing) halves the
-# dominant decode stream again vs int8 — at b20 the int8 KV read
-# (~8GB/step) dwarfs the 3.24GB packed-W4 weights. Quality measured on
-# the tiny oracle between int8 KV and W4 weights
-# (tests/test_kv_int4_quality.py); packing parity-tested end-to-end
-# (tests/test_kv_int4_packed.py). BENCH_KV_QUANT=int8 restores r04's
-# config.
-E2E_KV = os.environ.get("BENCH_KV_QUANT", "int4")
+# headline KV config: int8 (r04's proven config). int4 nibble packing
+# halves the KV bytes but its unpack overhead LOSES on the wall clock —
+# r5c TPU capture: w4kv4 20.44 ms/step pure vs w4kv8 18.38 at b8/ctx1k,
+# and the int4 e2e LLM stage ran 15.20s vs r04-int8's 13.02s at the
+# same b20 even with this round's kernel improvements on top. int4
+# remains available (BENCH_KV_QUANT=int4, its own decode rung below,
+# --kv-quant on the CLIs) as the capacity option: it buys ~2x KV rows
+# when HBM, not step time, binds. Quality measured on the tiny oracle
+# between int8 KV and W4 weights (tests/test_kv_int4_quality.py);
+# packing parity-tested end-to-end (tests/test_kv_int4_packed.py).
+E2E_KV = os.environ.get("BENCH_KV_QUANT", "int8")
 E2E_VIDEOS = int(os.environ.get("BENCH_E2E_VIDEOS",
                                 4 if TINY else LLM_BATCH))
 LLM_HIDDEN = 64 if TINY else 4096
@@ -741,6 +744,12 @@ def _llm_stage(jax, jnp, embeds, detail):
                 except Exception as e:  # noqa: BLE001
                     detail[tag + "_error"] = str(e)[:160]
             params = p8   # the bf16 rung below dels `params`
+            del p8        # r5c: the alias kept the 6.7GB int8 tree
+            # pinned through the bf16 rung's `del params`, so the
+            # 13.5GB bf16 init over-committed — and one over-commit
+            # poisons the device for the rest of the process (census
+            # finding), which is what killed BOTH the bf16 rung and
+            # the train stage in the r5c capture
         except Exception as e:  # noqa: BLE001
             detail["w8_rungs_error"] = str(e)[:160]
             params = None
@@ -756,6 +765,17 @@ def _llm_stage(jax, jnp, embeds, detail):
         del params
         gc.collect()
         try:
+            # hard gate BEFORE the 13.5GB init: an over-commit poisons
+            # the device for the rest of the process (the train stage
+            # runs after this rung and died collaterally in r5c), so if
+            # anything sizeable is still client-live, skip the rung
+            # instead of gambling the remaining stages on it
+            live = sum(a.nbytes for a in jax.live_arrays())
+            usable = float(os.environ.get("BENCH_HBM_GB", 15.7)) * 1e9
+            if live + 13.6e9 + 0.6e9 > usable:
+                raise RuntimeError(
+                    f"skipped: {live / 1e9:.2f}GB still live next to "
+                    "the 13.5GB bf16 init would over-commit")
             p16 = init_llama_params(jax.random.PRNGKey(0), cfg,
                                     jnp.bfloat16)
             _sync(p16["embed_tokens"])
