@@ -348,6 +348,182 @@ def w4a8_matmul_tiled(h: jnp.ndarray, pkt: jnp.ndarray,
     return out[:B]
 
 
+def _kernel_mlp_w4(he_ref, ho_ref, s_a_ref, gu_ref, gs_ref, dw_ref,
+                   ds_ref, out_ref, acc_ref, *, gh: int, ti: int,
+                   cdt=jnp.bfloat16):
+    """One MLP I-tile: gate/up W4A8 grouped dots → silu·mul in VMEM →
+    W4A16 down-proj partial into the f32 accumulator.
+
+    Fusing the three projections into ONE kernel removes a kernel
+    boundary per layer from the decode block (the r5 bisection measured
+    the block SUPERADDITIVE: ~4ms/step of pipeline drain across the 5
+    custom-call boundaries per layer — see docs/STATUS.md) and the
+    [B, I] intermediate never exists in HBM. The down dot runs bf16
+    against in-VMEM dequantized weights (W4A16 — strictly tighter
+    numerics than the separate-call A8 path, whose per-token re-quant
+    of the activations added a second rounding)."""
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    # ---- gate/up: grouped W4A8, exact _w4dot recipe --------------------
+    pk = gu_ref[...]                              # [1, D2, 2ti] int8
+    D2 = pk.shape[-2]
+    pk = pk.reshape(D2, 2 * ti)
+    # int8 shifts crash this backend's Mosaic compiler — int32 lanes
+    pki = pk.astype(jnp.int32)
+    lo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(pki, 28), 28).astype(jnp.int8)
+    hi = jax.lax.shift_right_arithmetic(pki, 4).astype(jnp.int8)
+    G = D2 // gh
+    dn = (((2,), (1,)), ((0,), (0,)))
+    p_lo = jax.lax.dot_general(he_ref[...], lo.reshape(G, gh, 2 * ti),
+                               dn, preferred_element_type=jnp.int32)
+    p_hi = jax.lax.dot_general(ho_ref[...], hi.reshape(G, gh, 2 * ti),
+                               dn, preferred_element_type=jnp.int32)
+    part = p_lo + p_hi                            # [G, Bp, 2ti] int32
+    sw = gs_ref[...].reshape(G, 2 * ti)           # f32
+    gu = jnp.sum(part.astype(jnp.float32) * sw[:, None, :], axis=0)
+    gu = gu * s_a_ref[...]                        # [Bp, 2ti] f32
+    gate, up = gu[:, :ti], gu[:, ti:]
+    act = (gate / (1.0 + jnp.exp(-gate))) * up    # silu·mul, f32
+    act = act.astype(cdt)                         # [Bp, ti]
+
+    # ---- down: W4A16, dequantize the tile in VMEM ----------------------
+    dpk = dw_ref[...]                             # [1, ti/2, D] int8
+    D = dpk.shape[-1]
+    ti2 = ti // 2
+    dpki = dpk.reshape(ti2, D).astype(jnp.int32)
+    dlo = jax.lax.shift_right_arithmetic(
+        jax.lax.shift_left(dpki, 28), 28).astype(jnp.int8)
+    dhi = jax.lax.shift_right_arithmetic(dpki, 4).astype(jnp.int8)
+    dsw = ds_ref[...]                             # [1, gkt, D] f32
+    gkt = dsw.shape[-2]
+    swb = jnp.broadcast_to(dsw.reshape(gkt, 1, D),
+                           (gkt, ti2 // gkt, D)).reshape(ti2, D)
+    swb = swb.astype(cdt)
+    acc_ref[...] += (
+        jax.lax.dot_general(act[:, 0::2], dlo.astype(cdt) * swb,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(act[:, 1::2], dhi.astype(cdt) * swb,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(j == pl.num_programs(0) - 1)
+    def _():
+        out_ref[...] = acc_ref[...].astype(out_ref.dtype)
+
+
+def w4_mlp_tile_layout(gu_pk, gu_s, dn_pk, dn_s, *, ti: int = 256):
+    """Engine flat W4 layouts for the fused gateup ([.., G, g/2, 2I]) and
+    down ([.., Gd, g/2, D]) streams → the fused-MLP I-tile layout:
+
+      mgu [.., Ib, D/2, 2ti] int8   (tile j = gate cols j ‖ up cols j)
+      mgs [.., Ib, G,   2ti] f32
+      mdw [.., Ib, ti/2, D ] int8   (tile j = packed I-rows of tile j)
+      mds [.., Ib, gkt,  D ] f32    (gkt = ti/group scales per tile)
+
+    Each fused_mlp_w4 grid step reads exactly one contiguous [j] block
+    of all four arrays. Leading layer-stack dims pass through."""
+    *lead, G, gh, N2 = gu_pk.shape
+    I = N2 // 2
+    assert I % ti == 0, (gu_pk.shape, ti)
+    Ib, D2 = I // ti, G * gh
+    lead = tuple(lead)
+    mgu = (gu_pk.reshape(*lead, D2, 2, Ib, ti)
+           .transpose(*range(len(lead)), len(lead) + 2, len(lead),
+                      len(lead) + 1, len(lead) + 3)
+           .reshape(*lead, Ib, D2, 2 * ti))
+    mgs = (gu_s.astype(jnp.float32).reshape(*lead, G, 2, Ib, ti)
+           .transpose(*range(len(lead)), len(lead) + 2, len(lead),
+                      len(lead) + 1, len(lead) + 3)
+           .reshape(*lead, Ib, G, 2 * ti))
+    *dlead, Gd, ghd, D = dn_pk.shape
+    assert Gd * ghd == I // 2 and tuple(dlead) == lead, (dn_pk.shape, I)
+    gkt = Gd // Ib
+    mdw = dn_pk.reshape(*lead, Ib, ti // 2, D)
+    mds = dn_s.astype(jnp.float32).reshape(*lead, Ib, gkt, D)
+    return mgu, mgs, mdw, mds
+
+
+def w4_mlp_untile_layout(mgu, mgs, mdw, mds):
+    """Inverse of w4_mlp_tile_layout for ONE layer — flat engine views
+    for the prefill paths (a pure XLA transpose expression). The down
+    group size is recovered from the shapes (group = ti / gkt)."""
+    group = 2 * mdw.shape[1] // mds.shape[1]
+    Ib, D2, ti2x = mgu.shape
+    ti = ti2x // 2
+    G = mgs.shape[1]
+    gh = D2 // G
+    I = Ib * ti
+    gu_pk = (mgu.reshape(Ib, D2, 2, ti).transpose(1, 2, 0, 3)
+             .reshape(D2, 2 * I).reshape(G, gh, 2 * I))
+    gu_s = (mgs.reshape(Ib, G, 2, ti).transpose(1, 2, 0, 3)
+            .reshape(G, 1, 2 * I))
+    D = mdw.shape[-1]
+    ghd = group // 2
+    dn_pk = mdw.reshape(I // 2, D).reshape((I // 2) // ghd, ghd, D)
+    dn_s = mds.reshape((I // 2) // ghd, 1, D)
+    return gu_pk, gu_s, dn_pk, dn_s
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def fused_mlp_w4(h: jnp.ndarray, mgu, mgs, mdw, mds, *,
+                 out_dtype=jnp.bfloat16, interpret=None):
+    """silu(h @ Wg) * (h @ Wu) @ Wd in ONE Pallas call over the fused-MLP
+    tile layout (w4_mlp_tile_layout). h: [B, D] float → [B, D] out.
+
+    Gate/up run the grouped W4A8 recipe (per-token int8 activations,
+    group scales on int32 partials — exact _w4dot numerics); the down
+    projection runs W4A16 (bf16 activations × in-VMEM dequantized bf16
+    weights), avoiding the separate-call path's second activation
+    quantization. SiLU families only (llama/vicuna/qwen/mistral)."""
+    B, K = h.shape
+    Ib, D2, ti2x = mgu.shape
+    ti = ti2x // 2
+    G = mgs.shape[1]
+    gh = D2 // G
+    D = mdw.shape[-1]
+    assert K == 2 * D2 and mdw.shape[1] == ti // 2, (h.shape, mgu.shape,
+                                                     mdw.shape)
+    h8, s_a = quantize_activations(h)
+    Bp = max(8, -(-B // 8) * 8)
+    if Bp != B:
+        h8 = jnp.pad(h8, ((0, Bp - B), (0, 0)))
+        s_a = jnp.pad(s_a, ((0, Bp - B), (0, 0)))
+    he = h8[:, 0::2].reshape(Bp, G, gh).transpose(1, 0, 2)
+    ho = h8[:, 1::2].reshape(Bp, G, gh).transpose(1, 0, 2)
+    gkt = mds.shape[1]
+    run_interp = (jax.default_backend() != "tpu"
+                  if interpret is None else interpret)
+    # f32 down-dots on the interpret (CPU/test) path — the CPU DotThunk
+    # has no bf16 kernels; production runs bf16 MXU dots
+    cdt = jnp.float32 if run_interp else jnp.bfloat16
+    out = pl.pallas_call(
+        functools.partial(_kernel_mlp_w4, gh=gh, ti=ti, cdt=cdt),
+        grid=(Ib,),
+        in_specs=[
+            pl.BlockSpec((G, Bp, gh), lambda j: (0, 0, 0)),      # he
+            pl.BlockSpec((G, Bp, gh), lambda j: (0, 0, 0)),      # ho
+            pl.BlockSpec((Bp, 1), lambda j: (0, 0)),             # s_a
+            pl.BlockSpec((1, D2, 2 * ti), lambda j: (j, 0, 0)),  # mgu
+            pl.BlockSpec((1, G, 2 * ti), lambda j: (j, 0, 0)),   # mgs
+            pl.BlockSpec((1, ti // 2, D), lambda j: (j, 0, 0)),  # mdw
+            pl.BlockSpec((1, gkt, D), lambda j: (j, 0, 0)),      # mds
+        ],
+        out_specs=pl.BlockSpec((Bp, D), lambda j: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Bp, D), out_dtype),
+        scratch_shapes=[pltpu.VMEM((Bp, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=run_interp,
+    )(he, ho, s_a.astype(jnp.float32), mgu, mgs, mdw, mds)
+    return out[:B]
+
+
 def quantize_activations(h: jnp.ndarray):
     """Per-token absmax int8 quantization (engine _wdot recipe).
     h: [..., K] float -> (h8 int8, s_a f32 [..., 1])."""

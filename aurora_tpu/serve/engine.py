@@ -463,6 +463,28 @@ def _mlp(cfg: LlamaConfig, lp, x, tp_axis=None, h=None):
         if "moe_shared_gate" in lp:  # Qwen2-MoE shared expert
             out = out + shared_expert_mlp(lp, h)
         out = out.astype(x.dtype)
+    elif "mlp_gu" in lp:  # fused-MLP W4 tile layout (_w4_mlp_fuse_params)
+        from aurora_tpu.ops.pallas.quant_matmul import (
+            fused_mlp_w4, w4_mlp_untile_layout)
+        lead = h.shape[:-1]
+        n_tok = 1
+        for d in lead:
+            n_tok *= d
+        if (n_tok <= _W4_GROUPED_MAX_TOKENS
+                and os.environ.get("AURORA_W4_PALLAS", "1") != "0"):
+            # decode: gateup + silu·mul + down in ONE Pallas call
+            out = fused_mlp_w4(h.reshape(-1, h.shape[-1]),
+                               lp["mlp_gu"], lp["mlp_gs"],
+                               lp["mlp_dw"], lp["mlp_ds"],
+                               out_dtype=h.dtype)
+            out = out.reshape(*lead, -1)
+        else:  # prefill: flat views (transpose expr) through _w4dot
+            gu_pk, gu_s, dn_pk, dn_s = w4_mlp_untile_layout(
+                lp["mlp_gu"], lp["mlp_gs"], lp["mlp_dw"], lp["mlp_ds"])
+            fused = _w4dot(h, gu_pk, gu_s)
+            inter = fused.shape[-1] // 2
+            gate, up = fused[..., :inter], fused[..., inter:]
+            out = _w4dot(_act(cfg, gate) * up, dn_pk, dn_s)
     elif "gateup" in lp:  # fused stream (fuse_serving_weights)
         fused = _wdot(h, lp, "gateup")
         inter = fused.shape[-1] // 2
@@ -641,6 +663,67 @@ def _w4_tile_params(params: Params) -> Params:
                                                     block_n=bn)
     out["layers"] = layers
     return out
+
+
+def _w4_mlp_fuse_params(params: Params) -> Params:
+    """gateup/down W4 stacks → the fused-MLP tile layout (mlp_gu/mlp_gs/
+    mlp_dw/mlp_ds — ops/pallas/quant_matmul.py w4_mlp_tile_layout) so a
+    decode step runs the whole MLP as ONE Pallas call (fused_mlp_w4):
+    grouped W4A8 gate/up dots, silu·mul in VMEM, W4A16 down-proj
+    partials into a VMEM accumulator. One kernel boundary instead of
+    two per layer (the r5 decode-block bisection measured the step
+    SUPERADDITIVE: ~4ms/step of pipeline drain across the 5 custom-call
+    boundaries per layer) and the [B, I] MLP intermediate never exists
+    in HBM. Prefill reconstructs the flat views with a transpose
+    expression (w4_mlp_untile_layout) and runs the unchanged _w4dot
+    path. SiLU families with a fused gateup stream only; ineligible
+    shapes stay untouched; idempotent."""
+    from aurora_tpu.ops.pallas.quant_matmul import w4_mlp_tile_layout
+    layers = dict(params.get("layers", {}))
+    gu_pk, gu_s = layers.get("gateup"), layers.get("gateup_scale4")
+    dn_pk, dn_s = layers.get("down"), layers.get("down_scale4")
+    if (gu_pk is None or dn_pk is None or gu_pk.ndim != 4
+            or dn_pk.ndim != 4 or "gateup_bias" in layers
+            or "down_bias" in layers):
+        return params
+    L, G, gh, I2 = gu_pk.shape
+    I = I2 // 2
+    Gd, ghd, D = dn_pk.shape[1:]
+    if D != G * gh * 2 or Gd * ghd != I // 2:
+        return params
+    gd = I // Gd                              # down-proj group size
+    ti = next((t for t in (256, 128)
+               if I % t == 0 and t % gd == 0 and t <= I), None)
+    if ti is None:
+        return params
+    mgu, mgs, mdw, mds = w4_mlp_tile_layout(gu_pk, gu_s, dn_pk, dn_s,
+                                            ti=ti)
+    for k in ("gateup", "gateup_scale4", "down", "down_scale4"):
+        del layers[k]
+    layers["mlp_gu"], layers["mlp_gs"] = mgu, mgs
+    layers["mlp_dw"], layers["mlp_ds"] = mdw, mds
+    out = dict(params)
+    out["layers"] = layers
+    return out
+
+
+def w4_decode_layout_params(params: Params, cfg, tp: int = 1) -> Params:
+    """Every W4 decode-layout transform the engine applies at init, in
+    order — callers that pre-lower the engine's exact program (the
+    bench AOT fit oracle) must apply the same transforms. Fused MLP
+    first (it consumes the flat gateup/down stacks), then the
+    tile-contiguous relayout for the remaining per-projection stacks.
+    AURORA_W4_FUSED_MLP=1 opts in; AURORA_W4_TILED=0 opts out."""
+    if tp != 1 or not any(k.endswith("_scale4")
+                          for k in params.get("layers", {})):
+        return params
+    if (os.environ.get("AURORA_W4_FUSED_MLP", "0") != "0"
+            and getattr(cfg, "hidden_act", "silu")
+            not in ("gelu", "gelu_tanh")):
+        params = _w4_mlp_fuse_params(params)
+    if os.environ.get("AURORA_W4_TILED", "1") != "0":
+        params = _w4_tile_params(params)
+    return params
 
 
 def fuse_serving_weights(params: Params,
@@ -1404,13 +1487,11 @@ class ServeEngine:
         # weights (OOM for a bf16 7B), and freeing here would mutate
         # trees callers may reuse. The forward transparently supports
         # both fused and per-name layouts.
-        if ecfg.tp == 1 and \
-                os.environ.get("AURORA_W4_TILED", "1") != "0" and \
-                any(k.endswith("_scale4")
-                    for k in params.get("layers", {})):
-            # W4 decode layout: tile the packed stacks for contiguous
-            # per-block HBM reads (one transpose per stack, same bytes)
-            self.params = params = _w4_tile_params(params)
+        # W4 decode layouts: optional fused-MLP tiles (one Pallas call
+        # for the whole MLP) then tile-contiguous relayout for the rest
+        # (one transpose per stack, same bytes)
+        self.params = params = w4_decode_layout_params(params, cfg,
+                                                       tp=ecfg.tp)
         quant = ecfg.kv_quant in ("int8", "int4")
         if ecfg.kv_quant == "int4":
             assert ecfg.tp == 1, "packed int4 KV is single-device"
@@ -1625,6 +1706,11 @@ class ServeEngine:
                 "qkv" not in new_params.get("layers", {}):
             new_params = fuse_serving_weights(new_params)
         live = self.params.get("layers", {})
+        if "mlp_gu" in live and \
+                "mlp_gu" not in new_params.get("layers", {}):
+            # live tree holds the fused-MLP layout — match it BEFORE
+            # tiling (the tiler would otherwise consume gateup/down)
+            new_params = _w4_mlp_fuse_params(new_params)
         if any(k.endswith("_scale4") and live[k[:-7]].ndim == 5
                for k in live if k[:-7] in live):
             # live tree holds the tiled W4 layout — match it

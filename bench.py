@@ -565,8 +565,8 @@ def _llm_stage(jax, jnp, embeds, detail):
         # lowers the exact program the engine will run — the tiled tree
         # has the same bytes but different extend temps (the prefill
         # path reconstructs the flat view with a per-layer transpose)
-        from aurora_tpu.serve.engine import _w4_tile_params
-        params = _w4_tile_params(params)
+        from aurora_tpu.serve.engine import w4_decode_layout_params
+        params = w4_decode_layout_params(params, cfg)
     gc.collect()
     _sync(params["layers"]["qkv"])   # quantize/fuse must complete (and
     # the bf16 sources actually free) before engine rows allocate

@@ -669,6 +669,62 @@ def test_engine_int4_weights(tiny_engine, rng):
     assert done2["w4b"].output_ids[0] == int(jnp.argmax(ref[0, -1]))
 
 
+def test_engine_w4_fused_mlp_layout(rng):
+    """AURORA_W4_FUSED_MLP=1: the engine converts the gateup/down W4
+    stacks to the fused-MLP tile layout (ONE Pallas call runs the whole
+    decode MLP — gate/up W4A8, silu·mul in VMEM, W4A16 down) and serves
+    the same greedy tokens as the two-call layout; prefill reconstructs
+    the flat views; update_weights matches the live fused tree. The
+    down-proj numerics are W4A16 (strictly tighter than the two-call
+    path's second activation quantization), so token parity — not
+    bitwise logit parity — is the contract."""
+    import os
+
+    from aurora_tpu.serve.engine import (fuse_serving_weights,
+                                         quantize_weights_int4)
+
+    cfg = LlamaConfig(vocab_size=128, hidden_size=256,
+                      intermediate_size=512, num_hidden_layers=2,
+                      num_attention_heads=4, num_key_value_heads=4,
+                      max_position_embeddings=128)
+    params = init_llama_params(jax.random.PRNGKey(3), cfg,
+                               dtype=jnp.float32)
+    ecfg = EngineConfig(max_batch=2, max_seq_len=64, num_slots=256,
+                        prefill_buckets=(16, 32), kv_dtype=jnp.float32,
+                        weight_quant="int4")
+    qp = fuse_serving_weights(quantize_weights_int4(params))
+    ids = [int(x) for x in rng.integers(3, 120, size=12)]
+
+    def run(p):
+        engine = ServeEngine(p, cfg, ecfg)
+        done = _run_engine(engine, [Request(
+            rid="t", input_ids=list(ids), max_new_tokens=6,
+            eos_ids=(-1,))])
+        assert engine.check_memory()["leaked"] == 0
+        return engine, done["t"].output_ids
+
+    _, out_twocall = run(dict(qp))          # default: fused MLP off
+    os.environ["AURORA_W4_FUSED_MLP"] = "1"
+    try:
+        jax.clear_caches()
+        engine_f, out_fused = run(dict(qp))
+        lay = engine_f.params["layers"]
+        for k in ("mlp_gu", "mlp_gs", "mlp_dw", "mlp_ds"):
+            assert k in lay, k
+        assert "gateup" not in lay and "down" not in lay
+        assert out_fused == out_twocall
+        # live reload: an incoming fp32 tree is quantized, fused, and
+        # MLP-tiled to match the live tree
+        ok, msg = engine_f.update_weights(fuse_serving_weights(
+            init_llama_params(jax.random.PRNGKey(4), cfg,
+                              dtype=jnp.float32)))
+        assert ok, msg
+        assert "mlp_gu" in engine_f.params["layers"]
+    finally:
+        del os.environ["AURORA_W4_FUSED_MLP"]
+        jax.clear_caches()
+
+
 def test_engine_int4_tiled_layout(rng):
     """The tile-contiguous W4 decode layout (engine init relayouts every
     eligible packed stack; _w4dot reads it via the tiled Pallas kernel
